@@ -1,0 +1,137 @@
+"""Numerical unit tests for the transform stack (SHT, Hankel, composed FT).
+
+These are the accuracy tests the reference lacks in its live suite
+(SURVEY.md §4): band-limited SHT round-trips, analytic-function Fourier
+transforms, and quadrature-mode consistency.
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from xframe_tpu.ops.sht import SphericalHarmonicTransform, CircularHarmonicTransform
+from xframe_tpu.ops.fourier import SphericalFourierTransform, PolarFourierTransform
+from xframe_tpu.ops.integrate import SphericalIntegrator
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _x64():
+    jax.config.update("jax_enable_x64", True)
+    yield
+    jax.config.update("jax_enable_x64", False)
+
+
+class TestSHT:
+    def test_roundtrip_bandlimited(self):
+        L = 16
+        sht = SphericalHarmonicTransform(L, real_dtype=jnp.float64)
+        rng = np.random.default_rng(0)
+        c = rng.normal(size=(3, sht.n_m, L + 1)) + 1j * rng.normal(size=(3, sht.n_m, L + 1))
+        c *= np.asarray(sht.lm_mask)
+        c2 = sht.forward(sht.inverse(jnp.asarray(c)))
+        assert float(jnp.abs(c2 - c).max()) < 1e-11
+
+    def test_constant_function_Y00(self):
+        sht = SphericalHarmonicTransform(8, real_dtype=jnp.float64)
+        f = jnp.ones((1, sht.n_theta, sht.n_phi), dtype=jnp.complex128)
+        c = sht.forward(f)
+        assert abs(complex(c[0, 0, 0]) - 2 * np.sqrt(np.pi)) < 1e-12
+        c_rest = np.asarray(c).copy()
+        c_rest[0, 0, 0] = 0
+        assert np.abs(c_rest).max() < 1e-12
+
+    def test_parseval(self):
+        L = 12
+        sht = SphericalHarmonicTransform(L, real_dtype=jnp.float64)
+        rng = np.random.default_rng(1)
+        c = rng.normal(size=(1, sht.n_m, L + 1)) + 1j * rng.normal(size=(1, sht.n_m, L + 1))
+        c *= np.asarray(sht.lm_mask)
+        f = sht.inverse(jnp.asarray(c))
+        # ∫|f|²dΩ = Σ|c|²  (orthonormal basis); quadrature: GL in θ, uniform φ
+        w = sht.gl_weights
+        quad = float(jnp.sum(jnp.abs(f[0]) ** 2 * w[:, None]) * 2 * np.pi / sht.n_phi)
+        assert abs(quad - float(np.sum(np.abs(c) ** 2))) / quad < 1e-12
+
+    def test_grid_rule_matches_reference(self):
+        # shtns_plugin.py:94-101 for L=64, anti-aliasing degree 2
+        sht = SphericalHarmonicTransform(64)
+        assert sht.n_phi == 256 and sht.n_theta == 128
+
+
+class TestFourier3D:
+    @pytest.mark.parametrize("mode,rc", [("midpoint", 2.0), ("midpoint", np.pi),
+                                         ("gauss", 2.0)])
+    def test_gaussian_analytic(self, mode, rc):
+        N, L = 64, 8
+        ft = SphericalFourierTransform(N, L, q_max=0.5, mode=mode,
+                                       reciprocity_coefficient=rc,
+                                       real_dtype=jnp.float64)
+        sigma = ft.r_max / 6
+        prof = np.exp(-ft.rs ** 2 / (2 * sigma ** 2))
+        rho = jnp.asarray(np.broadcast_to(prof[:, None, None],
+                          (N, ft.sht.n_theta, ft.sht.n_phi)), dtype=jnp.complex128)
+        psi = ft.forward(rho)
+        ana = sigma ** 3 * np.exp(-(sigma ** 2) * ft.qs ** 2 / 2)
+        num = np.asarray(psi[:, 0, 0]).real
+        assert np.abs(num - ana).max() / ana.max() < 1e-5
+
+    def test_roundtrip(self):
+        # smooth, band-limited density: gaussian radial profiles on low-l coeffs
+        N, L = 32, 8
+        ft = SphericalFourierTransform(N, L, q_max=0.5, mode="midpoint",
+                                       reciprocity_coefficient=2.0,
+                                       real_dtype=jnp.float64)
+        sht = ft.sht
+        rng = np.random.default_rng(2)
+        sigma = ft.r_max / 6
+        prof = np.exp(-ft.rs ** 2 / (2 * sigma ** 2))
+        c = np.zeros((N, sht.n_m, L + 1), dtype=complex)
+        for (m, l) in [(0, 0), (1, 2), (-2 % sht.n_m, 3)]:
+            c[:, m, l] = prof * (rng.normal() + 1j * rng.normal())
+        rho = sht.inverse(jnp.asarray(c))
+        rho_rt = ft.inverse(ft.forward(rho))
+        rel = float(jnp.abs(rho_rt - rho).max() / jnp.abs(rho).max())
+        assert rel < 1e-4
+
+    def test_trapz_mode_runs(self):
+        N, L = 24, 4
+        ft = SphericalFourierTransform(N, L, q_max=0.5, mode="trapz",
+                                       reciprocity_coefficient=np.pi,
+                                       real_dtype=jnp.float64)
+        rho = jnp.ones((N, ft.sht.n_theta, ft.sht.n_phi), dtype=jnp.complex128)
+        psi = ft.forward(rho)
+        assert psi.shape == rho.shape and np.isfinite(np.asarray(psi)).all()
+
+
+class TestFourier2D:
+    def test_gaussian_analytic(self):
+        N, M = 64, 8
+        ft = PolarFourierTransform(N, M, n_phi=32, q_max=0.5, mode="midpoint",
+                                   reciprocity_coefficient=2.0, real_dtype=jnp.float64)
+        sigma = ft.r_max / 6
+        prof = np.exp(-ft.rs ** 2 / (2 * sigma ** 2))
+        rho = jnp.asarray(np.broadcast_to(prof[:, None], (N, 32)), dtype=jnp.complex128)
+        psi = ft.forward(rho)
+        # 2D FT with 1/(2π) convention: σ² exp(-σ²q²/2)
+        ana = sigma ** 2 * np.exp(-(sigma ** 2) * ft.qs ** 2 / 2)
+        num = np.asarray(psi[:, 0]).real
+        assert np.abs(num - ana).max() / ana.max() < 1e-5
+
+
+class TestIntegrate:
+    def test_sphere_volume(self):
+        N = 128
+        rs = np.linspace(0.5 / N, 1 - 0.5 / N, N)
+        integ = SphericalIntegrator(rs, 16, 32, real_dtype=jnp.float64)
+        one = jnp.ones((N, 16, 32))
+        vol = float(integ.integrate(one))
+        assert abs(vol - 4 / 3 * np.pi * rs.max() ** 3) / vol < 5e-3
+
+
+class TestCircular:
+    def test_roundtrip(self):
+        cht = CircularHarmonicTransform(32, real_dtype=jnp.float64)
+        rng = np.random.default_rng(3)
+        f = jnp.asarray(rng.normal(size=(5, 32)) + 1j * rng.normal(size=(5, 32)))
+        f2 = cht.inverse(cht.forward(f))
+        assert float(jnp.abs(f2 - f).max()) < 1e-12

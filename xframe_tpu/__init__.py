@@ -1,0 +1,51 @@
+"""xframe_tpu — TPU-native fluctuation X-ray scattering (FXS) reconstruction framework.
+
+A ground-up JAX/XLA re-design of the capabilities of European-XFEL/xFrame
+(reference layout documented in SURVEY.md): angular cross-correlation of
+detector frames, rotational-invariant (B_l) extraction, MTIP iterative phasing
+(HIO/ER/RAAR + shrink-wrap), and SO(3) alignment/averaging — with the entire
+phasing iteration jit-compiled on device and multi-start reconstructions
+sharded over a TPU mesh.
+
+Top-level API (mirrors the reference's scripting interface,
+/root/reference/xframe/startup_routines.py:221-350):
+
+    import xframe_tpu as xf
+    xf.select_project('fxs', 'reconstruct', 'tutorial')
+    xf.settings.project.grid.n_radial_points = 64   # optional overrides
+    xf.run()
+"""
+
+__version__ = "0.1.0"
+
+from xframe_tpu import settings  # noqa: F401
+
+_selected = {"project": None, "worker": None, "settings_name": None}
+
+
+def select_project(project, worker, settings_name=None, overrides=None):
+    """Select a (project, worker) pair and load its settings.
+
+    Mirrors xframe.select_project (reference startup_routines.py:221-247).
+    """
+    from xframe_tpu.settings import load_settings
+
+    load_settings(project, worker, settings_name, overrides=overrides)
+    _selected.update(project=project, worker=worker, settings_name=settings_name)
+
+
+def run():
+    """Instantiate the selected worker and run it (reference startup_routines.py:270-350)."""
+    import importlib
+
+    project, worker = _selected["project"], _selected["worker"]
+    if project is None:
+        raise RuntimeError("No project selected. Call select_project() first.")
+    mod = importlib.import_module(f"xframe_tpu.projects.{project}.{worker}")
+    w = mod.ProjectWorker()
+    return w.run()
+
+
+def select_and_run(project, worker, settings_name=None, overrides=None):
+    select_project(project, worker, settings_name, overrides=overrides)
+    return run()

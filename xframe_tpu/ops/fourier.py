@@ -1,0 +1,98 @@
+"""Polar/spherical Fourier transforms on (r,θ,φ) grids.
+
+FT = iSHT ∘ Hankel ∘ SHT (reference fourier_transforms.py:49-86), fully
+jit-able: two batched Legendre matmuls + one batched per-l Hankel matmul +
+two FFTs, all on device. The reference's GPU path crossed a process +
+SharedMemory boundary per Hankel call (Multiprocessing.py:1033-1117); here the
+whole chain fuses into one XLA computation.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from xframe_tpu.ops.sht import SphericalHarmonicTransform, CircularHarmonicTransform
+from xframe_tpu.ops.hankel import (
+    SphericalHankelTransform, PolarHankelTransform, generate_weights, radial_grids,
+)
+
+
+class SphericalFourierTransform:
+    """3D FT between real (r,θ,φ) and reciprocal (q,θ,φ) spherical grids."""
+
+    def __init__(self, n_radial_points: int, l_max: int, q_max: float = None,
+                 mode: str = 'midpoint', reciprocity_coefficient: float = np.pi,
+                 n_theta: int = None, n_phi: int = None, real_dtype=jnp.float32,
+                 weights_dict: dict = None):
+        if q_max is None:
+            q_max = float(np.pi * n_radial_points / 250.0)
+        self.mode = mode
+        self.reciprocity_coefficient = reciprocity_coefficient
+        self.rs, self.qs, self.r_max = radial_grids(mode, q_max, n_radial_points,
+                                                    reciprocity_coefficient)
+        self.q_max = q_max
+        self.n_radial_points = n_radial_points
+        self.sht = SphericalHarmonicTransform(l_max, n_theta=n_theta, n_phi=n_phi,
+                                              real_dtype=real_dtype)
+        if weights_dict is None:
+            weights_dict = generate_weights(l_max, n_radial_points,
+                                            reciprocity_coefficient, 3, mode)
+        self.hankel = SphericalHankelTransform(weights_dict, self.r_max,
+                                               reciprocity_coefficient, real_dtype)
+
+    @property
+    def grid_shape(self):
+        return (self.n_radial_points, self.sht.n_theta, self.sht.n_phi)
+
+    def forward(self, density):
+        """ρ(r,θ,φ) → ψ(q,θ,φ)."""
+        return self.sht.inverse(self.hankel.forward(self.sht.forward(density)))
+
+    def inverse(self, amplitude):
+        """ψ(q,θ,φ) → ρ(r,θ,φ)."""
+        return self.sht.inverse(self.hankel.inverse(self.sht.forward(amplitude)))
+
+    def forward_coeff(self, coeff):
+        """f_lm(r) → F_lm(q) (padded (n_r, 2L+1, L+1) layout)."""
+        return self.hankel.forward(coeff)
+
+    def inverse_coeff(self, coeff):
+        return self.hankel.inverse(coeff)
+
+
+class PolarFourierTransform:
+    """2D FT between (r,φ) and (q,φ) polar grids."""
+
+    def __init__(self, n_radial_points: int, m_max: int, n_phi: int, q_max: float,
+                 mode: str = 'midpoint', reciprocity_coefficient: float = np.pi,
+                 real_dtype=jnp.float32, weights_dict: dict = None):
+        self.mode = mode
+        self.reciprocity_coefficient = reciprocity_coefficient
+        self.rs, self.qs, self.r_max = radial_grids(mode, q_max, n_radial_points,
+                                                    reciprocity_coefficient)
+        self.q_max = q_max
+        self.m_max = m_max
+        self.n_phi = n_phi
+        self.n_radial_points = n_radial_points
+        self.cht = CircularHarmonicTransform(n_phi, real_dtype=real_dtype)
+        if weights_dict is None:
+            weights_dict = generate_weights(m_max, n_radial_points,
+                                            reciprocity_coefficient, 2, mode)
+        self.hankel = PolarHankelTransform(weights_dict, self.r_max,
+                                           reciprocity_coefficient, real_dtype)
+        # columns of the full FFT that carry |m| <= m_max
+        self._m_cols = np.concatenate(
+            (np.arange(m_max + 1), np.arange(n_phi - m_max, n_phi)))
+
+    def _apply(self, hankel_fn, f):
+        c = self.cht.forward(f)[..., self._m_cols]
+        g = hankel_fn(c)
+        full = jnp.zeros(g.shape[:-1] + (self.n_phi,), dtype=g.dtype)
+        full = full.at[..., self._m_cols].set(g)
+        return self.cht.inverse(full)
+
+    def forward(self, density):
+        return self._apply(self.hankel.forward, density)
+
+    def inverse(self, amplitude):
+        return self._apply(self.hankel.inverse, amplitude)

@@ -1,0 +1,212 @@
+"""Radial (spherical/polar) Hankel transforms as batched per-order matmuls.
+
+TPU-native replacement for the reference's OpenCL `apply_weights` kernels and
+CPU einsum loops (/root/reference/xframe/projects/fxs/projectLibrary/
+hankel_transforms.py). Weight tables are computed once on the host in float64
+(scipy Bessel functions — replacing the reference's per-order multiprocessing
+fan-out, hankel_transforms.py:78-80) and shipped to the device; the transform
+itself is a single einsum `out[p,m,l] = Σ_k W[k,p,l]·f[k,m,l]` — a batch of
+L+1 dense (N×N)@(N×n_m) matmuls that XLA tiles onto the MXU.
+
+Quadrature modes (formulas match hankel_transforms.py:302-535):
+  midpoint : r_p=(p+½)Δr, all samples used                    [tutorial default]
+  trapz    : r_p=pΔr, input sample at r=0 skipped
+  gauss    : Gauss-Legendre nodes on [0,r_max]
+  zernike  : Zernike-expansion variant of trapz/midpoint
+
+Forward 3D:  F_l(q_p) = (-i)^l √(2/π) Σ_k w_{kp}^l f_l(r_k),
+with w including r² and the quadrature weight; inverse uses (+i)^l and the
+q-grid constants. 2D uses (-i)^m (no √(2/π)) and w_{-m} = (-1)^m w_m.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+from scipy.special import spherical_jn, jv
+
+from xframe_tpu.library.legendre import gauss_legendre
+
+HT_MODES = ('trapz', 'Zernike', 'midpoint', 'gauss')
+
+
+def reciprocity_relation(cutoff: float, n_points: int, reciprocity_coefficient: float = np.pi):
+    """Q·R = c·N  (reference mathLibrary.py:1169-1177)."""
+    return reciprocity_coefficient * n_points / cutoff
+
+
+# ---------------------------------------------------------------- radial grids
+def radial_grids(mode: str, q_max: float, n_points: int, reciprocity_coefficient: float):
+    """Real/reciprocal radial sampling points for a quadrature mode
+    (reference ft_grid_pairs.py:274-300)."""
+    N = n_points
+    r_max = reciprocity_relation(q_max, N, reciprocity_coefficient)
+    if mode in ('trapz', 'Zernike'):
+        rs = np.arange(N) * r_max / (N - 1)
+        qs = np.arange(N) * q_max / (N - 1)
+    elif mode == 'midpoint':
+        dr, dq = r_max / N, q_max / N
+        rs = np.linspace(dr / 2, r_max - dr / 2, N)
+        qs = np.linspace(dq / 2, q_max - dq / 2, N)
+    elif mode == 'gauss':
+        x, _ = gauss_legendre(N)
+        rs = r_max / 2 * x + r_max / 2
+        qs = q_max / 2 * x + q_max / 2
+    else:
+        raise ValueError(f"unknown Hankel mode {mode!r}; known: {HT_MODES}")
+    return rs, qs, r_max
+
+
+# ------------------------------------------------------------- raw weights (host)
+def _spherical_weights(mode, l_max, N, rc):
+    ls = np.arange(l_max + 1)
+    if mode == 'midpoint':
+        ps = np.arange(N) + 0.5
+        ks = np.arange(N) + 0.5
+        arg = ks[None, :] * ps[:, None] * rc / N          # (p,k)
+        j = spherical_jn(ls[:, None, None], arg[None])     # (l,p,k)
+        return ps[None, :, None] ** 2 * j, None
+    if mode in ('trapz', 'Zernike'):
+        ps = np.arange(1, N)
+        ks = np.arange(N)
+        arg = ks[None, :] * ps[:, None] * rc / N
+        j = spherical_jn(ls[:, None, None], arg[None])
+        return ps[None, :, None] ** 2 * j, None
+    if mode == 'gauss':
+        x, wg = gauss_legendre(N)
+        ps = x + 1
+        arg = ps[None, :] * ps[:, None] * rc * N / 4
+        j = spherical_jn(ls[:, None, None], arg[None])
+        return ps[None, :, None] ** 2 * j * wg[None, :, None], None
+    raise ValueError(mode)
+
+
+def _polar_weights(mode, m_max, N, rc):
+    ms = np.arange(m_max + 1)
+    if mode == 'midpoint':
+        ps = np.arange(N) + 0.5
+        arg = ps[None, :] * ps[:, None] * rc / N
+        J = jv(ms[:, None, None], arg[None])
+        return ps[None, :, None] * J
+    if mode in ('trapz', 'Zernike'):
+        ps = np.arange(1, N)
+        ks = np.arange(N)
+        arg = ks[None, :] * ps[:, None] * rc / N
+        J = jv(ms[:, None, None], arg[None])
+        return ps[None, :, None] * J
+    if mode == 'gauss':
+        x, wg = gauss_legendre(N)
+        ps = x + 1
+        arg = ps[None, :] * ps[:, None] * rc * N / 4
+        J = jv(ms[:, None, None], arg[None])
+        return ps[None, :, None] * J * wg[None, :, None]
+    raise ValueError(mode)
+
+
+def generate_weights(max_order: int, n_radial_points: int,
+                     reciprocity_coefficient: float = np.pi,
+                     dimensions: int = 3, mode: str = 'midpoint'):
+    """Raw quadrature weight tables (order, p_sum, k_out), float64.
+
+    Mirrors hankel_transforms.generate_weightDict (reference :22-48) so the
+    same disk-cache key (N, max_order, reciprocity coefficient, mode) applies.
+    """
+    if dimensions == 3:
+        w, _ = _spherical_weights(mode, max_order, n_radial_points, reciprocity_coefficient)
+    elif dimensions == 2:
+        w = _polar_weights(mode, max_order, n_radial_points, reciprocity_coefficient)
+    else:
+        raise ValueError(f"dimensions must be 2 or 3, got {dimensions}")
+    return {'weights': w, 'posHarmOrders': np.arange(max_order + 1), 'mode': mode,
+            'dimension': dimensions}
+
+
+def assemble_weights(weights: np.ndarray, r_max: float,
+                     reciprocity_coefficient: float, dimensions: int, mode: str):
+    """Apply forward/inverse prefactors; reorder to (k_sum, p_out, order).
+
+    Matches assemble_weights_* (hankel_transforms.py:349-535): 3D prefactors
+    (∓i)^l·c_fwd/inv·√(2/π); 2D extends to negative m via w_{-m}=(-1)^m w_m.
+    """
+    n_radial_points = weights.shape[-1]
+    q_max = reciprocity_relation(r_max, n_radial_points, reciprocity_coefficient)
+    if mode == 'gauss':
+        c_fwd, c_inv = (r_max / 2), (q_max / 2)
+    else:
+        c_fwd, c_inv = (r_max / n_radial_points), (q_max / n_radial_points)
+
+    if dimensions == 3:
+        orders = np.arange(weights.shape[0])
+        fwd_pref = (-1j) ** orders * c_fwd ** 3 * np.sqrt(2 / np.pi)
+        inv_pref = (1j) ** orders * c_inv ** 3 * np.sqrt(2 / np.pi)
+    else:
+        pos = np.arange(weights.shape[0])
+        all_orders = np.concatenate((pos, -pos[:0:-1]))
+        fwd_pref = (-1j) ** all_orders * c_fwd ** 2
+        inv_pref = (1j) ** all_orders * c_inv ** 2
+        weights = np.concatenate(
+            (weights, (-1.0) ** pos[:0:-1, None, None] * weights[:0:-1]), axis=0)
+
+    w = np.moveaxis(weights, 0, 2)  # (p_sum, k_out, order)
+    return {'forward': w * fwd_pref[None, None, :],
+            'inverse': w * inv_pref[None, None, :],
+            'mode': mode}
+
+
+# ------------------------------------------------------------------ device apply
+class SphericalHankelTransform:
+    """forward(f): (..., n_r, n_m, L+1) harmonic coefficients in r
+                →  (..., n_r, n_m, L+1) in q.   inverse analogous.
+
+    For trapz/Zernike modes the r=0 input sample is dropped from the sum
+    (hankel_transforms.py:649-652)."""
+
+    def __init__(self, weights_dict: dict, r_max: float,
+                 reciprocity_coefficient: float = np.pi, real_dtype=jnp.float32):
+        mode = weights_dict['mode']
+        w = assemble_weights(np.asarray(weights_dict['weights']), r_max,
+                             reciprocity_coefficient, 3, mode)
+        cdtype = jnp.complex64 if real_dtype == jnp.float32 else jnp.complex128
+        self.mode = mode
+        self.skip_zero = mode in ('trapz', 'Zernike')
+        self._wf = jnp.asarray(w['forward'], dtype=cdtype)   # (k_sum, p_out, L+1)
+        self._wi = jnp.asarray(w['inverse'], dtype=cdtype)
+        self.n_radial_points = self._wf.shape[1]
+
+    def _apply(self, w, f):
+        if self.skip_zero:
+            f = f[..., 1:, :, :]
+        return jnp.einsum('kpl,...kml->...pml', w, f)
+
+    def forward(self, f):
+        return self._apply(self._wf, f)
+
+    def inverse(self, f):
+        return self._apply(self._wi, f)
+
+
+class PolarHankelTransform:
+    """2D variant on full-FFT m layout: f (..., n_r, n_m_used) with columns in
+    FFT order [0..M, -M..-1]."""
+
+    def __init__(self, weights_dict: dict, r_max: float,
+                 reciprocity_coefficient: float = np.pi, real_dtype=jnp.float32):
+        mode = weights_dict['mode']
+        w = assemble_weights(np.asarray(weights_dict['weights']), r_max,
+                             reciprocity_coefficient, 2, mode)
+        cdtype = jnp.complex64 if real_dtype == jnp.float32 else jnp.complex128
+        self.mode = mode
+        self.skip_zero = mode in ('trapz', 'Zernike')
+        self._wf = jnp.asarray(w['forward'], dtype=cdtype)   # (k_sum, p_out, n_m)
+        self._wi = jnp.asarray(w['inverse'], dtype=cdtype)
+        self.n_m = self._wf.shape[-1]
+
+    def _apply(self, w, f):
+        if self.skip_zero:
+            f = f[..., 1:, :]
+        return jnp.einsum('kpm,...km->...pm', w, f)
+
+    def forward(self, f):
+        return self._apply(self._wf, f)
+
+    def inverse(self, f):
+        return self._apply(self._wi, f)

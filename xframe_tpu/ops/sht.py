@@ -1,0 +1,119 @@
+"""Spherical harmonic transform as jit-able JAX ops.
+
+TPU-native replacement for the reference's SHTns plugin
+(/root/reference/xframe/externalLibraries/shtns_plugin.py). Design:
+
+  forward:  FFT over φ  →  per-m associated-Legendre matmul over θ (MXU)
+  inverse:  per-m Legendre synthesis matmul  →  inverse FFT over φ
+
+Coefficient layout is DENSE and PADDED: (..., n_m=2L+1, L+1) indexed
+[m_fft, l], where m_fft follows FFT ordering [0..L, -L..-1] and entries with
+l < |m| are structurally zero. This rectangular layout keeps every transform a
+single batched matmul (einsum) that XLA tiles onto the MXU — no ragged per-l
+Python lists as in the reference (shtns_plugin.py:105-114).
+
+Normalization: orthonormal spherical harmonics with Condon-Shortley phase
+(the SHTns default used by the reference): f_lm = ∫ f Ȳ_lm dΩ,
+f = Σ_lm f_lm Y_lm.  Angular grid: Gauss-Legendre in cosθ (ascending θ),
+uniform φ in [0,2π).  Anti-aliasing grid rule follows shtns_plugin.py:94-101.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from xframe_tpu.library.legendre import (
+    gauss_legendre,
+    sph_legendre_table_full_m,
+)
+
+
+def angular_grid_size(l_max: int, anti_aliasing_degree: int = 2):
+    """n_phi = 2^(⌊log2((N+1)·L)⌋+1), n_theta = n_phi/2  (shtns_plugin.py:94-101)."""
+    n = anti_aliasing_degree
+    n_phi = 2 ** (int(np.log2((n + 1) * max(l_max, 1))) + 1)
+    n_phi = max(n_phi, 2 * (l_max + 1))
+    n_theta = n_phi // 2
+    return n_theta, n_phi
+
+
+class SphericalHarmonicTransform:
+    """Precomputes Legendre/quadrature tables on host; forward/inverse are pure jittable fns.
+
+    forward(f): (..., n_theta, n_phi) complex → (..., 2L+1, L+1) coefficients [m_fft, l]
+    inverse(c): (..., 2L+1, L+1) → (..., n_theta, n_phi)
+    """
+
+    def __init__(self, l_max: int, n_theta: int | None = None, n_phi: int | None = None,
+                 anti_aliasing_degree: int = 2, real_dtype=jnp.float32):
+        self.l_max = int(l_max)
+        nt_d, np_d = angular_grid_size(self.l_max, anti_aliasing_degree)
+        self.n_theta = int(n_theta) if n_theta else nt_d
+        self.n_phi = int(n_phi) if n_phi else np_d
+        if self.n_phi < 2 * self.l_max + 1:
+            raise ValueError(
+                f"n_phi={self.n_phi} cannot resolve m up to ±{self.l_max}")
+        if self.n_theta < self.l_max + 1:
+            raise ValueError(
+                f"n_theta={self.n_theta} cannot resolve l up to {self.l_max}")
+        self.n_m = 2 * self.l_max + 1
+        self.real_dtype = real_dtype
+        self.complex_dtype = jnp.complex64 if real_dtype == jnp.float32 else jnp.complex128
+
+        # Gauss-Legendre nodes in cosθ; order so θ ascends (x=cosθ descends).
+        x, w = gauss_legendre(self.n_theta)
+        x, w = x[::-1].copy(), w[::-1].copy()
+        self.cos_theta = x
+        self.theta = np.arccos(x)
+        self.phi = 2 * np.pi * np.arange(self.n_phi) / self.n_phi
+        self.gl_weights = w
+
+        # P̄ tables, (n_m, n_theta, L+1) in FFT m-ordering.
+        P = sph_legendre_table_full_m(self.l_max, x)
+        self._P = jnp.asarray(P, dtype=real_dtype)                      # synthesis
+        self._PW = jnp.asarray(P * w[None, :, None], dtype=real_dtype)  # analysis (quadrature)
+
+        # columns of the φ-FFT that carry m in [0..L] ∪ [-L..-1]
+        self._m_cols = np.concatenate(
+            (np.arange(self.l_max + 1), np.arange(self.n_phi - self.l_max, self.n_phi)))
+        # valid-(l,m) mask: l >= |m|
+        ls = np.arange(self.l_max + 1)[None, :]
+        ms = np.concatenate((np.arange(self.l_max + 1), np.arange(-self.l_max, 0)))[:, None]
+        self.m_orders = ms[:, 0]
+        self.lm_mask = jnp.asarray(ls >= np.abs(ms))  # (n_m, L+1)
+
+    # -- pure functions (close over device constants; safe under jit/vmap) --
+
+    def forward(self, f):
+        """f(..., θ, φ) → f_lm (..., m_fft, l)."""
+        fm = jnp.fft.fft(f.astype(self.complex_dtype), axis=-1)
+        fm = fm[..., self._m_cols] * (2 * np.pi / self.n_phi)
+        # Σ_θ w_θ P̄_lm(θ) f_m(θ):  (..., θ, m) × (m, θ, l) → (..., m, l)
+        return jnp.einsum('...tm,mtl->...ml', fm, self._PW)
+
+    def inverse(self, c):
+        """f_lm (..., m_fft, l) → f(..., θ, φ)."""
+        fm = jnp.einsum('...ml,mtl->...tm', c.astype(self.complex_dtype), self._P)
+        shape = fm.shape[:-1] + (self.n_phi,)
+        full = jnp.zeros(shape, dtype=fm.dtype)
+        full = full.at[..., self._m_cols].set(fm)
+        return jnp.fft.ifft(full, axis=-1) * self.n_phi
+
+
+class CircularHarmonicTransform:
+    """2D circular harmonic transform (reference mathLibrary.py:469-496).
+
+    forward: f(..., φ) → f_m = FFT(f)/n_phi   (full FFT ordering, n_m = n_phi)
+    inverse: f_m → f = IFFT(f_m · n_phi)
+    """
+
+    def __init__(self, n_phi: int, real_dtype=jnp.float32):
+        self.n_phi = int(n_phi)
+        self.complex_dtype = jnp.complex64 if real_dtype == jnp.float32 else jnp.complex128
+
+    def forward(self, f):
+        return jnp.fft.fft(f.astype(self.complex_dtype), axis=-1) / self.n_phi
+
+    def inverse(self, c):
+        return jnp.fft.ifft(c.astype(self.complex_dtype) * self.n_phi, axis=-1)
