@@ -86,8 +86,9 @@ class TestFourier3D:
         sigma = ft.r_max / 6
         prof = np.exp(-ft.rs ** 2 / (2 * sigma ** 2))
         c = np.zeros((N, sht.n_m, L + 1), dtype=complex)
+        # physically smooth densities have f_lm(r) ~ r^l near the origin
         for (m, l) in [(0, 0), (1, 2), (-2 % sht.n_m, 3)]:
-            c[:, m, l] = prof * (rng.normal() + 1j * rng.normal())
+            c[:, m, l] = ft.rs ** l * prof * (rng.normal() + 1j * rng.normal())
         rho = sht.inverse(jnp.asarray(c))
         rho_rt = ft.inverse(ft.forward(rho))
         rel = float(jnp.abs(rho_rt - rho).max() / jnp.abs(rho).max())
