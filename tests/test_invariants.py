@@ -1,0 +1,118 @@
+"""Invariant-engine consistency tests (the numerical spec the reference lacks):
+
+density → I_lm → B_l  →  CC  →  back-substitution/lstsq  →  B_l  (must agree)
+B_l → V_l (eigen-factorization) → V_l V_l† = PSD(B_l)
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from xframe_tpu.ops.fourier import SphericalFourierTransform
+from xframe_tpu.library.shapes import spherical_grid, ball_density
+from xframe_tpu.projects.fxs import invariants as itools
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _x64():
+    jax.config.update("jax_enable_x64", True)
+    yield
+    jax.config.update("jax_enable_x64", False)
+
+
+@pytest.fixture(scope="module")
+def bl_setup():
+    N, L = 32, 16
+    wavelength = 1.23984
+    q_max = 0.4
+    ft = SphericalFourierTransform(N, L, q_max=q_max, mode="midpoint",
+                                   reciprocity_coefficient=2.0,
+                                   real_dtype=jnp.float64)
+    grid = spherical_grid(ft.rs, ft.sht.theta, ft.sht.phi)
+    # two off-center balls -> nontrivial B_l with even and odd structure
+    rho = ball_density(grid, ft.r_max / 6, center=(ft.r_max / 3, 1.0, 0.5)) \
+        + ball_density(grid, ft.r_max / 8, center=(ft.r_max / 4, 2.0, 3.5))
+    psi = ft.forward(jnp.asarray(rho, dtype=jnp.complex128))
+    intensity = np.asarray(psi * psi.conj()).real
+    coeff = np.asarray(ft.sht.forward(jnp.asarray(intensity, dtype=jnp.complex128)))
+    bl = itools.harmonic_coeff_to_deg2_invariants_3d(coeff)
+    return dict(ft=ft, bl=bl, wavelength=wavelength, L=L, N=N)
+
+
+class TestBlCC:
+    def test_bl_hermitian_psd_diag_real(self, bl_setup):
+        bl = bl_setup["bl"]
+        assert np.abs(bl - np.conj(np.swapaxes(bl, 1, 2))).max() < 1e-8 * np.abs(bl).max()
+        # B_l should be PSD up to numerical noise
+        lam = np.linalg.eigvalsh(bl[2])
+        assert lam.min() > -1e-6 * np.abs(lam).max()
+
+    def test_cc_roundtrip_back_substitution(self, bl_setup):
+        bl, ft, wl, L = (bl_setup["bl"], bl_setup["ft"], bl_setup["wavelength"],
+                         bl_setup["L"])
+        cc = itools.deg2_invariant_to_cc_3d(bl, wl, ft.qs, n_phi=128)
+        bl2 = itools.cc_to_deg2_invariant_3d(cc, wl, ft.qs, L,
+                                             assume_zero_odd_orders=False)
+        scale = np.abs(bl).max()
+        assert np.abs(bl2 - bl).max() / scale < 1e-8
+
+    def test_cc_roundtrip_even_orders(self, bl_setup):
+        bl, ft, wl, L = (bl_setup["bl"], bl_setup["ft"], bl_setup["wavelength"],
+                         bl_setup["L"])
+        bl_even = bl.copy()
+        bl_even[1::2] = 0
+        cc = itools.deg2_invariant_to_cc_3d(bl_even, wl, ft.qs, n_phi=128)
+        bl2 = itools.cc_to_deg2_invariant_3d(cc, wl, ft.qs, L,
+                                             assume_zero_odd_orders=True)
+        assert np.abs(bl2 - bl_even).max() / np.abs(bl_even).max() < 1e-8
+
+    def test_lstsq_agrees_with_back_substitution(self, bl_setup):
+        bl, ft, wl = bl_setup["bl"], bl_setup["ft"], bl_setup["wavelength"]
+        L = 8  # keep lstsq cheap
+        bl_small = bl[: L + 1]
+        cc = itools.deg2_invariant_to_cc_3d(bl_small, wl, ft.qs, n_phi=64)
+        b_bs = itools.cc_to_deg2_invariant_3d(cc, wl, ft.qs, L,
+                                              assume_zero_odd_orders=False,
+                                              mode="back_substitution")
+        b_ls = itools.cc_to_deg2_invariant_3d(cc, wl, ft.qs, L,
+                                              assume_zero_odd_orders=False,
+                                              mode="lstsq")
+        scale = np.abs(bl_small).max()
+        assert np.abs(b_bs - b_ls).max() / scale < 1e-6
+
+
+class TestProjectionMatrices:
+    def test_factorization_recovers_psd_bl(self, bl_setup):
+        bl = bl_setup["bl"]
+        proj, eigs = itools.deg2_invariant_to_projection_matrices(bl)
+        # Friedel's law: intensity of a real density is centrosymmetric → odd
+        # B_l vanish; factorization checks only make sense on even orders.
+        assert np.abs(bl[1::2]).max() < 1e-10 * np.abs(bl).max()
+        for l in [0, 2, 6]:
+            v = proj[l]
+            assert v.shape == (bl.shape[1], min(bl.shape[1], 2 * l + 1))
+            bl_psd = itools.nearest_positive_semidefinite_matrix(bl[l])
+            assert np.abs(v @ v.conj().T - bl_psd).max() < 1e-6 * np.abs(bl[l]).max()
+
+    def test_rank_cap(self, bl_setup):
+        bl = bl_setup["bl"]
+        proj, _ = itools.deg2_invariant_to_projection_matrices(bl)
+        ranks = [np.linalg.matrix_rank(v, tol=1e-10 * np.abs(v).max())
+                 if np.abs(v).max() > 0 else 0 for v in proj]
+        for l, r in enumerate(ranks):
+            assert r <= 2 * l + 1
+
+
+class Test2D:
+    def test_cc_roundtrip_2d(self):
+        rng = np.random.default_rng(5)
+        n_q, M = 16, 8
+        Im = rng.normal(size=(n_q, M + 1)) + 1j * rng.normal(size=(n_q, M + 1))
+        bm = itools.harmonic_coeff_to_deg2_invariants_2d(Im)
+        cc = itools.deg2_invariant_to_cc_2d(bm, n_phi=64)
+        # rfft-based roundtrip only sees the Hermitian part; compare via forward
+        bm2 = itools.cc_to_deg2_invariant_2d(cc, M)
+        # CC built from complex bm is complex; real-fft path recovers bm for
+        # hermitian-symmetric CC. Use the real part consistency instead:
+        cc2 = itools.deg2_invariant_to_cc_2d(bm2, n_phi=64)
+        assert np.abs(cc2 - cc).max() < 1e-8 * np.abs(cc).max()

@@ -1,0 +1,233 @@
+"""The FXS invariant engine: B_l ↔ cross-correlation ↔ projection matrices.
+
+Rebuilt from /root/reference/xframe/projects/fxs/projectLibrary/
+fxs_invariant_tools.py. Conventions (verified against the reference's
+formulas and kept self-consistent across simulate → extract → reconstruct):
+
+  * intensity harmonic coefficients I_lm use orthonormal spherical harmonics
+    (same as ops.sht), padded dense layout (n_q, n_m=2L+1, L+1).
+  * B_l(q1,q2) = Σ_m I_lm(q1) I*_lm(q2)                (fxs_invariant_tools.py:915-923)
+  * C_n(q1,q2) = Σ_l B_l · P̄_l^n(cosθ_1) P̄_l^n(cosθ_2)/(2l+1)
+    with θ_i the Ewald-sphere polar angles                       (:578-645)
+  * CC(q1,q2,Δ) = irfft(C_n)  over n_phi angular points
+
+Extraction (CC → B_l) and eigen-decomposition (B_l → V_l) are setup-time,
+float64, host-side numpy — replacing the reference's fork-based per-order
+multiprocessing fan-out with vectorized array ops.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from xframe_tpu.library.legendre import sph_legendre_table, legendre_poly_table
+from xframe_tpu.library.physics import ewald_sphere_theta_pi
+
+
+# ------------------------------------------------------------------ PP matrices
+def ewald_legendre_tables(thetas: np.ndarray, l_max: int) -> np.ndarray:
+    """P̄_l^m(cosθ_q) tables, shape (n_q, m, l) with zeros for l<m."""
+    return sph_legendre_table(l_max, np.cos(np.asarray(thetas)))
+
+
+def pp_matrix_single_l(tables: np.ndarray, l: int) -> np.ndarray:
+    """PP_l[q1,q2,n] = P̄_l^n(θ1)·P̄_l^n(θ2)/(2l+1) for n=0..l
+    (reference ccd_associated_legendre_matrices_single_l, :61-76)."""
+    col = tables[:, : l + 1, l]  # (n_q, n=0..l)
+    return col[None, :, :] * col[:, None, :] / (2 * l + 1)
+
+
+def pp_matrices(tables: np.ndarray) -> np.ndarray:
+    """PP[q1,q2,n,l] = P̄_l^n(θ1)P̄_l^n(θ2)/(2l+1)  (reference :23-33)."""
+    l_max = tables.shape[-1] - 1
+    orders = np.arange(l_max + 1)
+    return tables[None, :] * tables[:, None] / (2 * orders + 1)[None, None, None, :]
+
+
+# ---------------------------------------------------------- invariants from I_lm
+def harmonic_coeff_to_deg2_invariants_3d(coeff: np.ndarray) -> np.ndarray:
+    """B_l = I_l I_l† from padded coefficients (n_q, n_m, L+1) → (L+1, n_q, n_q)."""
+    return np.einsum("qml,pml->lqp", coeff, coeff.conj())
+
+
+def harmonic_coeff_to_deg2_invariants_2d(coeff: np.ndarray) -> np.ndarray:
+    """B_m = I_m(q1) I*_m(q2) from (n_q, n_m) → (n_m, n_q, n_q)."""
+    return np.einsum("qm,pm->mqp", coeff, coeff.conj())
+
+
+def projection_matrices_to_deg2_invariant_3d(proj_matrices) -> np.ndarray:
+    """B_l = V_l V_l† (reference :1240-1254)."""
+    n_q = proj_matrices[0].shape[0]
+    out = np.zeros((len(proj_matrices), n_q, n_q), dtype=complex)
+    for l, v in enumerate(proj_matrices):
+        out[l] = v @ v.conj().T
+    return out
+
+
+# ------------------------------------------------------------------- B_l → CC
+def deg2_invariant_to_cc_3d(bl: np.ndarray, xray_wavelength: float,
+                            qs: np.ndarray, n_phi: int = None) -> np.ndarray:
+    """Synthesize CC(q1,q2,Δ) from B_l via the PP relation + irfft
+    (reference deg2_invariant_to_cc_3d 'back_substitution' mode, :962-990)."""
+    l_max = bl.shape[0] - 1
+    thetas = ewald_sphere_theta_pi(xray_wavelength, qs)
+    tables = ewald_legendre_tables(thetas, l_max)
+    pp = pp_matrices(tables)  # (q1,q2,n,l)
+    cns = np.einsum("lqp,qpnl->qpn", bl, pp)
+    if n_phi is None:
+        n_phi = 2 * (cns.shape[-1] - 1)
+    return np.fft.irfft(cns * n_phi, n_phi, axis=-1)
+
+
+def deg2_invariant_to_cc_2d(bm: np.ndarray, n_phi: int = None) -> np.ndarray:
+    """2D: CC = irfft over the B_m axis (reference :938-943)."""
+    bm = np.moveaxis(bm, 0, -1)
+    if n_phi is None:
+        n_phi = 2 * (bm.shape[-1] - 1)
+    return np.fft.irfft(bm * n_phi, n_phi, axis=-1)
+
+
+# ------------------------------------------------------------------- CC → B_l
+def cc_to_deg2_invariant_3d(cc: np.ndarray, xray_wavelength: float,
+                            qs: np.ndarray, l_max: int,
+                            assume_zero_odd_orders: bool = True,
+                            mode: str = "back_substitution") -> np.ndarray:
+    """Extract B_l(q1,q2) from CC data; returns (L+1, n_q, n_q) complex.
+
+    back_substitution: lazy triangular solve against the PP matrices
+    (reference :578-645); lstsq: per-(q1,q2) least squares vs Legendre
+    matrices F_l (reference :452-517)."""
+    if mode == "back_substitution":
+        return _cc_to_bl_back_substitution(cc, xray_wavelength, qs, l_max,
+                                           assume_zero_odd_orders)
+    if mode == "lstsq":
+        return _cc_to_bl_lstsq(cc, xray_wavelength, qs, l_max,
+                               assume_zero_odd_orders)
+    raise ValueError(f"unknown B_l extraction mode {mode!r}")
+
+
+def _cc_to_bl_back_substitution(cc, xray_wavelength, qs, l_max,
+                                assume_zero_odd_orders):
+    thetas = ewald_sphere_theta_pi(xray_wavelength, qs)
+    tables = ewald_legendre_tables(thetas, l_max)
+    n_phi = cc.shape[-1]
+    stride = 2 if assume_zero_odd_orders else 1
+    orders = np.arange(0, l_max + 1, stride)
+    # harmonic coefficients of the CC over Δ (mathLibrary.py:484-490)
+    ccn = np.fft.rfft(cc, axis=-1)[..., : l_max + 1 : stride] / n_phi
+    ccn = ccn.astype(complex)
+
+    bl = np.zeros((l_max + 1,) + cc.shape[:2], dtype=complex)
+    # lazy triangular back-substitution from l = L downward (reference :626-633)
+    for l in orders[::-1]:
+        col = pp_matrix_single_l(tables, l)[..., ::stride]  # (q1,q2,n<=l strided)
+        bl[l] = ccn[..., -1] / col[..., -1]
+        ccn = ccn[..., :-1] - bl[l][..., None] * col[..., :-1]
+    return bl
+
+
+def _cc_to_bl_lstsq(cc, xray_wavelength, qs, l_max, assume_zero_odd_orders):
+    thetas = ewald_sphere_theta_pi(xray_wavelength, qs)
+    n_q = len(qs)
+    n_phi = cc.shape[-1]
+    phis = 2 * np.pi * np.arange(n_phi) / n_phi
+    stride = 2 if assume_zero_odd_orders else 1
+    orders = np.arange(0, l_max + 1, stride)
+    # F_l(q1,q2,Δ) = P_l(cosθ1 cosθ2 + sinθ1 sinθ2 cosΔ)/(4π)  (reference :79-97)
+    ct, st = np.cos(thetas), np.sin(thetas)
+    arg = (ct[:, None, None] * ct[None, :, None]
+           + st[:, None, None] * st[None, :, None] * np.cos(phis)[None, None, :])
+    F = legendre_poly_table(l_max, arg)[..., orders] / (4 * np.pi)  # (q1,q2,Δ,l)
+    bl = np.zeros((l_max + 1, n_q, n_q), dtype=complex)
+    Fm = F.reshape(n_q * n_q, n_phi, len(orders))
+    ccm = cc.reshape(n_q * n_q, n_phi)
+    sol = np.stack([np.linalg.lstsq(Fm[i], ccm[i], rcond=None)[0]
+                    for i in range(n_q * n_q)])
+    bl[orders] = np.moveaxis(sol.reshape(n_q, n_q, len(orders)), -1, 0)
+    return bl
+
+
+def cc_to_deg2_invariant_2d(cc: np.ndarray, m_max: int) -> np.ndarray:
+    """2D: B_m are the circular harmonic coefficients of the CC (reference :813-839)."""
+    n_phi = cc.shape[-1]
+    bm = np.fft.rfft(cc, axis=-1)[..., : m_max + 1] / n_phi
+    return np.moveaxis(bm, -1, 0).astype(complex)
+
+
+# ---------------------------------------------------------------- PSD / eigen
+def nearest_positive_semidefinite_matrix(A: np.ndarray,
+                                         low_positive_eigenvalues_to_zero=False):
+    """Higham's nearest-PSD projection (reference mathLibrary.py:872-893)."""
+    B = (A + np.swapaxes(A, -1, -2).conj()) / 2
+    lam, v = np.linalg.eigh(B)
+    limit = 0.0
+    if low_positive_eigenvalues_to_zero:
+        ev = np.linalg.eigvals(A)
+        limit = np.abs(ev.min())
+    lam = np.where(lam < limit, 0.0, lam)
+    return (v * lam[..., None, :]) @ np.swapaxes(v, -1, -2).conj()
+
+
+def deg2_invariant_to_projection_matrices(bl: np.ndarray, q_id_limits=None):
+    """Per-l eigendecomposition of B_l → V_l with B_l ≈ V_l V_l†.
+
+    V_l has shape (n_q, min(n_q, 2l+1)); eigenvalues sorted descending, rank
+    capped at 2l+1, negatives clipped to 0
+    (reference deg2_invariant_to_projection_matrices_3d, :1178-1210).
+    Returns (list_of_V_l, eigenvalue_list)."""
+    n_orders, n_q, _ = bl.shape
+    proj, eigs = [], []
+    for l in range(n_orders):
+        if q_id_limits is not None:
+            lo, hi = int(q_id_limits[l][0]), int(q_id_limits[l][1])
+        else:
+            lo, hi = 0, n_q
+        sub = bl[l, lo:hi, lo:hi]
+        sub = (sub + sub.conj().T) / 2
+        NN = min(n_q, 2 * l + 1)
+        if np.allclose(sub, 0):
+            proj.append(np.zeros((n_q, NN), dtype=complex))
+            eigs.append(np.zeros(NN))
+            continue
+        lam, vec = np.linalg.eigh(sub)
+        order = np.argsort(lam)[::-1]
+        lam, vec = lam[order].real, vec[:, order]
+        N = min(hi - lo, 2 * l + 1)
+        lam, vec = lam[:N].copy(), vec[:, :N]
+        neg = lam < 0
+        lam[neg] = 0
+        vec = vec.copy()
+        vec[:, neg] = 0
+        full_vec = np.zeros((n_q, NN), dtype=complex)
+        full_lam = np.zeros(NN)
+        full_vec[lo:hi, :N] = vec
+        full_lam[:N] = lam
+        proj.append(full_vec @ np.diag(np.sqrt(full_lam)))
+        eigs.append(full_lam)
+    return proj, eigs
+
+
+def deg2_invariant_to_projection_vectors_2d(bm: np.ndarray):
+    """2D: rank-1 factor of each B_m (reference :1146-1176)."""
+    proj, eigs = [], []
+    for m in range(bm.shape[0]):
+        sub = (bm[m] + bm[m].conj().T) / 2
+        lam, vec = np.linalg.eigh(sub)
+        i = np.argmax(lam)
+        val = max(lam[i].real, 0.0)
+        v = vec[:, i] if val > 0 else np.zeros(sub.shape[0], dtype=complex)
+        proj.append(v * np.sqrt(val))
+        eigs.append(val)
+    return np.array(proj), np.array(eigs)
+
+
+# ----------------------------------------------------------------- rank orders
+def rank_projection_matrices(proj_matrices, radial_points, radial_high_pass=0.2):
+    """Order ranking by radial-weighted magnitude (reference :1437-1524,
+    used by SO-freedom selection)."""
+    n_low = int(len(radial_points) * radial_high_pass)
+    scores = []
+    for v in proj_matrices:
+        v = np.atleast_2d(np.asarray(v))
+        scores.append(np.abs(v[n_low:]).sum())
+    ids = np.argsort(scores)[::-1]
+    return ids, np.asarray(scores)[ids]
