@@ -35,9 +35,10 @@ class TestSHT:
         sht = SphericalHarmonicTransform(8, real_dtype=jnp.float64)
         f = jnp.ones((1, sht.n_theta, sht.n_phi), dtype=jnp.complex128)
         c = sht.forward(f)
-        assert abs(complex(c[0, 0, 0]) - 2 * np.sqrt(np.pi)) < 1e-12
+        L = sht.l_max
+        assert abs(complex(c[0, L, 0]) - 2 * np.sqrt(np.pi)) < 1e-12
         c_rest = np.asarray(c).copy()
-        c_rest[0, 0, 0] = 0
+        c_rest[0, L, 0] = 0
         assert np.abs(c_rest).max() < 1e-12
 
     def test_parseval(self):
@@ -87,8 +88,8 @@ class TestFourier3D:
         prof = np.exp(-ft.rs ** 2 / (2 * sigma ** 2))
         c = np.zeros((N, sht.n_m, L + 1), dtype=complex)
         # physically smooth densities have f_lm(r) ~ r^l near the origin
-        for (m, l) in [(0, 0), (1, 2), (-2 % sht.n_m, 3)]:
-            c[:, m, l] = ft.rs ** l * prof * (rng.normal() + 1j * rng.normal())
+        for (m, l) in [(0, 0), (1, 2), (-2, 3)]:  # centered layout: j = m + L
+            c[:, m + L, l] = ft.rs ** l * prof * (rng.normal() + 1j * rng.normal())
         rho = sht.inverse(jnp.asarray(c))
         rho_rt = ft.inverse(ft.forward(rho))
         rel = float(jnp.abs(rho_rt - rho).max() / jnp.abs(rho).max())

@@ -57,9 +57,12 @@ def sph_legendre_table(l_max: int, x: np.ndarray) -> np.ndarray:
 
 
 def sph_legendre_table_full_m(l_max: int, x: np.ndarray) -> np.ndarray:
-    """P̄_l^m for all m in FFT ordering [0..L, -L..-1].
+    """P̄_l^m for all m in CENTERED ordering: index j ∈ [0, 2L] ↔ m = j - L.
 
-    Returns (n_m=2L+1, len(x), L+1) indexed [m_fft, x, l].
+    Returns (n_m=2L+1, len(x), L+1) indexed [j, x, l]. The centered layout
+    makes the valid-m block of each order l the contiguous range [L-l, L+l] —
+    the key property that keeps padded per-l matrix ops (Procrustes unknowns,
+    V_l projections) dense and mask-free on TPU.
     Negative orders via P̄_l^{-m} = (-1)^m P̄_l^m (orthonormal + CS phase).
     """
     t = sph_legendre_table(l_max, x)  # (nx, m, l)
@@ -67,10 +70,10 @@ def sph_legendre_table_full_m(l_max: int, x: np.ndarray) -> np.ndarray:
     pos = np.moveaxis(t, 0, 1)  # (m, nx, l)
     n_m = 2 * L + 1
     out = np.zeros((n_m, x.shape[0], L + 1), dtype=np.float64)
-    out[: L + 1] = pos
+    out[L:] = pos
     signs = (-1.0) ** np.arange(1, L + 1)
-    # m_fft index L+1 .. 2L correspond to m = -L .. -1
-    out[L + 1:] = (signs[::-1, None, None]) * pos[1:][::-1]
+    # j = 0..L-1 correspond to m = -L..-1
+    out[:L] = (signs[::-1, None, None]) * pos[1:][::-1]
     return out
 
 
@@ -86,7 +89,6 @@ def legendre_poly_table(l_max: int, x: np.ndarray) -> np.ndarray:
     return out
 
 
-def fft_m_orders(l_max: int) -> np.ndarray:
-    """Harmonic orders in FFT layout: [0, 1, .., L, -L, .., -1]."""
-    L = l_max
-    return np.concatenate((np.arange(L + 1), np.arange(-L, 0)))
+def centered_m_orders(l_max: int) -> np.ndarray:
+    """Harmonic orders in centered layout: [-L, .., -1, 0, 1, .., L]."""
+    return np.arange(-l_max, l_max + 1)

@@ -7,10 +7,13 @@ TPU-native replacement for the reference's SHTns plugin
   inverse:  per-m Legendre synthesis matmul  →  inverse FFT over φ
 
 Coefficient layout is DENSE and PADDED: (..., n_m=2L+1, L+1) indexed
-[m_fft, l], where m_fft follows FFT ordering [0..L, -L..-1] and entries with
-l < |m| are structurally zero. This rectangular layout keeps every transform a
-single batched matmul (einsum) that XLA tiles onto the MXU — no ragged per-l
-Python lists as in the reference (shtns_plugin.py:105-114).
+[j, l] with CENTERED m ordering (m = j - L, so j runs over m=-L..L) and
+entries with l < |m| structurally zero. The valid-m block of order l is the
+contiguous centered range [L-l, L+l], which keeps padded per-l matrix ops
+(Procrustes unknowns, V_l projections) dense and mask-free. This rectangular
+layout makes every transform a single batched matmul (einsum) that XLA tiles
+onto the MXU — no ragged per-l Python lists as in the reference
+(shtns_plugin.py:105-114).
 
 Normalization: orthonormal spherical harmonics with Condon-Shortley phase
 (the SHTns default used by the reference): f_lm = ∫ f Ȳ_lm dΩ,
@@ -69,19 +72,18 @@ class SphericalHarmonicTransform:
         self.phi = 2 * np.pi * np.arange(self.n_phi) / self.n_phi
         self.gl_weights = w
 
-        # P̄ tables, (n_m, n_theta, L+1) in FFT m-ordering.
+        # P̄ tables, (n_m, n_theta, L+1) in centered m-ordering (m = j - L).
         P = sph_legendre_table_full_m(self.l_max, x)
         self._P = jnp.asarray(P, dtype=real_dtype)                      # synthesis
         self._PW = jnp.asarray(P * w[None, :, None], dtype=real_dtype)  # analysis (quadrature)
 
-        # columns of the φ-FFT that carry m in [0..L] ∪ [-L..-1]
-        self._m_cols = np.concatenate(
-            (np.arange(self.l_max + 1), np.arange(self.n_phi - self.l_max, self.n_phi)))
+        # φ-FFT columns carrying m = -L..L, in centered order
+        ms = np.arange(-self.l_max, self.l_max + 1)
+        self._m_cols = ms % self.n_phi
+        self.m_orders = ms
         # valid-(l,m) mask: l >= |m|
         ls = np.arange(self.l_max + 1)[None, :]
-        ms = np.concatenate((np.arange(self.l_max + 1), np.arange(-self.l_max, 0)))[:, None]
-        self.m_orders = ms[:, 0]
-        self.lm_mask = jnp.asarray(ls >= np.abs(ms))  # (n_m, L+1)
+        self.lm_mask = jnp.asarray(ls >= np.abs(ms)[:, None])  # (n_m, L+1)
 
     # -- pure functions (close over device constants; safe under jit/vmap) --
 
