@@ -1,0 +1,246 @@
+"""The MTIP phasing loop, jit-compiled end-to-end on device.
+
+This replaces the reference's RecipeFactory-compiled operator graph + fork-based
+multi-start + OpenCL kernel RPC (reconstruct.py:488-1036, SURVEY.md §3.1) with:
+
+  * one pure function per MTIP iteration (2 spherical FTs + 1 intensity-SHT
+    pair + batched per-l Procrustes + elementwise projections),
+  * `lax.scan` over contiguous HIO/ER/RAAR runs with per-step β arrays
+    (ramps flattened on host — the schedule is static),
+  * shrink-wrap support updates between scans,
+  * `vmap` over the multi-start restart axis; sharded over a device mesh by
+    the caller (see parallel.mesh).
+
+The iteration schedule (sub_loops / methods / ramps) is flattened from the
+settings tree into a list of Segment records at setup time, mirroring
+assemble_phasing_loop (reconstruct.py:768-1036) including β ramps per loop,
+shrink-wrap σ/threshold ramps, the error-gated `enforce_initial_support`
+rule, and the `ft_stab` round-trip compensation (reconstruct.py:585-595).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from xframe_tpu.library.ramps import ExponentialRamp, LinearRamp
+from xframe_tpu.projects.fxs.projections import (
+    ReciprocalConstraint, RealConstraint, ShrinkWrap,
+    project_to_modified_intensity, hio_update, er_update, raar_update,
+)
+
+METHOD_UPDATES = {'HIO': hio_update, 'ER': er_update, 'RAAR': raar_update}
+
+
+@dataclass
+class Segment:
+    """One contiguous run of a single method in the flattened schedule."""
+    method: str                 # 'HIO' | 'ER' | 'RAAR' | 'SW'
+    n: int = 1
+    betas: Any = None           # (n,) float array for HIO/RAAR
+    ft_stab: bool = False
+    sigma: float = 0.0          # SW gaussian sigma
+    threshold: float = 0.0      # SW relative threshold
+
+
+def build_schedule(main_loop_opt, hio_beta_opt, sw_sigmas_opt, sw_thresholds_opt,
+                   method_ft_stab, default_sigma):
+    """Flatten the sub-loops tree into Segments (assemble_phasing_loop semantics).
+
+    main_loop_opt: {'order': [names], name: {'iterations': int, 'order': [...],
+                    'methods': {m: {'iterations': int} | int}}}
+    hio_beta_opt: list of [start, stop, exponent, stop_arg] per loop
+    sw_sigmas_opt / sw_thresholds_opt: per-loop LinearRamp specs
+    method_ft_stab: {loop_name: {method: bool}}
+    """
+    segments = []
+    for loop_id, loop_name in enumerate(main_loop_opt['order']):
+        loop = main_loop_opt[loop_name]
+        beta_spec = hio_beta_opt[loop_id] if loop_id < len(hio_beta_opt) \
+            else [0.5, 0.5, -1 / 700, 1600]
+        beta_ramp = ExponentialRamp(*beta_spec)
+        sigma_spec = sw_sigmas_opt[loop_id] if loop_id < len(sw_sigmas_opt) else False
+        if not isinstance(sigma_spec, (list, tuple)):
+            sigma_spec = [sigma_spec]
+        sigma_ramp = LinearRamp(*sigma_spec, default_start=default_sigma,
+                                default_stop=default_sigma)
+        th_spec = sw_thresholds_opt[loop_id] if loop_id < len(sw_thresholds_opt) else 0.1
+        if not isinstance(th_spec, (list, tuple)):
+            th_spec = [th_spec]
+        th_ramp = LinearRamp(*th_spec)
+
+        def ramp_val(ramp, x, default):
+            v = ramp(x)
+            return default if (ramp.undefined or not np.isfinite(v)) else float(v)
+
+        step = 0      # counts HIO/ER repeats within this loop (β argument)
+        sw_step = 0   # counts SW events within this loop (σ/threshold argument)
+        for _ in range(int(loop['iterations'])):
+            for method in loop['order']:
+                mopt = loop['methods'][method]
+                if isinstance(mopt, dict):
+                    repeats = int(mopt.get('iterations', 0))
+                else:
+                    repeats = int(mopt)
+                if method in ('SW', 'SW_center'):
+                    for _ in range(repeats):
+                        segments.append(Segment(
+                            method='SW',
+                            sigma=ramp_val(sigma_ramp, sw_step, default_sigma),
+                            threshold=ramp_val(th_ramp, sw_step, 0.1)))
+                        sw_step += 1
+                else:
+                    base = method.replace('_non_FXS', '')
+                    betas = np.array([beta_ramp(step + i) for i in range(repeats)],
+                                     dtype=np.float64)
+                    step += repeats
+                    segments.append(Segment(
+                        method=base, n=repeats, betas=betas,
+                        ft_stab=bool(method_ft_stab.get(loop_name, {}).get(method, False))))
+    return segments
+
+
+class PhasingState(NamedTuple):
+    rho: Any
+    support: Any
+    best_rho: Any
+    best_mask: Any
+    best_err: Any
+    last_err: Any
+
+
+class MTIP:
+    """Bundles transforms + constraints into the jittable phasing program."""
+
+    def __init__(self, ft, reciprocal: ReciprocalConstraint, real: RealConstraint,
+                 shrink_wrap: ShrinkWrap, integration_weights, initial_support,
+                 enforce_initial_support_limit=np.inf, real_dtype=jnp.float32):
+        self.ft = ft
+        self.sht = ft.sht
+        self.rc = reciprocal
+        self.real = real
+        self.sw = shrink_wrap
+        cdtype = jnp.complex64 if real_dtype == jnp.float32 else jnp.complex128
+        self.cdtype = cdtype
+        self.rdtype = real_dtype
+        self._w_err = jnp.asarray(integration_weights, dtype=real_dtype)
+        self.initial_support = jnp.asarray(initial_support)
+        self.enforce_limit = float(enforce_initial_support_limit)
+
+    # ------------------------------------------------------------- iteration
+    def _real_error(self, rho_p, rho_proj):
+        """relative L2 projection diff inside the initial support
+        (fxs_IO_methods.py:97-129, tutorial main error)."""
+        d = rho_p - rho_proj
+        num = jnp.sum(self._w_err * (d * d.conj()).real)
+        den = jnp.sum(self._w_err * (rho_p * rho_p.conj()).real)
+        return jnp.where(den > 0, num / den, jnp.inf)
+
+    def mtip_iteration(self, rho_in, support, beta, method: str, ft_stab: bool):
+        """One HIO/ER/RAAR step (reconstruct.py HIO sketch :576-595)."""
+        psi = self.ft.forward(rho_in)
+        intensity = (psi * psi.conj()).real
+        Ilm = self.sht.forward(intensity)
+        Ilm_proj = self.rc(Ilm)
+        I_new = self.sht.inverse(Ilm_proj).real
+        psi_p = project_to_modified_intensity(psi, intensity, I_new)
+        rho_p = self.ft.inverse(psi_p)
+        if ft_stab:
+            # add back the FT-roundtrip defect of the input (except radial 0)
+            corr = rho_in - self.ft.inverse(psi)
+            rho_p = rho_p + corr.at[0].set(0)
+        rho_proj, invalid = self.real(rho_p, support)
+        err = self._real_error(rho_p, rho_proj)
+        if method == 'HIO':
+            rho_new = hio_update(rho_in, rho_p, rho_proj, invalid, beta)
+        elif method == 'RAAR':
+            rho_new = raar_update(rho_in, rho_p, rho_proj, invalid, beta)
+        else:
+            rho_new = er_update(rho_proj)
+        return rho_new, err
+
+    # -------------------------------------------------------------- segments
+    def _run_segment(self, state: PhasingState, seg: Segment):
+        betas = jnp.asarray(seg.betas, dtype=self.rdtype)
+
+        def body(carry, beta):
+            rho, best_rho, best_mask, best_err, _ = carry
+            rho_new, err = self.mtip_iteration(rho, state.support, beta,
+                                               seg.method, seg.ft_stab)
+            better = err < best_err
+            best_rho = jnp.where(better, rho_new, best_rho)
+            best_mask = jnp.where(better, state.support, best_mask)
+            best_err = jnp.minimum(err, best_err)
+            return (rho_new, best_rho, best_mask, best_err, err), err
+
+        carry = (state.rho, state.best_rho, state.best_mask, state.best_err,
+                 state.last_err)
+        carry, errs = jax.lax.scan(body, carry, betas)
+        rho, best_rho, best_mask, best_err, last_err = carry
+        return PhasingState(rho, state.support, best_rho, best_mask,
+                            best_err, last_err), errs
+
+    def _shrink_wrap(self, state: PhasingState, seg: Segment):
+        """SW sketch (reconstruct.py:598-605) + error-gated initial-support
+        enforcement (reconstruct.py:879-886)."""
+        blurred = self.ft.inverse(
+            self.ft.forward(jnp.abs(state.rho).astype(self.cdtype))
+            * self.sw.gaussian_values(jnp.asarray(seg.sigma, dtype=self.rdtype)))
+        new_support = self.sw.new_support(blurred, seg.threshold)
+        enforce = state.last_err > self.enforce_limit
+        support = jnp.where(enforce, new_support & self.initial_support, new_support)
+        return PhasingState(state.rho, support, state.best_rho, state.best_mask,
+                            state.best_err, state.last_err)
+
+    # ------------------------------------------------------------------ run
+    def run(self, rho0, schedule):
+        """Full phasing run for ONE restart; vmap over restarts outside."""
+        inf = jnp.asarray(np.inf, dtype=self.rdtype)
+        state = PhasingState(rho=rho0.astype(self.cdtype),
+                             support=self.initial_support,
+                             best_rho=rho0.astype(self.cdtype),
+                             best_mask=self.initial_support,
+                             best_err=inf, last_err=inf)
+        err_chunks = []
+        for seg in schedule:
+            if seg.method == 'SW':
+                state = self._shrink_wrap(state, seg)
+            else:
+                state, errs = self._run_segment(state, seg)
+                err_chunks.append(errs)
+        errors = jnp.concatenate(err_chunks) if err_chunks else jnp.zeros((0,))
+        return state, errors
+
+    def finalize(self, rho):
+        """Recompute the reciprocal-side quantities for an output density:
+        ψ' (amplitude-projected), the last unknowns, and deg-2 invariants."""
+        psi = self.ft.forward(rho.astype(self.cdtype))
+        intensity = (psi * psi.conj()).real
+        Ilm = self.sht.forward(intensity)
+        W = self.rc.approximate_unknowns(Ilm)
+        Ilm_proj = self.rc.project_coefficients(Ilm, W)
+        I_new = self.sht.inverse(Ilm_proj).real
+        psi_p = project_to_modified_intensity(psi, intensity, I_new)
+        return psi_p, W
+
+    # ------------------------------------------------------------ multi-start
+    def run_batch(self, rho0_batch, schedule):
+        """vmapped multi-start phasing: rho0_batch (n_restarts, n_q, nθ, nφ)."""
+        run = partial(self.run, schedule=schedule)
+        return jax.vmap(run)(rho0_batch)
+
+
+# ------------------------------------------------------------- density guess
+def bump_density_guess(key, bump_envelope, grid_shape, snr, total_intensity,
+                       integration_weights, cdtype=jnp.complex64):
+    """Random bump-envelope initial density (reconstruct.py:1115-1175):
+    ρ = (1 + U[0,1)/SNR)·bump(r), rescaled so ∫ρ² = total_intensity."""
+    amp = 1.0 + jax.random.uniform(key, grid_shape, dtype=jnp.float32) / snr
+    rho = amp * bump_envelope[:, None, None]
+    total_sq = jnp.sum(integration_weights * rho * rho)
+    rho = rho * jnp.sqrt(total_intensity / total_sq)
+    return rho.astype(cdtype)

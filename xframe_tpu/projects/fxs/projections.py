@@ -1,0 +1,208 @@
+"""MTIP projection operators as pure jittable JAX functions.
+
+Rebuilt from /root/reference/xframe/projects/fxs/projectLibrary/
+fxs_Projections.py. All per-l ragged structures of the reference (lists of
+(n_q, 2l+1) matrices) become dense padded tensors in the centered-m layout of
+ops.sht, so the reciprocal (MTIP) projection is three batched matmuls plus one
+batched polar/SVD factorization — no Python loops over orders.
+
+Conventions preserved from the reference:
+  * projection data V_l arrives "schmidt-style" and is scaled ×2 internally;
+    l=0 is replaced by averaged_intensity·2√π when use_averaged_intensity
+    (fxs_Projections.py:706-713)
+  * unknown unitaries U_l solve the per-l orthogonal Procrustes problem
+    min‖I_l − V_l U_l‖ via svd(V_l† D² I_l)  (fxs_Projections.py:752-790)
+  * amplitude projection ψ ← ψ·√(I_new/|ψ|²)  (fxs_Projections.py:874-929)
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+import jax.numpy as jnp
+
+
+# ------------------------------------------------------------ reciprocal side
+@dataclass
+class ReciprocalConstraint:
+    """Device-resident constants of the reciprocal (data) projection."""
+    V_pad: Any          # (L+1, n_q, n_m) padded projection matrices (centered window)
+    PD: Any             # (L+1, n_m, n_q) = V_pad† D²
+    eye_pad: Any        # (L+1, n_m, n_m) identity on indices outside the l-window
+    use_order: Any      # (L+1,) bool
+    radial_mask: Any    # (L+1, n_q) bool
+    n_particles: float
+    l_max: int
+
+    @classmethod
+    def build(cls, projection_matrices, radial_points, l_max,
+              used_order_ids=None, odd_orders_to_0=True,
+              use_averaged_intensity=True, average_intensity=None,
+              radial_mask=None, n_particles=1.0, schmidt_scaling=True,
+              real_dtype=jnp.float32):
+        """Host-side assembly from extract-format data.
+
+        projection_matrices: list of (n_q, min(2l+1, n_q)) complex V_l
+        (the on-disk format of the reference, _database_.py:566-610)."""
+        cdtype = jnp.complex64 if real_dtype == jnp.float32 else jnp.complex128
+        n_q = len(radial_points)
+        L = l_max
+        n_m = 2 * L + 1
+        V = np.zeros((L + 1, n_q, n_m), dtype=complex)
+        for l in range(min(L + 1, len(projection_matrices))):
+            vl = np.asarray(projection_matrices[l])
+            if vl.ndim == 1:
+                vl = vl[:, None]
+            ncols = min(vl.shape[1], 2 * l + 1, n_q)
+            V[l, :, L - l: L - l + ncols] = vl[:, :ncols]
+        if odd_orders_to_0:
+            V[1::2] = 0
+        if use_averaged_intensity and average_intensity is not None:
+            # I_00 = a(q)·2√π (orthonormal Y_00 = 1/(2√π));  fxs_Projections.py:706-710
+            V[0] = 0
+            V[0, :, L] = np.asarray(average_intensity).real * 2 * np.sqrt(np.pi)
+        if schmidt_scaling:
+            # reference scales all data matrices ×2 (fxs_Projections.py:711-713)
+            V *= 2
+        D2 = np.asarray(radial_points, dtype=float) ** 2
+        PD = np.conj(np.swapaxes(V, 1, 2)) * D2[None, None, :]
+        # identity on the complement of the centered window [L-l, L+l]
+        eye = np.zeros((L + 1, n_m, n_m), dtype=complex)
+        for l in range(L + 1):
+            outside = np.ones(n_m, dtype=bool)
+            outside[L - l: L + l + 1] = False
+            eye[l, outside, outside] = 1.0
+        use_order = np.zeros(L + 1, dtype=bool)
+        if used_order_ids is None:
+            used_order_ids = np.arange(L + 1)
+        use_order[np.asarray(used_order_ids, dtype=int)] = True
+        if radial_mask is None:
+            radial_mask = np.ones((L + 1, n_q), dtype=bool)
+        return cls(V_pad=jnp.asarray(V, dtype=cdtype),
+                   PD=jnp.asarray(PD, dtype=cdtype),
+                   eye_pad=jnp.asarray(eye, dtype=cdtype),
+                   use_order=jnp.asarray(use_order),
+                   radial_mask=jnp.asarray(radial_mask),
+                   n_particles=float(n_particles), l_max=L)
+
+    # -- jittable ops ------------------------------------------------------
+    def approximate_unknowns(self, Ilm):
+        """Per-l Procrustes unitaries W_l from intensity coefficients.
+
+        Ilm: (n_q, n_m, L+1) → W: (L+1, n_m, n_m). The centered padding makes
+        M_l + eye_complement block-diagonal, so the SVD polar factor restricts
+        to the true (2l+1)² unitary on the valid block."""
+        Ilt = jnp.moveaxis(Ilm, 2, 0)                      # (L+1, n_q, n_m)
+        M = self.PD @ Ilt + self.eye_pad                   # (L+1, n_m, n_m)
+        u, _, vh = jnp.linalg.svd(M, full_matrices=False)
+        return u @ vh
+
+    def project_coefficients(self, Ilm, W):
+        """Replace I_l by V_l·W_l on used orders/unmasked q
+        (mtip_projection, fxs_Projections.py:792-872)."""
+        Ilt = jnp.moveaxis(Ilm, 2, 0)                      # (L+1, n_q, n_m)
+        proj = self.V_pad @ W                              # (L+1, n_q, n_m)
+        # l=0: fixed data column, no unknown (zero_id branch)
+        proj = proj.at[0].set(self.V_pad[0])
+        proj = proj.at[0].divide(np.sqrt(self.n_particles))
+        take = (self.use_order[:, None] & self.radial_mask)[:, :, None]
+        out = jnp.where(take, proj, Ilt)
+        return jnp.moveaxis(out, 0, 2)                     # (n_q, n_m, L+1)
+
+    def __call__(self, Ilm):
+        return self.project_coefficients(Ilm, self.approximate_unknowns(Ilm))
+
+
+def project_to_modified_intensity(psi, intensity, new_intensity, eps=0.0):
+    """ψ ← ψ·√(I_new/I) where both intensities are valid, else 0
+    (fxs_Projections.py:874-929)."""
+    valid = (intensity > eps) & (new_intensity.real >= 0)
+    ratio = jnp.where(valid, new_intensity.real / jnp.where(valid, intensity, 1.0), 0.0)
+    return psi * jnp.sqrt(ratio)
+
+
+# ----------------------------------------------------------------- real side
+@dataclass
+class RealConstraint:
+    """Support + value-threshold + limit-imag projection
+    (RealProjection, fxs_Projections.py:26-155)."""
+    apply_support: bool = True
+    apply_value_threshold: bool = True
+    threshold_low: float | None = 0.0
+    threshold_high: float | None = None
+    apply_limit_imag: bool = True
+    limit_imag: float = 2.0
+    apply_assert_real: bool = False
+
+    def __call__(self, rho, support):
+        """→ (projected density, invalid mask)."""
+        invalid = jnp.zeros(rho.shape, dtype=bool)
+        out = rho
+        if self.apply_support:
+            m = ~support
+            out = jnp.where(m, 0.0, out)
+            invalid = invalid | m
+        if self.apply_value_threshold and self.threshold_low is not None:
+            m = out.real < self.threshold_low
+            out = jnp.where(m, self.threshold_low + 1j * out.imag, out)
+            invalid = invalid | m
+        if self.apply_value_threshold and self.threshold_high is not None:
+            m = out.real > self.threshold_high
+            out = jnp.where(m, self.threshold_high + 1j * out.imag, out)
+            invalid = invalid | m
+        if self.apply_limit_imag:
+            m = jnp.abs(out.imag) >= self.limit_imag
+            out = jnp.where(m, out.real + 0.0j, out)
+            invalid = invalid | m
+        if self.apply_assert_real:
+            out = out.real + 0.0j
+        return out, invalid
+
+
+# ---------------------------------------------------------------- shrink wrap
+@dataclass
+class ShrinkWrap:
+    """Gaussian-blur support update (ShrinkWrapParts, fxs_Projections.py:178-298).
+
+    blur via FT: multiply ψ=FT(|ρ|) by the analytic spherical FT of a Gaussian
+    (mathLibrary.py gaussian_fourier_transformed_spherical), inverse-FT, then
+    threshold between min and max of the (clipped) convolution."""
+    q_radii: Any              # broadcastable to grid, |q| per point
+    default_sigma: float
+
+    @classmethod
+    def build(cls, qs, grid_rank=3, real_dtype=jnp.float32):
+        q = np.asarray(qs, dtype=float).reshape((-1,) + (1,) * (grid_rank - 1))
+        return cls(q_radii=jnp.asarray(q, dtype=real_dtype),
+                   default_sigma=float(np.pi / qs.max()))
+
+    def gaussian_values(self, sigma):
+        a = 1.0 / (2.0 * sigma ** 2)
+        return jnp.sqrt(jnp.pi / a) * jnp.exp(-np.pi ** 2 * self.q_radii ** 2 / a)
+
+    def new_support(self, conv, threshold):
+        c = jnp.maximum(conv.real, 0.0)
+        cmax, cmin = jnp.max(c), jnp.min(c)
+        return c >= cmin + threshold * (cmax - cmin)
+
+
+# -------------------------------------------------------------------- updates
+def hio_update(rho_in, rho_p, rho_proj, invalid, beta):
+    """Fienup hybrid input-output (fxs_IO_methods.py:40-64)."""
+    return jnp.where(invalid, rho_in - beta * (rho_p - rho_proj), rho_proj)
+
+
+def er_update(rho_proj):
+    """Error reduction (fxs_IO_methods.py:67-68)."""
+    return rho_proj
+
+
+def raar_update(rho_in, rho_p, rho_proj, invalid, beta):
+    """Relaxed averaged alternating reflections (Luke 2005, Inverse Problems
+    21:37) — an IO-update the reference lacks (BASELINE.json north-star).
+
+    x⁺ = (β/2)(R_S R_M + I)x + (1-β) P_M x reduces, for a pointwise support
+    projector, to P_M x on valid points and β·x + (1-2β)·P_M x outside, with
+    P_M x = rho_p (the modulus-projected density)."""
+    return jnp.where(invalid, beta * rho_in + (1 - 2 * beta) * rho_p, rho_proj)
