@@ -1,0 +1,48 @@
+#!/usr/bin/env python
+"""Headline benchmark: seconds per MTIP iteration at the reference tutorial
+scale (n_radial_points=128, max_order=64, 256×512 angular grid — BASELINE.md).
+
+Baseline: the reference's amortized 1.2 s/iteration per restart stream
+(57 restarts, EPYC 7543 + 2× RTX A6000 OpenCL; docs/fxs.md:482-484).
+Prints ONE JSON line.
+"""
+import json
+import os
+import time
+
+import numpy as np
+
+BASELINE_SEC_PER_ITER = 1.2
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from xframe_tpu.projects.fxs.demo import make_demo_problem
+    from xframe_tpu.projects.fxs.phasing import Segment
+
+    n_restarts = int(os.environ.get("XF_BENCH_RESTARTS", "4"))
+    n_iter = int(os.environ.get("XF_BENCH_ITERS", "20"))
+    p = make_demo_problem(128, 64, n_theta=256, n_phi=512)
+    schedule = [Segment("HIO", n_iter, betas=np.full(n_iter, 0.5), ft_stab=True)]
+    rho0s = p.initial_density_batch(jax.random.PRNGKey(0), n_restarts)
+    run = jax.jit(lambda r: p.mtip.run_batch(r, schedule))
+
+    states, errors = run(rho0s)  # compile + warmup
+    jax.block_until_ready(errors)
+    t0 = time.perf_counter()
+    states, errors = run(rho0s)
+    jax.block_until_ready(errors)
+    dt = time.perf_counter() - t0
+
+    sec_per_iter = dt / (n_iter * n_restarts)
+    print(json.dumps({
+        "metric": "sec_per_mtip_iteration_tutorial",
+        "value": sec_per_iter,
+        "unit": "s/iteration/restart (N_q=128, L_max=64, 256x512 angular grid)",
+        "vs_baseline": BASELINE_SEC_PER_ITER / sec_per_iter,
+    }))
+
+
+if __name__ == "__main__":
+    main()

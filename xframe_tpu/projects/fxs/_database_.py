@@ -1,0 +1,247 @@
+"""FXS project database: path layout + HDF5 schemas of the pipeline files.
+
+Preserves the reference's on-disk contracts (SURVEY.md §7 "file-format
+contracts"; reference projects/fxs/_database_.py):
+
+  ccd.h5              — correlate/simulate_ccd output, consumed by extract
+  proj_data.h5        — extract output ("invariants"), consumed by reconstruct
+  data.h5 (+ archive) — reconstruct output, consumed by average
+  average_results.h5  — average output
+
+Each save archives into a run-numbered folder together with the exact settings
+used (reference settings snapshotting, settings/__init__.py:41-58).
+"""
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+from xframe_tpu.io.database import DefaultDB
+from xframe_tpu.settings import loader as settings_loader
+
+
+class ProjectDB(DefaultDB):
+    def __init__(self, settings=None):
+        data_root = None
+        if settings is not None:
+            data_root = settings.get("IO", {}).get("data_root")
+        if not data_root:
+            data_root = os.path.join(settings_loader.home_dir(), "data", "fxs")
+        templates = {
+            "ccd": "{data_root}/ccd/{structure_name}/run_{run}/ccd.h5",
+            "invariants": "{data_root}/invariants/{structure_name}/run_{run}/proj_data.h5",
+            "reconstructions": "{data_root}/reconstructions/{structure_name}/run_{run}/data.h5",
+            "average_results": "{data_root}/averages/{structure_name}/run_{run}/average_results.h5",
+        }
+        super().__init__(templates, data_root=data_root)
+        self.settings = settings
+        self.structure_name = "default"
+        if settings is not None:
+            self.structure_name = settings.get("structure_name", "default")
+
+    # ------------------------------------------------------------- run folders
+    def _name_folder(self, name):
+        return os.path.join(self.base_modifiers["data_root"],
+                            {"ccd": "ccd", "invariants": "invariants",
+                             "reconstructions": "reconstructions",
+                             "average_results": "averages"}[name],
+                            self.structure_name)
+
+    def latest_run(self, name):
+        return self.get_latest_run(self._name_folder(name))
+
+    def _resolve(self, name, run=None, new_run=False):
+        """Path for dataset `name`; run defaults to latest (or next for saves)."""
+        folder = self._name_folder(name)
+        if run is None:
+            run = self.latest_run(name) + 1 if new_run else self.latest_run(name)
+        if run == 0 and not new_run:
+            raise FileNotFoundError(f"no runs of {name!r} under {folder}")
+        return self.get_path(name, makedirs=new_run,
+                             structure_name=self.structure_name, run=run), run
+
+    def _archive_settings(self, run_folder):
+        from xframe_tpu import settings
+        raw = getattr(settings, "raw_project", None)
+        if raw:
+            settings_loader.save_yaml(os.path.join(run_folder, "settings.yaml"),
+                                      {k: v for k, v in raw.items()
+                                       if not str(k).startswith("_")})
+
+    def _save_archived(self, name, data, run=None):
+        path, run = self._resolve(name, run=run, new_run=True)
+        self.save_direct(path, data)
+        self._archive_settings(os.path.dirname(path))
+        return path, run
+
+    # -------------------------------------------------------------------- ccd
+    def save_ccd(self, data, run=None, **kw):
+        """Schema (reference correlate.py:274-295): radial_points,
+        angular_points, xray_wavelength, average_intensity,
+        cross_correlation/{I1I1,...}, num_images_processed, num_images_good."""
+        return self._save_archived("ccd", data, run=run)
+
+    def load_ccd(self, run=None, **kw):
+        path, _ = self._resolve("ccd", run=run)
+        return self.load_direct(path)
+
+    # -------------------------------------------------------------- invariants
+    def save_invariants(self, data, run=None, **kw):
+        """Schema (reference _database_.py:611-): dimensions, xray_wavelength,
+        max_order, average_intensity, data_radial_points, data_angular_points,
+        deg_2_invariant/{I1I1}, deg_2_invariant_masks/{I1I1},
+        data_projection_matrices/{I1I1} (list over l of (N_q, min(2l+1, N_q))),
+        data_projection_matrices_q_id_limits,
+        data_low_resolution_intensity_coefficients."""
+        data = dict(data)
+        pm = data.get("data_projection_matrices", {})
+        data["data_projection_matrices"] = {
+            k: [np.asarray(v) for v in vs] for k, vs in pm.items()}
+        path, run = self._save_archived("invariants", data, run=run)
+        self._plot_first_invariants(data, os.path.dirname(path))
+        return path, run
+
+    def load_invariants(self, run=None, path=None, **kw):
+        if path is None:
+            path, _ = self._resolve("invariants", run=run)
+        data = self.load_direct(path)
+        pm = data.get("data_projection_matrices", {})
+        data["data_projection_matrices"] = {
+            k: [np.asarray(v) for v in vs] for k, vs in pm.items()}
+        return data
+
+    def _plot_first_invariants(self, data, folder, n=4):
+        """First-invariant diagnostic figures (reference
+        _save_first_invariants, _database_.py:395-450)."""
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            bl = np.asarray(data["deg_2_invariant"]["I1I1"])
+            orders = [l for l in range(min(2 * n, bl.shape[0]))
+                      if np.abs(bl[l]).max() > 0][:n]
+            if not orders:
+                return
+            fig, axes = plt.subplots(1, len(orders),
+                                     figsize=(4 * len(orders), 3.5))
+            axes = np.atleast_1d(axes)
+            for ax, l in zip(axes, orders):
+                im = ax.imshow(np.log10(np.abs(bl[l]) + 1e-20), origin="lower")
+                ax.set_title(f"log10 |B_{l}|")
+                fig.colorbar(im, ax=ax)
+            fig.tight_layout()
+            fig.savefig(os.path.join(folder, "first_invariants.png"), dpi=100)
+            plt.close(fig)
+        except Exception:  # plotting must never break the pipeline
+            pass
+
+    # --------------------------------------------------------- reconstructions
+    def save_reconstructions(self, data, run=None, **kw):
+        """Schema (reference reconstruct.py:1003-1021 + tests :388-423):
+        configuration/{internal_grid/{real,reciprocal}_grid,
+        reciprocity_coefficient, xray_wavelength}, projection_matrices,
+        reconstruction_results/{i}/{...}. Also writes per-result vtk exports
+        and an error-metric plot into the run folder."""
+        path, run = self._save_archived("reconstructions", data, run=run)
+        folder = os.path.dirname(path)
+        self._export_reconstruction_vtk(data, folder)
+        self._plot_errors(data, folder)
+        return path, run
+
+    def load_reconstructions(self, run=None, path=None, **kw):
+        if path is None:
+            path, _ = self._resolve("reconstructions", run=run)
+        return self.load_direct(path)
+
+    def _export_reconstruction_vtk(self, data, folder, max_exports=2):
+        try:
+            from xframe_tpu.io import vtk as vtk_io
+            cfg = data["configuration"]["internal_grid"]
+            rs = np.asarray(cfg["real_grid"])
+            thetas = np.asarray(cfg["thetas"])
+            phis = np.asarray(cfg["phis"])
+            results = data.get("reconstruction_results", {})
+            for i, key in enumerate(sorted(results, key=lambda k: int(k))):
+                if i >= max_exports:
+                    break
+                rho = np.asarray(results[key]["real_density"])
+                vtk_io.save_spherical(
+                    os.path.join(folder, f"real_density_{key}.vts"),
+                    rs, thetas, phis, {"density": rho})
+        except Exception:
+            pass
+
+    def _plot_errors(self, data, folder):
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            fig, ax = plt.subplots(figsize=(6, 4))
+            for key, res in data.get("reconstruction_results", {}).items():
+                err = np.asarray(res["error_dict"]["main"])
+                ax.semilogy(err, label=f"run {key}", alpha=0.7)
+            ax.set_xlabel("iteration")
+            ax.set_ylabel("relative L2 error")
+            if len(data.get("reconstruction_results", {})) <= 8:
+                ax.legend(fontsize=7)
+            fig.tight_layout()
+            fig.savefig(os.path.join(folder, "errors.png"), dpi=100)
+            plt.close(fig)
+        except Exception:
+            pass
+
+    # ---------------------------------------------------------------- averages
+    def save_average_results(self, data, run=None, **kw):
+        """Schema (reference average.py:577-623 + tests :475-502)."""
+        path, run = self._save_archived("average_results", data, run=run)
+        folder = os.path.dirname(path)
+        self._plot_prtf(data, folder)
+        self._export_average_vtk(data, folder)
+        return path, run
+
+    def load_average_results(self, run=None, path=None, **kw):
+        if path is None:
+            path, _ = self._resolve("average_results", run=run)
+        return self.load_direct(path)
+
+    def _plot_prtf(self, data, folder):
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            metrics = data.get("resolution_metrics", {})
+            if "PRTF" not in metrics:
+                return
+            fig, ax = plt.subplots(figsize=(6, 4))
+            ax.plot(np.asarray(metrics.get("PRTF_qs", np.arange(
+                len(metrics["PRTF"])))), np.asarray(metrics["PRTF"]))
+            ax.axhline(1 / np.e, color="gray", ls="--", label="1/e")
+            ax.set_xlabel("q")
+            ax.set_ylabel("PRTF")
+            ax.legend()
+            fig.tight_layout()
+            fig.savefig(os.path.join(folder, "PRTF.png"), dpi=100)
+            plt.close(fig)
+        except Exception:
+            pass
+
+    def _export_average_vtk(self, data, folder):
+        try:
+            from xframe_tpu.io import vtk as vtk_io
+            grid = data.get("grid")
+            if grid is None:
+                return
+            rho = np.asarray(data["average"]["real_density"])
+            vtk_io.save_spherical(
+                os.path.join(folder, "average_density.vts"),
+                np.asarray(grid["rs"]), np.asarray(grid["thetas"]),
+                np.asarray(grid["phis"]), {"density": rho})
+        except Exception:
+            pass
+
+
+def timestamp():
+    t = time.gmtime()
+    return f"{t.tm_mday}_{t.tm_mon}_{t.tm_year}"

@@ -1,0 +1,93 @@
+"""Self-contained synthetic MTIP problem builder.
+
+Builds the full phasing setup (transforms, invariants of a known two-ball
+density, reciprocal/real constraints, shrink-wrap) at any scale — the backbone
+of `__graft_entry__.py`, `bench.py`, and the phasing tests. Mirrors what the
+reconstruct worker assembles from settings + an invariants file
+(reference reconstruct.py:241-316), but sources the projection data from an
+analytic density so it needs no input files.
+"""
+from __future__ import annotations
+
+from types import SimpleNamespace
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from xframe_tpu.ops.fourier import SphericalFourierTransform
+from xframe_tpu.ops.integrate import SphericalIntegrator
+from xframe_tpu.library.shapes import spherical_grid, ball_density, get_test_function
+from xframe_tpu.projects.fxs import invariants as itools
+from xframe_tpu.projects.fxs.projections import (
+    ReciprocalConstraint, RealConstraint, ShrinkWrap,
+)
+from xframe_tpu.projects.fxs.phasing import MTIP, bump_density_guess
+
+
+def make_demo_problem(n_radial: int = 32, l_max: int = 16, *, q_max: float = None,
+                      n_theta: int = None, n_phi: int = None, mode: str = "midpoint",
+                      reciprocity_coefficient: float = 2.0,
+                      real_dtype=jnp.float32) -> SimpleNamespace:
+    """Two-ball density → invariants → MTIP, plus initial-density helpers."""
+    if q_max is None:
+        q_max = 0.4 * n_radial / 32.0
+    ft = SphericalFourierTransform(n_radial, l_max, q_max=q_max, mode=mode,
+                                   reciprocity_coefficient=reciprocity_coefficient,
+                                   n_theta=n_theta, n_phi=n_phi,
+                                   real_dtype=real_dtype)
+    cdtype = jnp.complex64 if real_dtype == jnp.float32 else jnp.complex128
+    grid = spherical_grid(ft.rs, ft.sht.theta, ft.sht.phi)
+    radius = ft.r_max / 2.2
+    rho_true = ball_density(grid, radius / 2.5, center=(radius / 2, 1.2, 0.7)) \
+        + 0.7 * ball_density(grid, radius / 3.0, center=(radius / 2.2, 2.1, 3.9))
+
+    # data side: B_l of the true density → projection matrices V_l
+    from xframe_tpu.library.hostio import to_host
+    psi = ft.forward(jnp.asarray(rho_true, dtype=cdtype))
+    intensity = to_host((psi * psi.conj()).real)
+    coeff = to_host(ft.sht.forward(jnp.asarray(intensity)))
+    bl = itools.harmonic_coeff_to_deg2_invariants_3d(coeff).real.astype(complex)
+    bl[1::2] = 0  # Friedel symmetry
+    proj, eigs = itools.deg2_invariant_to_projection_matrices(bl)
+    avg_intensity = np.sqrt(np.maximum(np.diag(bl[0]).real, 0.0) / (4 * np.pi))
+    total_intensity = float(np.trapezoid(avg_intensity * ft.qs ** 2, ft.qs)
+                            * 2 * np.sqrt(np.pi))
+
+    integ = SphericalIntegrator(ft.rs, ft.sht.n_theta, ft.sht.n_phi,
+                                real_dtype=real_dtype)
+    initial_support = grid[..., 0] < radius * 1.2
+    rc = ReciprocalConstraint.build(proj, ft.qs, l_max,
+                                    use_averaged_intensity=True,
+                                    average_intensity=avg_intensity,
+                                    odd_orders_to_0=True, schmidt_scaling=False,
+                                    real_dtype=real_dtype)
+    real = RealConstraint(limit_imag=2.0)
+    sw = ShrinkWrap.build(ft.qs, real_dtype=real_dtype)
+    w_err = np.asarray(integ._w) * initial_support
+    mtip = MTIP(ft, rc, real, sw, w_err, initial_support,
+                enforce_initial_support_limit=6e-3, real_dtype=real_dtype)
+
+    bump = get_test_function(support=[-radius, radius], slope=0.3)(ft.rs)
+    bump = jnp.asarray(bump, dtype=real_dtype)
+    w_full = jnp.asarray(np.asarray(integ._w))
+    shape = (n_radial, ft.sht.n_theta, ft.sht.n_phi)
+
+    def initial_density(key):
+        """Random bump guess + FT-roundtrip smoothing (reconstruct.py:963-966)."""
+        rho0 = bump_density_guess(key, bump, shape, snr=2.0,
+                                  total_intensity=total_intensity,
+                                  integration_weights=w_full, cdtype=cdtype)
+        return ft.inverse(ft.forward(rho0))
+
+    def initial_density_batch(key, n_restarts):
+        return jax.vmap(initial_density)(jax.random.split(key, n_restarts))
+
+    return SimpleNamespace(
+        ft=ft, mtip=mtip, grid=grid, rho_true=rho_true, bl=bl,
+        projection_matrices=proj, eigenvalues=eigs,
+        average_intensity=avg_intensity, total_intensity=total_intensity,
+        radius=radius, integrator=integ, initial_support=initial_support,
+        initial_density=initial_density,
+        initial_density_batch=initial_density_batch,
+    )
