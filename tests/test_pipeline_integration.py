@@ -1,0 +1,180 @@
+"""Full-pipeline integration test: simulate_ccd → extract → reconstruct →
+average, in-process through the public API with a temporary home.
+
+Mirrors the reference's de-facto file-format spec tests
+(reference tests/test_fxs_integration.py: schema assertions on every stage's
+HDF5 output, run-archive folder layout, settings snapshots)."""
+import os
+
+import numpy as np
+import pytest
+
+import xframe_tpu as xf
+from xframe_tpu.settings import loader as settings_loader
+
+
+@pytest.fixture(scope="module")
+def home(tmp_path_factory):
+    path = tmp_path_factory.mktemp("xf_home")
+    old = os.environ.get("XFRAME_TPU_HOME")
+    os.environ["XFRAME_TPU_HOME"] = str(path)
+    yield str(path)
+    if old is None:
+        os.environ.pop("XFRAME_TPU_HOME", None)
+    else:
+        os.environ["XFRAME_TPU_HOME"] = old
+
+
+L_SIM = 14
+N_SIM = 48
+L_REC = 10
+N_REC = 24
+
+
+@pytest.fixture(scope="module")
+def ccd(home):
+    xf.select_project("fxs", "simulate_ccd", overrides={
+        "structure_name": "pytest",
+        "dimensions": 3,
+        "grid": {"n_radial_points": N_SIM, "max_order": L_SIM, "max_q": 0.5},
+        "shapes": {"types": ["sphere", "sphere"],
+                   "centers": [[0, 0, 0], [30, 1.2, 0.7]],
+                   "sizes": [20, 14], "densities": [1.0, 0.7],
+                   "random_orientation": [False, False]},
+        "cross_correlation": {"method": "back_substitution",
+                              "xray_wavelength": 1.23984},
+    })
+    return xf.run()
+
+
+def test_simulate_ccd_schema(ccd, home):
+    assert ccd["dimensions"] == 3
+    n_phi = len(ccd["angular_points"])
+    assert ccd["cross_correlation"]["I1I1"].shape == (N_SIM, N_SIM, n_phi)
+    assert ccd["average_intensity"].shape == (N_SIM,)
+    assert np.isfinite(ccd["cross_correlation"]["I1I1"]).all()
+    path = os.path.join(home, "data", "fxs", "ccd", "pytest", "run_1", "ccd.h5")
+    assert os.path.exists(path)
+    assert os.path.exists(os.path.join(os.path.dirname(path), "settings.yaml"))
+
+
+@pytest.fixture(scope="module")
+def invariants(ccd, home):
+    xf.select_project("fxs", "extract", overrides={
+        "structure_name": "pytest",
+        "dimensions": 3,
+        "max_order": L_SIM,
+    })
+    return xf.run()
+
+
+def test_extract_schema(invariants, ccd):
+    bl = invariants["deg_2_invariant"]["I1I1"]
+    assert bl.shape == (L_SIM + 1, N_SIM, N_SIM)
+    assert np.iscomplexobj(bl)
+    proj = invariants["data_projection_matrices"]["I1I1"]
+    assert len(proj) == L_SIM + 1
+    for l, v in enumerate(proj):
+        assert v.shape == (N_SIM, min(2 * l + 1, N_SIM)), l
+    assert np.allclose(bl[1::2], 0)  # Friedel: odd orders zero
+    # extraction consistency: even B_l must match the simulated invariants
+    # B_l = V_l V_l† is PSD by construction
+    for l in [0, 2, 4]:
+        lam = np.linalg.eigvalsh((bl[l] + bl[l].conj().T) / 2)
+        assert lam.min() > -1e-6 * max(lam.max(), 1e-30)
+
+
+@pytest.fixture(scope="module")
+def reconstructions(invariants, home):
+    xf.select_project("fxs", "reconstruct", overrides={
+        "structure_name": "pytest",
+        "dimensions": 3,
+        "particle_radius": 50,
+        "grid": {"n_radial_points": N_REC, "max_order": L_REC},
+        "multi_start": {"n_reconstructions": 3, "seed": 7},
+        "main_loop": {"sub_loops": {
+            "order": ["main", "refinement"],
+            "main": {"iterations": 2, "order": ["HIO", "SW", "ER"],
+                     "methods": {"HIO": {"iterations": 15},
+                                 "SW": {"iterations": 1},
+                                 "ER": {"iterations": 10}}},
+            "refinement": {"iterations": 1, "order": ["SW", "ER"],
+                           "methods": {"SW": {"iterations": 1},
+                                       "ER": {"iterations": 15}}},
+        }},
+        "projections": {"real": {
+            "shrink_wrap": {"sigmas": [False, False],
+                            "thresholds": [0.09, 0.09]},
+            "HIO": {"beta": [[0.5, 0.4, -1 / 50, 100],
+                             [0.01, 0.002, -1 / 50, 50]]},
+        }},
+    })
+    return xf.run()
+
+
+def test_reconstruct_schema(reconstructions, home):
+    cfg = reconstructions["configuration"]
+    assert cfg["internal_grid"]["real_grid"].shape == (N_REC,)
+    assert cfg["internal_grid"]["reciprocal_grid"].shape == (N_REC,)
+    results = reconstructions["reconstruction_results"]
+    assert len(results) == 3
+    n_theta = len(cfg["internal_grid"]["thetas"])
+    n_phi = len(cfg["internal_grid"]["phis"])
+    for key, res in results.items():
+        assert res["real_density"].shape == (N_REC, n_theta, n_phi)
+        assert res["support_mask"].dtype == bool
+        err = np.asarray(res["error_dict"]["main"])
+        assert err.shape == (2 * 25 + 15,)
+        assert np.isfinite(err).all()
+    # error-sorted: rank 0 has the lowest final error
+    finals = [results[str(i)]["error_dict"]["final"] for i in range(3)]
+    assert finals[0] == min(finals)
+    # convergence: best restart improves on its start
+    e0 = np.asarray(results["0"]["error_dict"]["main"])
+    assert e0[-1] < e0[:5].mean()
+    folder = os.path.join(home, "data", "fxs", "reconstructions", "pytest",
+                          "run_1")
+    assert os.path.exists(os.path.join(folder, "data.h5"))
+    assert os.path.exists(os.path.join(folder, "settings.yaml"))
+
+
+@pytest.fixture(scope="module")
+def average_results(reconstructions, home):
+    xf.select_project("fxs", "average", overrides={
+        "structure_name": "pytest",
+        "selection": {"method": "least_error", "error_limit": 1.0,
+                      "n_reconstructions": "all"},
+        "l2_error_limit": 2.0,
+        "resolution_metrics": {"PRTF": True, "FSC": True},
+    })
+    return xf.run()
+
+
+def test_average_schema(average_results, home):
+    avg = average_results["average"]
+    assert avg["real_density"].shape == avg["normalized_real_density"].shape
+    assert "reciprocal_density" in avg
+    assert len(average_results["aligned"]) >= 1
+    assert len(average_results["input"]) == 3
+    metrics = average_results["resolution_metrics"]
+    assert metrics["PRTF"].shape == (N_REC,)
+    assert np.isfinite(metrics["PRTF"]).all()
+    assert (metrics["PRTF"] <= 1.0 + 1e-6).all()
+    angles = average_results["rotation_metric"]["angles"]
+    assert angles.shape[1] == 3
+    folder = os.path.join(home, "data", "fxs", "averages", "pytest", "run_1")
+    assert os.path.exists(os.path.join(folder, "average_results.h5"))
+    assert os.path.exists(os.path.join(folder, "PRTF.png"))
+
+
+def test_roundtrip_reload(average_results, home):
+    """The archived HDF5 files reload through the database layer."""
+    from xframe_tpu.projects.fxs._database_ import ProjectDB
+    from xframe_tpu.settings.tools import DictNamespace
+    db = ProjectDB(DictNamespace({"structure_name": "pytest"}))
+    inv = db.load_invariants()
+    assert inv["deg_2_invariant"]["I1I1"].shape == (L_SIM + 1, N_SIM, N_SIM)
+    rec = db.load_reconstructions()
+    assert "reconstruction_results" in rec
+    avg = db.load_average_results()
+    assert "average" in avg

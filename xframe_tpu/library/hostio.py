@@ -1,15 +1,28 @@
 """Device→host transfer shim.
 
-The axon TPU tunnel backend only implements float32 device→host copies;
-complex64/int/bool readback raises UNIMPLEMENTED. `to_host` decomposes such
-arrays into float32 transfers on device (real/imag planes, float casts) and
-reassembles them on the host. On CPU (tests) it is a plain np.asarray.
+The axon TPU tunnel backend only reliably supports float32 device→host
+copies, and *eager* (op-by-op) dispatch on non-float32 arrays raises
+UNIMPLEMENTED. `to_host` therefore decomposes arrays into float32 planes with
+jit-compiled casts and reassembles them on the host. On CPU (tests) it is a
+plain np.asarray.
 """
 from __future__ import annotations
+
+from functools import partial
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+
+@jax.jit
+def _split_complex(x):
+    return x.real.astype(jnp.float32), x.imag.astype(jnp.float32)
+
+
+@jax.jit
+def _as_f32(x):
+    return x.astype(jnp.float32)
 
 
 def _device_platform(x):
@@ -29,14 +42,31 @@ def to_host(x):
     if dt == jnp.float32:
         return np.asarray(x)
     if jnp.issubdtype(dt, jnp.complexfloating):
-        return np.asarray(x.real.astype(jnp.float32)) \
-            + 1j * np.asarray(x.imag.astype(jnp.float32))
+        re, im = _split_complex(x)
+        return np.asarray(re) + 1j * np.asarray(im)
     if dt == jnp.bool_:
-        return np.asarray(x.astype(jnp.float32)) > 0.5
+        return np.asarray(_as_f32(x)) > 0.5
     if jnp.issubdtype(dt, jnp.integer):
-        return np.asarray(x.astype(jnp.float32)).astype(np.dtype(dt))
-    return np.asarray(x.astype(jnp.float32))
+        return np.asarray(_as_f32(x)).astype(np.dtype(dt))
+    return np.asarray(_as_f32(x))
 
 
 def tree_to_host(tree):
     return jax.tree_util.tree_map(to_host, tree)
+
+
+@partial(jax.jit, static_argnums=1)
+def _combine_complex(planes, cdtype):
+    re, im = planes
+    return (re + 1j * im).astype(cdtype)
+
+
+def to_device_complex(x, cdtype=jnp.complex64):
+    """Host complex array → device complex array via two float32/float64
+    uploads + an on-device combine (eager complex creation and complex H2D
+    copies are unimplemented on the axon backend)."""
+    x = np.asarray(x)
+    rdtype = np.float64 if cdtype == jnp.complex128 else np.float32
+    re = np.ascontiguousarray(x.real, dtype=rdtype)
+    im = np.ascontiguousarray(x.imag, dtype=rdtype)
+    return _combine_complex((re, im), jnp.dtype(cdtype))

@@ -1,0 +1,119 @@
+"""CLI: `xframe-tpu <project> <worker> [settings]`.
+
+Mirrors the reference command surface (reference xframe/main.py:102-175):
+one subcommand per discovered project, one per worker module, with the
+settings name as optional argument. Also exposes `--setup_home` scaffolding
+and `--print_home` (reference startup_routines.py:415-518).
+"""
+from __future__ import annotations
+
+import argparse
+import importlib
+import os
+import pkgutil
+import shutil
+import sys
+
+
+def discover_projects():
+    """{project: [workers]} from xframe_tpu.projects.* modules that define a
+    ProjectWorker, plus user projects under <home>/projects/."""
+    import xframe_tpu.projects as proj_pkg
+    from xframe_tpu.settings import loader as settings_loader
+    found = {}
+    for pkg in (proj_pkg,):
+        for mod in pkgutil.iter_modules(pkg.__path__):
+            if not mod.ispkg:
+                continue
+            sub = importlib.import_module(f"{pkg.__name__}.{mod.name}")
+            workers = [m.name for m in pkgutil.iter_modules(sub.__path__)
+                       if not m.ispkg and not m.name.startswith("_")]
+            workers = [w for w in workers
+                       if w not in ("demo", "invariants", "projections",
+                                    "phasing", "alignment",
+                                    "resolution_metrics")]
+            if workers:
+                found[mod.name] = sorted(workers)
+    home_projects = os.path.join(settings_loader.home_dir(), "projects")
+    if os.path.isdir(home_projects):
+        for name in sorted(os.listdir(home_projects)):
+            p = os.path.join(home_projects, name)
+            if os.path.isdir(p):
+                workers = sorted(f[:-3] for f in os.listdir(p)
+                                 if f.endswith(".py") and not f.startswith("_"))
+                if workers:
+                    found.setdefault(name, workers)
+    return found
+
+
+def setup_home(path=None):
+    """Create the home folder tree (settings/data/projects/cache)."""
+    from xframe_tpu.settings import loader as settings_loader
+    home = path or settings_loader.home_dir()
+    for sub in ("settings/projects", "data", "projects", "cache"):
+        os.makedirs(os.path.join(home, sub), exist_ok=True)
+    # copy the bundled tutorial settings as editable starting points
+    install = settings_loader.install_dir()
+    proj_root = os.path.join(install, "projects")
+    for project in os.listdir(proj_root):
+        sdir = os.path.join(proj_root, project, "settings")
+        if not os.path.isdir(sdir):
+            continue
+        for worker in os.listdir(sdir):
+            src = os.path.join(sdir, worker, "tutorial.yaml")
+            if os.path.exists(src):
+                dst_dir = os.path.join(home, "settings", "projects", project,
+                                       worker)
+                os.makedirs(dst_dir, exist_ok=True)
+                dst = os.path.join(dst_dir, "tutorial.yaml")
+                if not os.path.exists(dst):
+                    shutil.copy(src, dst)
+    print(f"xframe_tpu home initialized at {home}")
+    return home
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    parser = argparse.ArgumentParser(
+        prog="xframe-tpu",
+        description="TPU-native FXS reconstruction framework")
+    parser.add_argument("--setup_home", action="store_true",
+                        help="create the home folder tree and exit")
+    parser.add_argument("--print_home", action="store_true")
+    parser.add_argument("--version", action="store_true")
+    sub = parser.add_subparsers(dest="project")
+    projects = discover_projects()
+    for project, workers in projects.items():
+        p = sub.add_parser(project)
+        ws = p.add_subparsers(dest="worker")
+        for w in workers:
+            wp = ws.add_parser(w)
+            wp.add_argument("settings", nargs="?", default=None,
+                            help="settings name (resolved through the "
+                                 "settings folder precedence) or a .yaml path")
+
+    args = parser.parse_args(argv)
+    if args.version:
+        import xframe_tpu
+        print(xframe_tpu.__version__)
+        return 0
+    if args.setup_home:
+        setup_home()
+        return 0
+    if args.print_home:
+        from xframe_tpu.settings import loader as settings_loader
+        print(settings_loader.home_dir())
+        return 0
+    if not args.project or not getattr(args, "worker", None):
+        parser.print_help()
+        return 1
+
+    import xframe_tpu
+    xframe_tpu.select_project(args.project, args.worker,
+                              getattr(args, "settings", None))
+    xframe_tpu.run()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

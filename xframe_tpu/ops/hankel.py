@@ -165,11 +165,12 @@ class SphericalHankelTransform:
         mode = weights_dict['mode']
         w = assemble_weights(np.asarray(weights_dict['weights']), r_max,
                              reciprocity_coefficient, 3, mode)
-        cdtype = jnp.complex64 if real_dtype == jnp.float32 else jnp.complex128
+        cdtype = np.complex64 if real_dtype == jnp.float32 else np.complex128
         self.mode = mode
         self.skip_zero = mode in ('trapz', 'Zernike')
-        self._wf = jnp.asarray(w['forward'], dtype=cdtype)   # (k_sum, p_out, L+1)
-        self._wi = jnp.asarray(w['inverse'], dtype=cdtype)
+        # host numpy: embedded as jit constants without device readback
+        self._wf = np.asarray(w['forward'], dtype=cdtype)   # (k_sum, p_out, L+1)
+        self._wi = np.asarray(w['inverse'], dtype=cdtype)
         self.n_radial_points = self._wf.shape[1]
 
     def _apply(self, w, f):
@@ -193,11 +194,11 @@ class PolarHankelTransform:
         mode = weights_dict['mode']
         w = assemble_weights(np.asarray(weights_dict['weights']), r_max,
                              reciprocity_coefficient, 2, mode)
-        cdtype = jnp.complex64 if real_dtype == jnp.float32 else jnp.complex128
+        cdtype = np.complex64 if real_dtype == jnp.float32 else np.complex128
         self.mode = mode
         self.skip_zero = mode in ('trapz', 'Zernike')
-        self._wf = jnp.asarray(w['forward'], dtype=cdtype)   # (k_sum, p_out, n_m)
-        self._wi = jnp.asarray(w['inverse'], dtype=cdtype)
+        self._wf = np.asarray(w['forward'], dtype=cdtype)   # (k_sum, p_out, n_m)
+        self._wi = np.asarray(w['inverse'], dtype=cdtype)
         self.n_m = self._wf.shape[-1]
 
     def _apply(self, w, f):

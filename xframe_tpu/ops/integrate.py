@@ -33,7 +33,8 @@ class SphericalIntegrator:
         # reference integrate: (π/n_θ)·Σ_φ then GL in θ then trapz r²dr.
         w = r_w[:, None, None] * w_theta[None, :, None] * (np.pi / n_theta) \
             * np.ones((1, 1, n_phi))
-        self._w = jnp.asarray(w, dtype=real_dtype)
+        np_real = np.float32 if real_dtype == jnp.float32 else np.float64
+        self._w = np.asarray(w, dtype=np_real)  # host numpy jit constant
         self.max_r = float(rs.max())
         self.norm = 4 / 3 * np.pi * self.max_r ** 3
 
@@ -54,7 +55,8 @@ class PolarIntegrator:
         rs = np.asarray(rs, dtype=np.float64)
         phis = 2 * np.pi * np.arange(n_phi) / n_phi
         w = (_trapz_weights(rs) * rs)[:, None] * _trapz_weights(phis)[None, :]
-        self._w = jnp.asarray(w, dtype=real_dtype)
+        np_real = np.float32 if real_dtype == jnp.float32 else np.float64
+        self._w = np.asarray(w, dtype=np_real)
         self.max_r = float(rs.max())
         self.norm = np.pi * self.max_r ** 2
 

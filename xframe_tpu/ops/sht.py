@@ -73,9 +73,13 @@ class SphericalHarmonicTransform:
         self.gl_weights = w
 
         # P̄ tables, (n_m, n_theta, L+1) in centered m-ordering (m = j - L).
+        # Stored as HOST numpy: jit embeds them as program constants without a
+        # device readback (the axon TPU backend cannot read complex/odd-dtype
+        # device arrays back, and closed-over device constants would need it).
+        np_real = np.dtype('float32') if real_dtype == jnp.float32 else np.dtype('float64')
         P = sph_legendre_table_full_m(self.l_max, x)
-        self._P = jnp.asarray(P, dtype=real_dtype)                      # synthesis
-        self._PW = jnp.asarray(P * w[None, :, None], dtype=real_dtype)  # analysis (quadrature)
+        self._P = np.asarray(P, dtype=np_real)                      # synthesis
+        self._PW = np.asarray(P * w[None, :, None], dtype=np_real)  # analysis (quadrature)
 
         # φ-FFT columns carrying m = -L..L, in centered order
         ms = np.arange(-self.l_max, self.l_max + 1)
@@ -83,7 +87,7 @@ class SphericalHarmonicTransform:
         self.m_orders = ms
         # valid-(l,m) mask: l >= |m|
         ls = np.arange(self.l_max + 1)[None, :]
-        self.lm_mask = jnp.asarray(ls >= np.abs(ms)[:, None])  # (n_m, L+1)
+        self.lm_mask = ls >= np.abs(ms)[:, None]  # (n_m, L+1), host numpy
 
     # -- pure functions (close over device constants; safe under jit/vmap) --
 

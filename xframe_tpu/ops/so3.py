@@ -100,8 +100,9 @@ class SO3Correlator:
         self.bandwidth = B
         self.alphas, self.betas, self.gammas = so3_grid(B)
         self.n_ab = 2 * B
+        np_real = np.float32 if real_dtype == jnp.float32 else np.float64
         table = wigner_d_padded(self.l_max, self.betas)
-        self._d = jnp.asarray(table, dtype=real_dtype)   # (n_beta, L+1, n_m, n_m)
+        self._d = np.asarray(table, dtype=np_real)   # (n_beta, L+1, n_m, n_m), host
         ms = np.arange(-self.l_max, self.l_max + 1)
         self._m_cols = ms % self.n_ab
         self.cdtype = jnp.complex64 if real_dtype == jnp.float32 else jnp.complex128

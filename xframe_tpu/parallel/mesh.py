@@ -72,5 +72,6 @@ class MultiStartRunner:
 def rank_restarts(states, errors=None):
     """Host-side: restart indices sorted by best error (ascending), as the
     reference's error-sorted result collection (reconstruct.py:160-184)."""
-    best = np.asarray(states.best_err)
+    from xframe_tpu.library.hostio import to_host
+    best = to_host(states.best_err)
     return np.argsort(best), best

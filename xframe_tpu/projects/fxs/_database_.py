@@ -83,8 +83,9 @@ class ProjectDB(DefaultDB):
         cross_correlation/{I1I1,...}, num_images_processed, num_images_good."""
         return self._save_archived("ccd", data, run=run)
 
-    def load_ccd(self, run=None, **kw):
-        path, _ = self._resolve("ccd", run=run)
+    def load_ccd(self, run=None, path=None, **kw):
+        if path is None:
+            path, _ = self._resolve("ccd", run=run)
         return self.load_direct(path)
 
     # -------------------------------------------------------------- invariants

@@ -1,0 +1,124 @@
+"""Centering, SO(3) rotational alignment, and averaging of reconstructions.
+
+Rebuilt from the reference average worker's Alignment machinery
+(reference projects/fxs/average.py:729-1110): centering is a reciprocal-space
+phase ramp, rotation search is the SO(3) cross-correlation of per-shell SH
+coefficients (ops.so3 — replacing the numba pysofft plugin), point inversion
+is the parity flip f_lm → (-1)^l f_lm, and everything runs as jitted device
+ops batched over candidates.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from xframe_tpu.library.hostio import to_host
+from xframe_tpu.library.shapes import spherical_to_cartesian
+from xframe_tpu.ops.so3 import SO3Correlator, wigner_D_single, rotate_coeff
+
+
+class Aligner:
+    """Bundles the transforms + SO(3) correlator for one internal grid."""
+
+    def __init__(self, ft, integration_weights, r_limit_ids=None,
+                 bandwidth=None, real_dtype=jnp.float32):
+        self.ft = ft
+        self.sht = ft.sht
+        L = ft.sht.l_max
+        self.corr = SO3Correlator(L, bandwidth=bandwidth, real_dtype=real_dtype)
+        n_r = ft.n_radial_points
+        if r_limit_ids is None:
+            r_limit_ids = np.arange(n_r)
+        w = np.zeros(n_r)
+        w[np.asarray(r_limit_ids, dtype=int)] = \
+            np.asarray(ft.rs)[np.asarray(r_limit_ids, dtype=int)] ** 2
+        self._w_r = w / max(w.sum(), 1e-30)
+        self._w_int = np.asarray(integration_weights)
+        # parity: Y_lm(-x) = (-1)^l Y_lm(x)
+        self._parity = (-1.0) ** np.arange(L + 1)
+        grid_sph = np.stack(np.meshgrid(np.asarray(ft.qs), ft.sht.theta,
+                                        ft.sht.phi, indexing="ij"), axis=-1)
+        self._q_cart = spherical_to_cartesian(grid_sph)  # (n_q,nθ,nφ,3)
+
+        self._coeffs = jax.jit(self.sht.forward)
+        self._synth = jax.jit(lambda c: self.sht.inverse(c))
+        self._correlate = jax.jit(partial(self.corr.correlate,
+                                          radial_weights=self._w_r))
+        self._ft_fwd = jax.jit(ft.forward)
+        self._ft_inv = jax.jit(ft.inverse)
+
+        @jax.jit
+        def _center(rho):
+            """Move the |ρ| center of mass to the origin via a reciprocal
+            phase ramp (reference average.py:1021-1025)."""
+            w = jnp.abs(rho) * self._w_int
+            total = jnp.sum(w)
+            com = jnp.einsum("rtp,rtpc->c", w,
+                             jnp.asarray(self._r_cart())) / total
+            psi = ft.forward(rho)
+            phase = jnp.exp(1j * jnp.einsum(
+                "rtpc,c->rtp", jnp.asarray(self._q_cart),
+                com).astype(psi.dtype))
+            return ft.inverse(psi * phase), com
+
+        self._center_fn = _center
+
+    def _r_cart(self):
+        if not hasattr(self, "_r_cart_cache"):
+            grid_sph = np.stack(np.meshgrid(np.asarray(self.ft.rs),
+                                            self.sht.theta, self.sht.phi,
+                                            indexing="ij"), axis=-1)
+            self._r_cart_cache = spherical_to_cartesian(grid_sph)
+        return self._r_cart_cache
+
+    # ------------------------------------------------------------------- ops
+    def center(self, rho):
+        return self._center_fn(rho)
+
+    def coefficients(self, rho):
+        return self._coeffs(rho)
+
+    def invert_parity(self, coeff):
+        return coeff * self._parity[None, None, :]
+
+    def find_rotation(self, ref_coeff, coeff):
+        """→ (α,β,γ) maximizing Re⟨Λ(R)·coeff, ref_coeff⟩."""
+        C = to_host(self._correlate(ref_coeff, coeff))
+        ia, ib, ig = np.unravel_index(np.argmax(C), C.shape)
+        return (float(self.corr.alphas[ia]), float(self.corr.betas[ib]),
+                float(self.corr.gammas[ig])), float(C[ia, ib, ig])
+
+    def rotate(self, coeff, angles):
+        D = wigner_D_single(self.sht.l_max, *angles)
+        return rotate_coeff(coeff, jnp.asarray(D, dtype=coeff.dtype))
+
+    def l2_distance(self, rho_a, rho_b):
+        if not hasattr(self, "_l2_fn"):
+            self._l2_fn = jax.jit(lambda a, b: jnp.sqrt(
+                jnp.sum(self._w_int * jnp.abs(a - b) ** 2)
+                / jnp.maximum(jnp.sum(self._w_int * jnp.abs(b) ** 2), 1e-30)
+            ).astype(jnp.float32))
+        return float(to_host(self._l2_fn(rho_a, rho_b)))
+
+    def align(self, rho, ref_coeff, check_point_inversion=True):
+        """Align rho to the reference: try the signal and its point inverse,
+        keep the better rotation (reference alignment_routine :1089-1110).
+
+        → (aligned rho, coeff, info dict)."""
+        coeff = self.coefficients(rho)
+        candidates = [("direct", coeff)]
+        if check_point_inversion:
+            candidates.append(("inverted", self.invert_parity(coeff)))
+        best = None
+        for tag, c in candidates:
+            angles, score = self.find_rotation(ref_coeff, c)
+            if best is None or score > best[0]:
+                best = (score, tag, c, angles)
+        score, tag, c, angles = best
+        rot = self.rotate(c, angles)
+        rho_rot = self._synth(rot)
+        return rho_rot, rot, {"angles": angles, "score": score,
+                              "inverted": tag == "inverted"}

@@ -1,0 +1,197 @@
+"""correlate worker: detector frames → angular cross-correlation C(q1,q2,Δ).
+
+Pipeline (reference projects/fxs/correlate.py + projectLibrary/
+cross_correlation.py:17-78, SURVEY.md §3.2): read raw frames (host IO) →
+mask/threshold → cartesian→polar interpolation → corrections → per-frame
+FFT cross-correlation with mask-CCF normalization → accumulate → ccd.h5.
+
+TPU design: the reference forked one process per CPU core and correlated
+frame-by-frame; here frames stream through ONE jitted batch program
+(map_coordinates regrid + rfft + batched outer product on the MXU), with
+host-side accumulation across batches.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from xframe_tpu.interfaces import ProjectWorkerInterface
+from xframe_tpu.library.hostio import to_host
+from xframe_tpu.library.physics import scattering_angle_to_reciprocal_radii
+from xframe_tpu.projects.fxs._database_ import ProjectDB
+from xframe_tpu.settings import loader as settings_loader
+
+
+class Correlator:
+    """Device-side batch correlator closed over the detector geometry."""
+
+    def __init__(self, image_shape, detector_origin, pixel_size_um,
+                 sample_distance_mm, wavelength, n_phi=1024, n_q=None,
+                 interpolation_order=1, mask_below=None, mask_above=None,
+                 polarization=False, solid_angle=False):
+        ny, nx = image_shape
+        oy, ox = float(detector_origin[0]), float(detector_origin[1])
+        r_max_pix = min(oy, ox, ny - 1 - oy, nx - 1 - ox)
+        if n_q is None or n_q <= 0:
+            n_q = int(r_max_pix)
+        self.n_q, self.n_phi = int(n_q), int(n_phi)
+        self.order = int(interpolation_order)
+
+        # polar sample coordinates in pixel units (host constants)
+        r_pix = (np.arange(self.n_q) + 0.5) * r_max_pix / self.n_q
+        phis = 2 * np.pi * np.arange(self.n_phi) / self.n_phi
+        yy = oy + r_pix[:, None] * np.sin(phis)[None, :]
+        xx = ox + r_pix[:, None] * np.cos(phis)[None, :]
+        self._coords = np.stack([yy, xx]).astype(np.float32)  # (2, n_q, n_phi)
+        self.phis = phis
+
+        # scattering geometry: pixel radius → momentum transfer
+        dist_pix = sample_distance_mm * 1000.0 / pixel_size_um
+        angles = np.arctan(r_pix / dist_pix)
+        self.qs = scattering_angle_to_reciprocal_radii(angles, wavelength)
+        self.wavelength = wavelength
+
+        corr = np.ones((self.n_q, self.n_phi))
+        if solid_angle:
+            # 1/cos³(2θ) flat-detector solid-angle correction
+            corr *= 1.0 / np.cos(angles)[:, None] ** 3
+        if polarization:
+            # horizontal linear polarization factor
+            corr /= np.maximum(
+                1 - (np.sin(angles)[:, None] * np.cos(phis)[None, :]) ** 2,
+                1e-3)
+        self._corrections = corr.astype(np.float32)
+        self.mask_below = mask_below
+        self.mask_above = mask_above
+
+        self._process = jax.jit(self._process_batch)
+
+    # -------------------------------------------------------------- device fn
+    def _regrid(self, frame):
+        return jax.scipy.ndimage.map_coordinates(frame, list(self._coords),
+                                                 order=self.order, cval=0.0)
+
+    def _process_batch(self, frames, good):
+        """frames (B, ny, nx) f32; good (B,) f32 0/1 →
+        accumulated (cc_f, cc_m, waxs_sum, count_sum, n_good)."""
+        valid = jnp.isfinite(frames)
+        if self.mask_below is not None:
+            valid &= frames > self.mask_below
+        if self.mask_above is not None:
+            valid &= frames < self.mask_above
+        frames = jnp.where(valid, frames, 0.0)
+
+        polar = jax.vmap(self._regrid)(frames)                  # (B, n_q, n_phi)
+        pmask = jax.vmap(self._regrid)(valid.astype(jnp.float32)) > 0.99
+        polar = polar * self._corrections * pmask
+
+        g = good[:, None, None]
+        f = jnp.fft.rfft(polar * g, axis=-1)                    # (B, n_q, n+1)
+        m = jnp.fft.rfft(pmask.astype(jnp.float32) * g, axis=-1)
+        # Σ_frames Î(q1)* Î(q2): batched outer product over q — MXU einsum
+        cc_f = jnp.einsum("bqn,bpn->qpn", f.conj(), f)
+        cc_m = jnp.einsum("bqn,bpn->qpn", m.conj(), m)
+        waxs = jnp.sum(polar * g, axis=0)
+        count = jnp.sum(pmask * g[..., 0][:, :, None], axis=0)
+        return cc_f, cc_m, waxs, count, jnp.sum(good)
+
+    # ---------------------------------------------------------------- streaming
+    def correlate_frames(self, frame_iter, batch_size=64, is_good=None):
+        """Accumulate the mask-corrected CC over a stream of frames.
+
+        frame_iter yields (B, ny, nx) float32 numpy batches."""
+        acc = None
+        for batch in frame_iter:
+            batch = np.asarray(batch, dtype=np.float32)
+            good = np.ones(len(batch), dtype=np.float32) if is_good is None \
+                else np.asarray(is_good(batch), dtype=np.float32)
+            out = self._process(batch, good)
+            out = [o for o in out]
+            if acc is None:
+                acc = out
+            else:
+                acc = [jax.jit(jnp.add)(a, o) for a, o in zip(acc, out)]
+        cc_f, cc_m, waxs, count, n_good = [to_host(a) for a in acc]
+        # mask-CCF normalization (cross_correlation.py:56-62): per-Δ counts
+        ccf = np.fft.irfft(cc_f, self.n_phi, axis=-1)
+        ccm = np.fft.irfft(cc_m, self.n_phi, axis=-1)
+        cc = np.where(ccm > 0.5, ccf / np.where(ccm > 0.5, ccm, 1.0), 0.0)
+        avg_intensity = np.where(count > 0, waxs / np.maximum(count, 1), 0.0)
+        return {
+            "cross_correlation": cc,
+            "average_intensity": avg_intensity.mean(axis=-1),
+            "num_images_good": int(n_good),
+        }
+
+
+class ProjectWorker(ProjectWorkerInterface):
+    database_class = ProjectDB
+
+    def run(self):
+        opt = self.settings
+        ny, nx = [int(v) for v in opt.image_dimensions]
+        fopt = opt.get("filters", {})
+        corr = Correlator(
+            (ny, nx), opt.detector_origin, float(opt.pixel_size),
+            float(opt.sample_distance), float(opt.wavelength),
+            n_phi=int(opt.polar_grid.n_phi),
+            n_q=int(opt.polar_grid.get("n_q", 0)),
+            interpolation_order=int(opt.get("interpolation_order", 1)),
+            mask_below=fopt.get("mask_below") if fopt.get("mask_below") is not False else None,
+            mask_above=fopt.get("mask_above") if fopt.get("mask_above") is not False else None,
+            polarization=bool(opt.get("corrections", {}).get("polarization", False)),
+            solid_angle=bool(opt.get("corrections", {}).get("solid_angle", False)))
+
+        paths = self._frame_paths()
+        n_max = opt.get("max_n_patterns", "all")
+        if not (isinstance(n_max, str) and n_max == "all"):
+            paths = paths[: int(n_max)]
+        dtype = np.dtype(str(opt.get("input", {}).get("dtype", "float32")))
+        batch_size = int(opt.get("batch_size", 64))
+
+        def frame_iter():
+            for i in range(0, len(paths), batch_size):
+                chunk = paths[i: i + batch_size]
+                frames = np.stack([
+                    np.fromfile(p, dtype=dtype).reshape(ny, nx)
+                    for p in chunk])
+                yield frames.astype(np.float32)
+
+        lit_min = float(fopt.get("lit_pixel_fraction_min", 0.0) or 0.0)
+
+        def is_good(batch):
+            if lit_min <= 0:
+                return np.ones(len(batch))
+            frac = (batch > 0).mean(axis=(1, 2))
+            return (frac >= lit_min).astype(np.float32)
+
+        out = corr.correlate_frames(frame_iter(), batch_size=batch_size,
+                                    is_good=is_good)
+        data = {
+            "dimensions": 3,
+            "radial_points": corr.qs,
+            "angular_points": corr.phis,
+            "xray_wavelength": corr.wavelength,
+            "average_intensity": out["average_intensity"],
+            "cross_correlation": {"I1I1": out["cross_correlation"]},
+            "num_images_processed": len(paths),
+            "num_images_good": out["num_images_good"],
+        }
+        path, run = self.db.save("ccd", data)
+        print(f"correlate: {len(paths)} frames "
+              f"({out['num_images_good']} good); saved to {path}")
+        return data
+
+    def _frame_paths(self):
+        inp = self.settings.get("input", {})
+        folder = str(inp.get("input_folder", "")) or os.path.join(
+            settings_loader.home_dir(), "data", "fxs", "input_files")
+        list_path = os.path.join(folder, str(inp.get("file_list",
+                                                     "patterns_list.txt")))
+        with open(list_path) as f:
+            lines = [ln.strip() for ln in f if ln.strip()]
+        return [ln if os.path.isabs(ln) else os.path.join(folder, ln)
+                for ln in lines]

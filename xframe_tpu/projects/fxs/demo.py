@@ -43,10 +43,17 @@ def make_demo_problem(n_radial: int = 32, l_max: int = 16, *, q_max: float = Non
         + 0.7 * ball_density(grid, radius / 3.0, center=(radius / 2.2, 2.1, 3.9))
 
     # data side: B_l of the true density → projection matrices V_l
+    # (single jitted program; real f32 input — the axon TPU backend cannot
+    # run the chain eagerly nor create/transfer complex arrays outside jit)
     from xframe_tpu.library.hostio import to_host
-    psi = ft.forward(jnp.asarray(rho_true, dtype=cdtype))
-    intensity = to_host((psi * psi.conj()).real)
-    coeff = to_host(ft.sht.forward(jnp.asarray(intensity)))
+    np_real = np.float32 if real_dtype == jnp.float32 else np.float64
+
+    @jax.jit
+    def data_coeff(rho_real):
+        psi = ft.forward(rho_real.astype(cdtype))
+        return ft.sht.forward((psi * psi.conj()).real)
+
+    coeff = to_host(data_coeff(np.asarray(rho_true, dtype=np_real)))
     bl = itools.harmonic_coeff_to_deg2_invariants_3d(coeff).real.astype(complex)
     bl[1::2] = 0  # Friedel symmetry
     proj, eigs = itools.deg2_invariant_to_projection_matrices(bl)
@@ -68,20 +75,39 @@ def make_demo_problem(n_radial: int = 32, l_max: int = 16, *, q_max: float = Non
     mtip = MTIP(ft, rc, real, sw, w_err, initial_support,
                 enforce_initial_support_limit=6e-3, real_dtype=real_dtype)
 
+    np_real = np.float32 if real_dtype == jnp.float32 else np.float64
     bump = get_test_function(support=[-radius, radius], slope=0.3)(ft.rs)
-    bump = jnp.asarray(bump, dtype=real_dtype)
-    w_full = jnp.asarray(np.asarray(integ._w))
+    bump = np.asarray(bump, dtype=np_real)
+    w_full = np.asarray(integ._w)
     shape = (n_radial, ft.sht.n_theta, ft.sht.n_phi)
 
-    def initial_density(key):
+    def _guess(key):
         """Random bump guess + FT-roundtrip smoothing (reconstruct.py:963-966)."""
         rho0 = bump_density_guess(key, bump, shape, snr=2.0,
                                   total_intensity=total_intensity,
                                   integration_weights=w_full, cdtype=cdtype)
         return ft.inverse(ft.forward(rho0))
 
-    def initial_density_batch(key, n_restarts):
-        return jax.vmap(initial_density)(jax.random.split(key, n_restarts))
+    initial_density = jax.jit(_guess)
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=(0, 1))
+    def _batch_from_seed(seed, n_restarts):
+        # key creation + split INSIDE jit: eager integer ops are
+        # unimplemented on the axon backend
+        key = jax.random.PRNGKey(seed)
+        return jax.vmap(_guess)(jax.random.split(key, n_restarts))
+
+    @partial(jax.jit, static_argnums=1)
+    def _batch_from_key(key, n_restarts):
+        return jax.vmap(_guess)(jax.random.split(key, n_restarts))
+
+    def initial_density_batch(seed, n_restarts):
+        """seed: python int (preferred on TPU) or a PRNG key array."""
+        if isinstance(seed, (int, np.integer)):
+            return _batch_from_seed(int(seed), n_restarts)
+        return _batch_from_key(seed, n_restarts)
 
     return SimpleNamespace(
         ft=ft, mtip=mtip, grid=grid, rho_true=rho_true, bl=bl,

@@ -127,8 +127,10 @@ class MTIP:
         cdtype = jnp.complex64 if real_dtype == jnp.float32 else jnp.complex128
         self.cdtype = cdtype
         self.rdtype = real_dtype
-        self._w_err = jnp.asarray(integration_weights, dtype=real_dtype)
-        self.initial_support = jnp.asarray(initial_support)
+        np_real = np.float32 if real_dtype == jnp.float32 else np.float64
+        # host numpy constants (see ops.sht note on axon readback limits)
+        self._w_err = np.asarray(integration_weights, dtype=np_real)
+        self.initial_support = np.asarray(initial_support)
         self.enforce_limit = float(enforce_initial_support_limit)
 
     # ------------------------------------------------------------- iteration

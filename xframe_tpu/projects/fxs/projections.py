@@ -79,11 +79,12 @@ class ReciprocalConstraint:
         use_order[np.asarray(used_order_ids, dtype=int)] = True
         if radial_mask is None:
             radial_mask = np.ones((L + 1, n_q), dtype=bool)
-        return cls(V_pad=jnp.asarray(V, dtype=cdtype),
-                   PD=jnp.asarray(PD, dtype=cdtype),
-                   eye_pad=jnp.asarray(eye, dtype=cdtype),
-                   use_order=jnp.asarray(use_order),
-                   radial_mask=jnp.asarray(radial_mask),
+        np_c = np.complex64 if real_dtype == jnp.float32 else np.complex128
+        # host numpy constants (see ops.sht note on axon readback limits)
+        return cls(V_pad=V.astype(np_c), PD=PD.astype(np_c),
+                   eye_pad=eye.astype(np_c),
+                   use_order=np.asarray(use_order),
+                   radial_mask=np.asarray(radial_mask),
                    n_particles=float(n_particles), l_max=L)
 
     # -- jittable ops ------------------------------------------------------
@@ -173,9 +174,9 @@ class ShrinkWrap:
 
     @classmethod
     def build(cls, qs, grid_rank=3, real_dtype=jnp.float32):
-        q = np.asarray(qs, dtype=float).reshape((-1,) + (1,) * (grid_rank - 1))
-        return cls(q_radii=jnp.asarray(q, dtype=real_dtype),
-                   default_sigma=float(np.pi / qs.max()))
+        np_real = np.float32 if real_dtype == jnp.float32 else np.float64
+        q = np.asarray(qs, dtype=np_real).reshape((-1,) + (1,) * (grid_rank - 1))
+        return cls(q_radii=q, default_sigma=float(np.pi / qs.max()))
 
     def gaussian_values(self, sigma):
         a = 1.0 / (2.0 * sigma ** 2)

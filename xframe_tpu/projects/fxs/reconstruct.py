@@ -1,0 +1,306 @@
+"""reconstruct worker: multi-start MTIP phasing from extracted invariants.
+
+Replaces the reference's fork-per-restart + RecipeFactory + OpenCL RPC
+orchestration (reference projects/fxs/reconstruct.py, SURVEY.md §3.1) with:
+one jitted phasing program (projects.fxs.phasing.MTIP) vmapped over the
+restart batch and sharded over the device mesh (parallel.mesh).
+
+Host-side responsibilities kept from the reference: invariant loading,
+radial regridding of the V_l data onto the internal grid (ReGrider semantics,
+reference fxs_Projections.py:639-676), Hankel-weight disk cache
+(fourier_transforms.py:17-35), run archiving.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from xframe_tpu.interfaces import ProjectWorkerInterface
+from xframe_tpu.library.hostio import to_host, tree_to_host
+from xframe_tpu.library.shapes import spherical_grid, get_test_function
+from xframe_tpu.ops.fourier import SphericalFourierTransform
+from xframe_tpu.ops.hankel import generate_weights
+from xframe_tpu.ops.integrate import SphericalIntegrator
+from xframe_tpu.parallel.mesh import make_mesh, MultiStartRunner, rank_restarts
+from xframe_tpu.projects.fxs import invariants as itools
+from xframe_tpu.projects.fxs._database_ import ProjectDB
+from xframe_tpu.projects.fxs.phasing import MTIP, build_schedule, bump_density_guess
+from xframe_tpu.projects.fxs.projections import (
+    ReciprocalConstraint, RealConstraint, ShrinkWrap,
+)
+from xframe_tpu.settings import loader as settings_loader
+
+
+def load_cached_weights(l_max, n_radial_points, reciprocity_coefficient,
+                        dimensions, mode, allow_cache=True):
+    """Hankel weight tables with the reference's disk cache keyed by
+    (N, L, reciprocity coefficient, mode) (fourier_transforms.py:17-35)."""
+    from xframe_tpu.io import hdf5 as hdf5_io
+    cache_dir = os.path.join(settings_loader.home_dir(), "cache")
+    key = f"hankel_{dimensions}d_{mode}_N{n_radial_points}_L{l_max}_rc{reciprocity_coefficient:.6g}.h5"
+    path = os.path.join(cache_dir, key)
+    if allow_cache and os.path.exists(path):
+        data = hdf5_io.load(path)
+        return {"weights": np.asarray(data["weights_real"])
+                + 1j * np.asarray(data["weights_imag"]),
+                "posHarmOrders": np.asarray(data["posHarmOrders"]),
+                "mode": mode, "dimension": dimensions}
+    wd = generate_weights(l_max, n_radial_points, reciprocity_coefficient,
+                          dimensions, mode)
+    if allow_cache:
+        os.makedirs(cache_dir, exist_ok=True)
+        hdf5_io.save(path, {"weights_real": np.real(wd["weights"]),
+                            "weights_imag": np.imag(wd["weights"]),
+                            "posHarmOrders": wd["posHarmOrders"]})
+    return wd
+
+
+def regrid_projection_matrices(proj, qs_data, qs_new):
+    """Linear interpolation of each V_l column from the data q-grid to the
+    internal grid (reference _regrid_data, fxs_Projections.py:639-676)."""
+    out = []
+    for v in proj:
+        v = np.atleast_2d(np.asarray(v))
+        if v.shape[0] == 1 and v.shape[1] != len(qs_data):
+            v = v.T
+        cols = [np.interp(qs_new, qs_data, v[:, j].real)
+                + 1j * np.interp(qs_new, qs_data, v[:, j].imag)
+                for j in range(v.shape[1])]
+        out.append(np.stack(cols, axis=1))
+    return out
+
+
+class ProjectWorker(ProjectWorkerInterface):
+    database_class = ProjectDB
+
+    def run(self):
+        opt = self.settings
+        inv = self._load_invariants()
+        mtip, ft, aux = self.setup_mtip(inv)
+        schedule = self._build_schedule(ft)
+        n_restarts = int(opt.multi_start.n_reconstructions)
+
+        seed = opt.multi_start.get("seed")
+        if not seed:
+            seed = int.from_bytes(os.urandom(4), "little")
+        rho0s = aux["initial_density_batch"](int(seed), n_restarts)
+
+        mesh = self._make_mesh(n_restarts)
+        runner = MultiStartRunner(mtip, schedule, mesh)
+        states, errors = runner(rho0s)
+        order, best_err = rank_restarts(states)
+
+        results = self._collect_results(mtip, ft, aux, states, errors, order,
+                                        seed)
+        path, run = self.db.save("reconstructions", results)
+        print(f"reconstruct: {n_restarts} restarts, best error "
+              f"{best_err[order[0]]:.3e}; saved to {path}")
+        return results
+
+    # ---------------------------------------------------------------- loading
+    def _load_invariants(self):
+        inp = self.settings.get("input", {})
+        path = inp.get("invariants_path") or None
+        run = inp.get("invariants_run") or None
+        return self.db.load_invariants(run=int(run) if run else None, path=path)
+
+    # ------------------------------------------------------------------ setup
+    def setup_mtip(self, inv):
+        """Build transforms + constraints from settings and invariant data.
+        Returns (MTIP, ft, aux dict)."""
+        opt = self.settings
+        real_dtype = jnp.float64 if str(opt.get("precision")) == "float64" \
+            else jnp.float32
+        cdtype = jnp.complex128 if real_dtype == jnp.float64 else jnp.complex64
+
+        qs_data = np.asarray(inv["data_radial_points"], dtype=float)
+        L_data = int(inv["max_order"])
+        L = min(int(opt.grid.max_order), L_data)
+        N = int(opt.grid.n_radial_points)
+        q_max = float(opt.grid.max_q) if opt.grid.max_q else float(qs_data.max())
+        mode = str(opt.fourier_transform.type)
+        rc = float(opt.fourier_transform.reciprocity_coefficient)
+        n_theta = int(opt.grid.n_theta) or None
+        n_phi = int(opt.grid.n_phi) or None
+
+        weights = load_cached_weights(
+            L, N, rc, 3, mode,
+            allow_cache=bool(opt.fourier_transform.get("allow_weight_caching",
+                                                       True)))
+        ft = SphericalFourierTransform(N, L, q_max=q_max, mode=mode,
+                                       reciprocity_coefficient=rc,
+                                       n_theta=n_theta, n_phi=n_phi,
+                                       real_dtype=real_dtype,
+                                       weights_dict=weights)
+        grid = spherical_grid(ft.rs, ft.sht.theta, ft.sht.phi)
+
+        # reciprocal constraint from the data
+        proj = regrid_projection_matrices(inv["data_projection_matrices"]["I1I1"],
+                                          qs_data, ft.qs)
+        avg_intensity = np.interp(ft.qs, qs_data,
+                                  np.asarray(inv["average_intensity"],
+                                             dtype=float))
+        ropt = opt.projections.reciprocal
+        used = ropt.get("used_order_ids", "all")
+        if isinstance(used, str) and used == "all":
+            used_ids = np.arange(L + 1)
+        else:
+            used_ids = np.asarray(used, dtype=int)
+            used_ids = used_ids[used_ids <= L]
+        radial_mask = self._radial_mask(ropt, L, ft.qs)
+        rc_constraint = ReciprocalConstraint.build(
+            proj, ft.qs, L, used_order_ids=used_ids,
+            odd_orders_to_0=bool(ropt.get("assume_zero_odd_orders", True)),
+            use_averaged_intensity=bool(ropt.get("use_averaged_intensity", True)),
+            average_intensity=avg_intensity, radial_mask=radial_mask,
+            n_particles=float(ropt.number_of_particles.get("initial", 1)),
+            schmidt_scaling=False, real_dtype=real_dtype)
+
+        # real constraint + initial support
+        popt = opt.projections.real.projections
+        apply = list(popt.get("apply", ["support", "value_threshold",
+                                        "limit_imag"]))
+        thr = popt.get("value_threshold", {}).get("threshold", [0, False])
+        real_constraint = RealConstraint(
+            apply_support="support" in apply,
+            apply_value_threshold="value_threshold" in apply,
+            threshold_low=None if thr[0] is False else float(thr[0]),
+            threshold_high=float(thr[1]) if (len(thr) > 1 and thr[1]) else None,
+            apply_limit_imag="limit_imag" in apply,
+            limit_imag=float(popt.get("limit_imag", {}).get("threshold", 2.0)),
+            apply_assert_real="assert_real" in apply)
+        support_radius = float(popt.get("support", {}).get(
+            "initial_support", {}).get("max_radius", opt.particle_radius))
+        initial_support = grid[..., 0] < support_radius
+        enforce_opt = popt.get("support", {}).get("enforce_initial_support", {})
+        enforce_limit = float(enforce_opt.get("if_error_bigger_than", np.inf)) \
+            if enforce_opt.get("apply", False) else np.inf
+
+        sw = ShrinkWrap.build(ft.qs, real_dtype=real_dtype)
+        integ = SphericalIntegrator(ft.rs, ft.sht.n_theta, ft.sht.n_phi,
+                                    real_dtype=real_dtype)
+        w_err = np.asarray(integ._w) * initial_support
+        mtip = MTIP(ft, rc_constraint, real_constraint, sw, w_err,
+                    initial_support,
+                    enforce_initial_support_limit=enforce_limit,
+                    real_dtype=real_dtype)
+
+        # initial-density machinery (reference reconstruct.py:1115-1210)
+        total_intensity = float(np.trapezoid(avg_intensity * ft.qs ** 2, ft.qs)
+                                * 2 * np.sqrt(np.pi))
+        gopt = opt.density_guess
+        radius = float(gopt.get("radius", opt.particle_radius))
+        if str(gopt.get("type", "bump")) == "ball":
+            bump = (ft.rs < radius).astype(float)
+        else:
+            slope = float(gopt.get("bump", {}).get("slope", 0.3))
+            bump = get_test_function(support=[-radius, radius],
+                                     slope=slope)(ft.rs)
+        snr = float(gopt.get("random", {}).get("SNR", 2.0))
+        np_real = np.float32 if real_dtype == jnp.float32 else np.float64
+        bump_host = np.asarray(bump, dtype=np_real)
+        w_full = np.asarray(integ._w)
+        shape = (N, ft.sht.n_theta, ft.sht.n_phi)
+
+        def _guess(k):
+            rho0 = bump_density_guess(k, bump_host, shape, snr=snr,
+                                      total_intensity=total_intensity,
+                                      integration_weights=w_full, cdtype=cdtype)
+            return ft.inverse(ft.forward(rho0))
+
+        from functools import partial
+
+        @partial(jax.jit, static_argnums=(0, 1))
+        def initial_density_batch(seed, n):
+            # key made INSIDE jit (eager integer ops unimplemented on axon)
+            return jax.vmap(_guess)(jax.random.split(jax.random.PRNGKey(seed), n))
+
+        aux = dict(grid=grid, initial_support=initial_support,
+                   initial_density_batch=initial_density_batch,
+                   avg_intensity=avg_intensity, wavelength=inv["xray_wavelength"],
+                   proj=proj, rc=rc, total_intensity=total_intensity)
+        return mtip, ft, aux
+
+    def _radial_mask(self, ropt, L, qs):
+        qm = ropt.get("q_mask", {})
+        if str(qm.get("type", "none")) != "manual":
+            return None
+        lo, hi = qm.get("region", [0, False])
+        mask = np.ones((L + 1, len(qs)), dtype=bool)
+        mask[:, qs < float(lo)] = False
+        if hi:
+            mask[:, qs > float(hi)] = False
+        return mask
+
+    def _build_schedule(self, ft):
+        opt = self.settings
+        main_loop = opt.main_loop.sub_loops
+        hio_betas = opt.projections.real.HIO.beta
+        sw_sigmas = opt.projections.real.shrink_wrap.sigmas
+        sw_thresholds = opt.projections.real.shrink_wrap.thresholds
+        ft_stab = opt.main_loop.get("ft_stabilization", {})
+        dr = float(ft.rs[1] - ft.rs[0])
+        return build_schedule(main_loop, hio_betas, sw_sigmas, sw_thresholds,
+                              ft_stab, default_sigma=dr)
+
+    def _make_mesh(self, n_restarts):
+        opt = self.settings.get("mesh", {})
+        devices = jax.devices()
+        if len(devices) <= 1:
+            return None
+        r = opt.get("restarts", "all")
+        t = int(opt.get("theta", 1))
+        n_r = len(devices) // t if (isinstance(r, str) and r == "all") else int(r)
+        n_r = max(1, min(n_r, n_restarts, len(devices) // t))
+        axes = {"restarts": n_r}
+        if t > 1:
+            axes["theta"] = t
+        return make_mesh(axes)
+
+    # ------------------------------------------------------------ result save
+    def _collect_results(self, mtip, ft, aux, states, errors, order, seed):
+        opt = self.settings
+        keep = opt.multi_start.get("results_to_keep", "all")
+        ids = order if (isinstance(keep, str) and keep == "all") \
+            else order[: int(keep)]
+        finalize = jax.jit(mtip.finalize)
+        errors_h = to_host(errors)
+
+        results = {}
+        for rank, i in enumerate(ids):
+            i = int(i)
+            rho = states.best_rho[i]
+            psi_p, W = finalize(rho)
+            results[str(rank)] = {
+                "real_density": to_host(rho),
+                "last_real_density": to_host(states.rho[i]),
+                "reciprocal_density": to_host(psi_p),
+                "support_mask": to_host(states.best_mask[i]),
+                "initial_support": to_host(aux["initial_support"]),
+                "fxs_unknowns": to_host(W),
+                "error_dict": {"main": errors_h[i],
+                               "final": float(to_host(states.best_err[i]))},
+                "n_particles": float(mtip.rc.n_particles),
+            }
+        return {
+            "configuration": {
+                "internal_grid": {
+                    "real_grid": np.asarray(ft.rs),
+                    "reciprocal_grid": np.asarray(ft.qs),
+                    "thetas": np.asarray(ft.sht.theta),
+                    "phis": np.asarray(ft.sht.phi),
+                },
+                "reciprocity_coefficient": aux["rc"],
+                "xray_wavelength": float(aux["wavelength"]),
+                "max_order": ft.sht.l_max,
+                "fourier_transform_mode": ft.mode,
+                "q_max": float(ft.q_max),
+                "seed": int(seed),
+            },
+            "projection_matrices": [np.asarray(v) for v in aux["proj"]],
+            "average_intensity": np.asarray(aux["avg_intensity"]),
+            "reconstruction_results": results,
+        }

@@ -1,0 +1,135 @@
+"""simulate_ccd worker: synthetic cross-correlation dataset from analytic shapes.
+
+Pipeline (reference projects/fxs/simulate_ccd.py:92-..., SURVEY.md §3):
+density from shapes → spherical FT → intensity → harmonic coefficients →
+B_l → C(q1,q2,Δ) on the Ewald-curvature-aware grid → ccd.h5 compatible with
+the extract worker. The FT/SHT run jitted on device; the invariant synthesis
+is setup-size host math.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from xframe_tpu.interfaces import ProjectWorkerInterface
+from xframe_tpu.library.hostio import to_host
+from xframe_tpu.library.shapes import (spherical_grid, polar_grid, SHAPE_BUILDERS)
+from xframe_tpu.ops.fourier import SphericalFourierTransform, PolarFourierTransform
+from xframe_tpu.projects.fxs import invariants as itools
+from xframe_tpu.projects.fxs._database_ import ProjectDB
+
+
+def build_density_from_shapes(grid, shapes_opt, rng=None):
+    """Superpose the configured shapes on a (r,θ,φ) or (r,φ) grid."""
+    density = np.zeros(grid.shape[:-1])
+    types = list(shapes_opt["types"])
+    centers = list(shapes_opt["centers"])
+    sizes = list(shapes_opt["sizes"])
+    amplitudes = list(shapes_opt["densities"])
+    randoms = list(shapes_opt.get("random_orientation", [False] * len(types)))
+    for typ, center, size, amp, rnd in zip(types, centers, sizes, amplitudes,
+                                           randoms):
+        builder = SHAPE_BUILDERS[str(typ)]
+        density += builder(grid, float(np.asarray(size).ravel()[0]),
+                           center=np.asarray(center, dtype=float),
+                           amplitude=float(amp), random_orientation=bool(rnd),
+                           rng=rng)
+    return density
+
+
+class ProjectWorker(ProjectWorkerInterface):
+    database_class = ProjectDB
+
+    def run(self):
+        opt = self.settings
+        dim = int(opt.dimensions)
+        if dim == 3:
+            data = self._run_3d(opt)
+        else:
+            data = self._run_2d(opt)
+        path, run = self.db.save("ccd", data)
+        print(f"simulate_ccd: saved synthetic CC dataset to {path}")
+        return data
+
+    # ------------------------------------------------------------------- 3D
+    def _run_3d(self, opt):
+        N = int(opt.grid.n_radial_points)
+        L = int(opt.grid.max_order)
+        q_max = float(opt.grid.max_q)
+        wavelength = float(opt.cross_correlation.xray_wavelength)
+        mode = str(opt.fourier_transform.type)
+        rc = float(opt.fourier_transform.reciprocity_coefficient)
+
+        ft = SphericalFourierTransform(N, L, q_max=q_max, mode=mode,
+                                       reciprocity_coefficient=rc)
+        grid = spherical_grid(ft.rs, ft.sht.theta, ft.sht.phi)
+        density = build_density_from_shapes(grid, opt.shapes)
+
+        # one jitted program: density → intensity coefficients (axon cannot
+        # run the chain eagerly; see library.hostio)
+        import jax
+
+        @jax.jit
+        def intensity_coeff(rho_real):
+            psi = ft.forward(rho_real.astype(jnp.complex64))
+            return ft.sht.forward((psi * psi.conj()).real)
+
+        coeff = to_host(intensity_coeff(np.asarray(density, dtype=np.float32)))
+        bl = itools.harmonic_coeff_to_deg2_invariants_3d(coeff)
+        # Friedel symmetry of |F|² kills odd orders exactly; enforce
+        bl[1::2] = 0
+
+        n_phi = int(opt.grid.get("n_phi") or 0)
+        if n_phi <= 0:
+            n_phi = 2 ** int(np.ceil(np.log2(2 * (L + 1))))
+        cc = itools.deg2_invariant_to_cc_3d(bl, wavelength, ft.qs, n_phi=n_phi)
+
+        # angular mean of the intensity: a(q) = I_00(q)·Y_00 = I_00/(2√π)
+        avg_intensity = coeff[:, L, 0].real / (2 * np.sqrt(np.pi))
+        return {
+            "dimensions": 3,
+            "radial_points": ft.qs,
+            "angular_points": 2 * np.pi * np.arange(n_phi) / n_phi,
+            "xray_wavelength": wavelength,
+            "average_intensity": avg_intensity,
+            "cross_correlation": {"I1I1": cc.real},
+            "num_images_processed": 1,
+            "num_images_good": 1,
+        }
+
+    # ------------------------------------------------------------------- 2D
+    def _run_2d(self, opt):
+        N = int(opt.grid.n_radial_points)
+        M = int(opt.grid.max_order)
+        q_max = float(opt.grid.max_q)
+        mode = str(opt.fourier_transform.type)
+        rc = float(opt.fourier_transform.reciprocity_coefficient)
+        n_phi = int(opt.grid.get("n_phi") or 0)
+        if n_phi <= 0:
+            n_phi = 2 ** int(np.ceil(np.log2(2 * (M + 1))))
+
+        ft = PolarFourierTransform(N, M, n_phi, q_max, mode=mode,
+                                   reciprocity_coefficient=rc)
+        grid = polar_grid(ft.rs, 2 * np.pi * np.arange(n_phi) / n_phi)
+        density = build_density_from_shapes(grid, opt.shapes)
+        import jax
+        intensity = to_host(jax.jit(
+            lambda r: (lambda p: (p * p.conj()).real)(
+                ft.forward(r.astype(jnp.complex64))))(
+                np.asarray(density, dtype=np.float32))).astype(np.float64)
+        coeff = np.fft.fft(intensity, axis=-1) / n_phi  # circular harmonics
+        coeff_m = coeff[:, : M + 1]
+        bm = itools.harmonic_coeff_to_deg2_invariants_2d(coeff_m)
+        bm[1::2] = 0
+        cc = itools.deg2_invariant_to_cc_2d(bm, n_phi=n_phi)
+        avg_intensity = coeff[:, 0].real
+        return {
+            "dimensions": 2,
+            "radial_points": ft.qs,
+            "angular_points": 2 * np.pi * np.arange(n_phi) / n_phi,
+            "xray_wavelength": float(opt.cross_correlation.xray_wavelength),
+            "average_intensity": avg_intensity,
+            "cross_correlation": {"I1I1": cc.real},
+            "num_images_processed": 1,
+            "num_images_good": 1,
+        }
