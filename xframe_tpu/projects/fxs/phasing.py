@@ -116,11 +116,15 @@ class PhasingState(NamedTuple):
 class MTIP:
     """Bundles transforms + constraints into the jittable phasing program."""
 
-    def __init__(self, ft, reciprocal: ReciprocalConstraint, real: RealConstraint,
+    def __init__(self, ft, reciprocal, real: RealConstraint,
                  shrink_wrap: ShrinkWrap, integration_weights, initial_support,
-                 enforce_initial_support_limit=np.inf, real_dtype=jnp.float32):
+                 enforce_initial_support_limit=np.inf, real_dtype=jnp.float32,
+                 harmonic=None):
+        """harmonic: intensity↔coefficient transform for the data projection;
+        defaults to ft.sht (3D). Pass projections.RealCircularHarmonics for
+        the 2D polar pipeline."""
         self.ft = ft
-        self.sht = ft.sht
+        self.sht = harmonic if harmonic is not None else ft.sht
         self.rc = reciprocal
         self.real = real
         self.sw = shrink_wrap
@@ -240,9 +244,12 @@ class MTIP:
 def bump_density_guess(key, bump_envelope, grid_shape, snr, total_intensity,
                        integration_weights, cdtype=jnp.complex64):
     """Random bump-envelope initial density (reconstruct.py:1115-1175):
-    ρ = (1 + U[0,1)/SNR)·bump(r), rescaled so ∫ρ² = total_intensity."""
+    ρ = (1 + U[0,1)/SNR)·bump(r), rescaled so ∫ρ² = total_intensity.
+    Works for 2D (r,φ) and 3D (r,θ,φ) grids."""
     amp = 1.0 + jax.random.uniform(key, grid_shape, dtype=jnp.float32) / snr
-    rho = amp * bump_envelope[:, None, None]
+    env = jnp.reshape(jnp.asarray(bump_envelope),
+                      (-1,) + (1,) * (len(grid_shape) - 1))
+    rho = amp * env
     total_sq = jnp.sum(integration_weights * rho * rho)
     rho = rho * jnp.sqrt(total_intensity / total_sq)
     return rho.astype(cdtype)

@@ -115,6 +115,84 @@ class ReciprocalConstraint:
         return self.project_coefficients(Ilm, self.approximate_unknowns(Ilm))
 
 
+class RealCircularHarmonics:
+    """Intensity ↔ circular-harmonic coefficients adapter for the 2D MTIP
+    loop (reference dim-2 branch of harmonic_transforms.py:33-96): forward is
+    an rfft over φ (real intensity ⇒ hermitian spectrum), inverse an irfft."""
+
+    def __init__(self, n_phi: int, m_max: int):
+        self.n_phi = int(n_phi)
+        self.m_max = int(m_max)
+
+    def forward(self, intensity):
+        return jnp.fft.rfft(intensity, axis=-1)[..., : self.m_max + 1] / self.n_phi
+
+    def inverse(self, coeff):
+        n_half = self.n_phi // 2 + 1
+        pad = n_half - coeff.shape[-1]
+        if pad > 0:
+            coeff = jnp.concatenate(
+                [coeff, jnp.zeros(coeff.shape[:-1] + (pad,), coeff.dtype)],
+                axis=-1)
+        return jnp.fft.irfft(coeff * self.n_phi, self.n_phi, axis=-1)
+
+
+@dataclass
+class ReciprocalConstraintPolar:
+    """2D data projection: per-m rank-1 vectors v_m with a phase unknown
+    (reference fxs_Projections.py:723-750 `approximate_unknowns` 2D branch +
+    mtip_projection). Operates on rfft-layout coefficients (n_q, M+1)."""
+    V: Any               # (M+1, n_q) complex data vectors
+    VD: Any              # (M+1, n_q) = conj(v_m)·q²   (phase estimator)
+    use_order: Any       # (M+1,) bool
+    radial_mask: Any     # (M+1, n_q) bool
+    n_particles: float
+    m_max: int
+
+    @classmethod
+    def build(cls, projection_vectors, radial_points, m_max,
+              used_order_ids=None, odd_orders_to_0=True,
+              use_averaged_intensity=True, average_intensity=None,
+              radial_mask=None, n_particles=1.0, real_dtype=jnp.float32):
+        np_c = np.complex64 if real_dtype == jnp.float32 else np.complex128
+        n_q = len(radial_points)
+        V = np.zeros((m_max + 1, n_q), dtype=complex)
+        for m in range(min(m_max + 1, len(projection_vectors))):
+            v = np.asarray(projection_vectors[m]).reshape(-1)
+            V[m, : len(v)] = v[:n_q]
+        if odd_orders_to_0:
+            V[1::2] = 0
+        if use_averaged_intensity and average_intensity is not None:
+            V[0] = np.asarray(average_intensity).real
+        D2 = np.asarray(radial_points, dtype=float) ** 2
+        use_order = np.zeros(m_max + 1, dtype=bool)
+        if used_order_ids is None:
+            used_order_ids = np.arange(m_max + 1)
+        use_order[np.asarray(used_order_ids, dtype=int)] = True
+        if radial_mask is None:
+            radial_mask = np.ones((m_max + 1, n_q), dtype=bool)
+        return cls(V=V.astype(np_c), VD=(V.conj() * D2[None, :]).astype(np_c),
+                   use_order=np.asarray(use_order),
+                   radial_mask=np.asarray(radial_mask),
+                   n_particles=float(n_particles), m_max=m_max)
+
+    def approximate_unknowns(self, Im):
+        """Im: (n_q, M+1) → unit phases (M+1,)."""
+        u = jnp.einsum("mq,qm->m", self.VD, Im)
+        mag = jnp.abs(u)
+        return jnp.where(mag > 0, u / jnp.where(mag > 0, mag, 1.0), 1.0)
+
+    def project_coefficients(self, Im, phases):
+        proj = self.V * phases[:, None]                    # (M+1, n_q)
+        proj = proj.at[0].set(self.V[0] / np.sqrt(self.n_particles))
+        take = self.use_order[:, None] & self.radial_mask
+        out = jnp.where(take, proj, Im.T)
+        return out.T                                       # (n_q, M+1)
+
+    def __call__(self, Im):
+        return self.project_coefficients(Im, self.approximate_unknowns(Im))
+
+
 def project_to_modified_intensity(psi, intensity, new_intensity, eps=0.0):
     """ψ ← ψ·√(I_new/I) where both intensities are valid, else 0
     (fxs_Projections.py:874-929)."""
