@@ -82,7 +82,10 @@ class Aligner:
         return self._coeffs(rho)
 
     def invert_parity(self, coeff):
-        return coeff * self._parity[None, None, :]
+        if not hasattr(self, "_parity_fn"):
+            self._parity_fn = jax.jit(
+                lambda c: c * self._parity[None, None, :])
+        return self._parity_fn(coeff)
 
     def find_rotation(self, ref_coeff, coeff):
         """→ (α,β,γ) maximizing Re⟨Λ(R)·coeff, ref_coeff⟩."""
@@ -92,8 +95,15 @@ class Aligner:
                 float(self.corr.gammas[ig])), float(C[ia, ib, ig])
 
     def rotate(self, coeff, angles):
+        # D enters as two float32 planes combined on device: eager complex
+        # uploads are unimplemented on the axon backend (library.hostio)
+        if not hasattr(self, "_rotate_fn"):
+            self._rotate_fn = jax.jit(lambda c, dr, di: jnp.einsum(
+                "lmn,...nl->...ml", (dr + 1j * di).astype(c.dtype), c))
         D = wigner_D_single(self.sht.l_max, *angles)
-        return rotate_coeff(coeff, jnp.asarray(D, dtype=coeff.dtype))
+        return self._rotate_fn(coeff,
+                               np.ascontiguousarray(D.real, dtype=np.float32),
+                               np.ascontiguousarray(D.imag, dtype=np.float32))
 
     def l2_distance(self, rho_a, rho_b):
         if not hasattr(self, "_l2_fn"):
