@@ -137,3 +137,63 @@ class TestCircular:
         f = jnp.asarray(rng.normal(size=(5, 32)) + 1j * rng.normal(size=(5, 32)))
         f2 = cht.inverse(cht.forward(f))
         assert float(jnp.abs(f2 - f).max()) < 1e-12
+
+
+class TestZernikeMode:
+    def test_zernike_radial_polynomials(self):
+        from xframe_tpu.ops.hankel import zernike_radial
+        x = np.linspace(0.01, 0.99, 17)
+        # R^0_0 = 1
+        assert np.allclose(zernike_radial(0, [0], x, 3), 1.0)
+        # closure at x=1: R^l_s(1) = 1 for the jacobi P(a,0) normalization
+        for dim in (2, 3):
+            for l, s in [(0, 2), (1, 3), (2, 6)]:
+                val = zernike_radial(l, [s], np.array([1.0]), dim)
+                assert np.allclose(np.abs(val), 1.0, atol=1e-12)
+
+    def test_zernike_gaussian_analytic_3d(self):
+        N, L = 64, 6
+        ft = SphericalFourierTransform(N, L, q_max=0.5, mode="Zernike",
+                                       reciprocity_coefficient=np.pi,
+                                       real_dtype=jnp.float64)
+        sigma = ft.r_max / 6
+        prof = np.exp(-ft.rs ** 2 / (2 * sigma ** 2))
+        rho = jnp.asarray(np.broadcast_to(prof[:, None, None],
+                          (N, ft.sht.n_theta, ft.sht.n_phi)),
+                          dtype=jnp.complex128)
+        psi = ft.forward(rho)
+        ana = sigma ** 3 * np.exp(-(sigma ** 2) * ft.qs ** 2 / 2)
+        num = np.asarray(psi[:, 0, 0]).real
+        assert np.abs(num - ana).max() / ana.max() < 5e-3
+
+    def test_zernike_roundtrip_3d(self):
+        N, L = 32, 4
+        ft = SphericalFourierTransform(N, L, q_max=0.5, mode="Zernike",
+                                       reciprocity_coefficient=np.pi,
+                                       real_dtype=jnp.float64)
+        sht = ft.sht
+        rng = np.random.default_rng(3)
+        sigma = ft.r_max / 6
+        prof = np.exp(-ft.rs ** 2 / (2 * sigma ** 2))
+        c = np.zeros((N, sht.n_m, L + 1), dtype=complex)
+        for (m, l) in [(0, 0), (1, 2)]:
+            c[:, m + L, l] = ft.rs ** l * prof * (rng.normal() + 1j * rng.normal())
+        rho = sht.inverse(jnp.asarray(c))
+        rho_rt = ft.inverse(ft.forward(rho))
+        # r=0 sample is not reconstructed by the Zernike quadrature
+        rel = float(jnp.abs(rho_rt[1:] - rho[1:]).max() / jnp.abs(rho).max())
+        assert rel < 5e-3
+
+    def test_zernike_gaussian_analytic_2d(self):
+        N, M = 64, 4
+        ft = PolarFourierTransform(N, M, n_phi=32, q_max=0.5, mode="Zernike",
+                                   reciprocity_coefficient=np.pi,
+                                   real_dtype=jnp.float64)
+        sigma = ft.r_max / 6
+        prof = np.exp(-ft.rs ** 2 / (2 * sigma ** 2))
+        rho = jnp.asarray(np.broadcast_to(prof[:, None], (N, 32)),
+                          dtype=jnp.complex128)
+        psi = ft.forward(rho)
+        ana = sigma ** 2 * np.exp(-(sigma ** 2) * ft.qs ** 2 / 2)
+        num = np.asarray(psi[:, 0]).real
+        assert np.abs(num - ana).max() / ana.max() < 5e-3

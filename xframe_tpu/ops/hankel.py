@@ -22,11 +22,24 @@ from __future__ import annotations
 
 import numpy as np
 import jax.numpy as jnp
-from scipy.special import spherical_jn, jv
+from scipy.special import spherical_jn, jv, eval_jacobi
 
 from xframe_tpu.library.legendre import gauss_legendre
 
 HT_MODES = ('trapz', 'Zernike', 'midpoint', 'gauss')
+
+
+def zernike_radial(l: int, s_values: np.ndarray, x: np.ndarray,
+                   dimension: int) -> np.ndarray:
+    """Radial part R^l_s(x) of D-dimensional Zernike polynomials
+    (reference mathLibrary.py eval_ND_zernike_polynomials :805-820):
+    R^l_s(x) = (-1)^((s-l)/2) x^l P^{(l+D/2-1, 0)}_{(s-l)/2}(1-2x²).
+    → (len(s_values), len(x))."""
+    k = ((np.asarray(s_values) - l) // 2).astype(int)
+    sign = (-1.0) ** k
+    return sign[:, None] * x[None, :] ** l \
+        * eval_jacobi(k[:, None], l + dimension / 2 - 1, 0,
+                      1 - 2 * x[None, :] ** 2)
 
 
 def reciprocity_relation(cutoff: float, n_points: int, reciprocity_coefficient: float = np.pi):
@@ -41,8 +54,10 @@ def radial_grids(mode: str, q_max: float, n_points: int, reciprocity_coefficient
     N = n_points
     r_max = reciprocity_relation(q_max, N, reciprocity_coefficient)
     if mode in ('trapz', 'Zernike'):
-        rs = np.arange(N) * r_max / (N - 1)
-        qs = np.arange(N) * q_max / (N - 1)
+        # r_p = p·r_max/N: the sampling the quadrature weights assume
+        # (j_l(q_k r_p) = j_l(k·p·x/N) requires q_k r_p = kp·x/N)
+        rs = np.arange(N) * r_max / N
+        qs = np.arange(N) * q_max / N
     elif mode == 'midpoint':
         dr, dq = r_max / N, q_max / N
         rs = np.linspace(dr / 2, r_max - dr / 2, N)
@@ -65,12 +80,14 @@ def _spherical_weights(mode, l_max, N, rc):
         arg = ks[None, :] * ps[:, None] * rc / N          # (p,k)
         j = spherical_jn(ls[:, None, None], arg[None])     # (l,p,k)
         return ps[None, :, None] ** 2 * j, None
-    if mode in ('trapz', 'Zernike'):
+    if mode == 'trapz':
         ps = np.arange(1, N)
         ks = np.arange(N)
         arg = ks[None, :] * ps[:, None] * rc / N
         j = spherical_jn(ls[:, None, None], arg[None])
         return ps[None, :, None] ** 2 * j, None
+    if mode == 'Zernike':
+        return _zernike_weights(l_max, N, rc, dimensions=3), None
     if mode == 'gauss':
         x, wg = gauss_legendre(N)
         ps = x + 1
@@ -80,6 +97,47 @@ def _spherical_weights(mode, l_max, N, rc):
     raise ValueError(mode)
 
 
+def _zernike_weights(max_order, N, rc, dimensions, expansion_limit=None):
+    """Zernike-expansion quadrature weights (reference
+    hankel_transforms.py:52-180, trapz variant): the radial profile is
+    expanded in D-dim Zernike polynomials R^l_s, whose Hankel transforms are
+    Bessel functions j_{s+1}/J_{s+1} — giving weights
+
+      w_l[p,k] = c[p,k] Σ_{s=l,l+2..S} (-1)^((s-l)/2)(2s+D) R^l_s(p/N) B_{s+1}(k·x)
+
+    with B = spherical j (3D, c=p²/k) or J (2D, c=p/k); the r=0 input sample
+    is dropped (sum axis length N-1)."""
+    if expansion_limit is None:
+        expansion_limit = 2 * (2 * N - 1)
+    expansion_limit = max(expansion_limit, max_order)
+    ps = np.arange(1, N)
+    ks = np.arange(N)
+    out = np.zeros((max_order + 1, N - 1, N))
+    for l in range(max_order + 1):
+        s = np.arange(l, expansion_limit + 1, 2)
+        if dimensions == 3:
+            pref = (-1.0) ** ((s - l) / 2) * (2 * s + 3)
+            B = spherical_jn(np.repeat((s + 1)[:, None], N - 1, axis=1),
+                             ks[1:] * rc)
+        else:
+            pref = (-1.0) ** ((s - l) / 2) * (2 * s + 2)
+            B = jv((s + 1)[:, None], ks[1:][None, :] * rc)
+        Z = zernike_radial(l, s, ps / N, dimensions)       # (len_s, n_p)
+        w = np.zeros((N - 1, N))
+        w[:, 1:] = np.einsum("s,sp,sk->pk", pref, Z, B)
+        if l == 0:
+            w[:, 0] = rc  # s=0, k=0 Bessel limit (reference :121)
+        out[l] = w
+    c = np.zeros((N - 1, N))
+    if dimensions == 3:
+        c[:, 1:] = (ps ** 2)[:, None] / ks[None, 1:]
+        c[:, 0] = ps ** 2
+    else:
+        c[:, 1:] = ps[:, None] / ks[None, 1:]
+        c[:, 0] = ps
+    return out * c[None]
+
+
 def _polar_weights(mode, m_max, N, rc):
     ms = np.arange(m_max + 1)
     if mode == 'midpoint':
@@ -87,12 +145,14 @@ def _polar_weights(mode, m_max, N, rc):
         arg = ps[None, :] * ps[:, None] * rc / N
         J = jv(ms[:, None, None], arg[None])
         return ps[None, :, None] * J
-    if mode in ('trapz', 'Zernike'):
+    if mode == 'trapz':
         ps = np.arange(1, N)
         ks = np.arange(N)
         arg = ks[None, :] * ps[:, None] * rc / N
         J = jv(ms[:, None, None], arg[None])
         return ps[None, :, None] * J
+    if mode == 'Zernike':
+        return _zernike_weights(m_max, N, rc, dimensions=2)
     if mode == 'gauss':
         x, wg = gauss_legendre(N)
         ps = x + 1
@@ -134,15 +194,18 @@ def assemble_weights(weights: np.ndarray, r_max: float,
     else:
         c_fwd, c_inv = (r_max / n_radial_points), (q_max / n_radial_points)
 
+    # Zernike weights absorb an extra 1/π per angular dimension
+    # (assemble_weights_zernike, reference hankel_transforms.py:272-287)
+    extra = {'Zernike': {3: 1 / np.pi, 2: 1 / np.pi}}.get(mode, {}).get(dimensions, 1.0)
     if dimensions == 3:
         orders = np.arange(weights.shape[0])
-        fwd_pref = (-1j) ** orders * c_fwd ** 3 * np.sqrt(2 / np.pi)
-        inv_pref = (1j) ** orders * c_inv ** 3 * np.sqrt(2 / np.pi)
+        fwd_pref = (-1j) ** orders * c_fwd ** 3 * np.sqrt(2 / np.pi) * extra
+        inv_pref = (1j) ** orders * c_inv ** 3 * np.sqrt(2 / np.pi) * extra
     else:
         pos = np.arange(weights.shape[0])
         all_orders = np.concatenate((pos, -pos[:0:-1]))
-        fwd_pref = (-1j) ** all_orders * c_fwd ** 2
-        inv_pref = (1j) ** all_orders * c_inv ** 2
+        fwd_pref = (-1j) ** all_orders * c_fwd ** 2 * extra
+        inv_pref = (1j) ** all_orders * c_inv ** 2 * extra
         weights = np.concatenate(
             (weights, (-1.0) ** pos[:0:-1, None, None] * weights[:0:-1]), axis=0)
 
