@@ -231,3 +231,177 @@ def rank_projection_matrices(proj_matrices, radial_points, radial_high_pass=0.2)
         scores.append(np.abs(v[n_low:]).sum())
     ids = np.argsort(scores)[::-1]
     return ids, np.asarray(scores)[ids]
+
+
+# ----------------------------------------------------- procrustes / prephasing
+def solve_procrustes_problem(V1: np.ndarray, V2: np.ndarray) -> np.ndarray:
+    """Unitary U minimizing ||V1 − V2·U|| via svd(V2†V1)
+    (reference mathLibrary.py:1484-1490)."""
+    u, _, vh = np.linalg.svd(V2.conj().T @ V1, full_matrices=False)
+    return u @ vh
+
+
+def pad_projection_matrices(proj, l_max: int, n_q: int) -> np.ndarray:
+    """List of per-l (n_q, ≤2l+1) V_l → dense padded coefficient layout
+    (n_q, n_m, L+1) with the centered-m window of ops.sht."""
+    n_m = 2 * l_max + 1
+    out = np.zeros((n_q, n_m, l_max + 1), dtype=complex)
+    for l in range(min(l_max + 1, len(proj))):
+        v = np.atleast_2d(np.asarray(proj[l]))
+        if v.shape[0] != n_q:
+            v = v.T
+        ncols = min(v.shape[1], 2 * l + 1)
+        out[:, l_max - l: l_max - l + ncols, l] = v[:, :ncols]
+    return out
+
+
+def unpad_projection_matrices(padded: np.ndarray, rank_cap=True) -> list:
+    """Inverse of pad_projection_matrices."""
+    n_q, n_m, n_l = padded.shape
+    L = n_l - 1
+    out = []
+    for l in range(n_l):
+        ncols = min(2 * l + 1, n_q) if rank_cap else 2 * l + 1
+        out.append(padded[:, L - l: L - l + ncols, l].copy())
+    return out
+
+
+def enforce_sht_constraint(proj, sht, iterations=100, rel_err_limit=1e-6):
+    """Iterative "prephasing" of the projection matrices: alternate between
+    (a) the positivity/realness constraint of the intensity they synthesize
+    and (b) the closest per-l unitary rotation back onto the original V_l
+    (reference enforce_spherical_harmonic_transform_constraint,
+    fxs_invariant_tools.py:1271-1296). Per-iteration work is one jitted
+    SHT roundtrip + a batched procrustes."""
+    import jax
+    import jax.numpy as jnp
+
+    L = sht.l_max
+    n_q = np.atleast_2d(np.asarray(proj[0])).shape[0]
+    P = pad_projection_matrices(proj, L, n_q)
+    V = P.copy()
+
+    @jax.jit
+    def roundtrip(v_re, v_im):
+        v = v_re + 1j * v_im
+        I = sht.inverse(v)
+        I = jnp.where(I.real < 0, 0.0, I.real).astype(v.dtype)
+        return sht.forward(I)
+
+    from xframe_tpu.library.hostio import to_host
+    err_old = np.inf
+    converged = False
+    for i in range(iterations):
+        Vnew = to_host(roundtrip(
+            np.ascontiguousarray(V.real, dtype=np.float32),
+            np.ascontiguousarray(V.imag, dtype=np.float32)))
+        # per-l procrustes back onto the data matrices
+        Vl = unpad_projection_matrices(Vnew)
+        Pl = unpad_projection_matrices(P)
+        rotated = [p @ solve_procrustes_problem(v, p)
+                   for v, p in zip(Vl, Pl)]
+        V = pad_projection_matrices(rotated, L, n_q)
+        if i % 10 == 9:
+            err = float(np.abs(Vnew - V).sum() / max(np.abs(V).sum(), 1e-30))
+            if err_old != np.inf and abs(err_old - err) / max(err_old, 1e-30) \
+                    < rel_err_limit:
+                converged = True
+                break
+            err_old = err
+    return unpad_projection_matrices(V), converged
+
+
+# ---------------------------------------------- unknown unitary between datasets
+def calc_unknown_unitary_transform(proj_1, eig_1, proj_2, eig_2, b_21,
+                                   radial_points, q_id_limits=None,
+                                   method="procrustes"):
+    """Unitary W_l relating the unknowns of two datasets (e.g. I2I1) from the
+    mixed invariant B_21 = V2 U2 U1† V1† (reference
+    fxs_invariant_tools.py:1297-1436). → (list of W_l, relative errors)."""
+    n_orders = len(proj_1)
+    n_q = b_21.shape[-1]
+    if q_id_limits is None:
+        q_id_limits = np.zeros((n_orders, 2, 2), dtype=int)
+        q_id_limits[..., 1] = n_q
+    W, errors = [], np.full_like(b_21, -1.0, dtype=float)
+    for o in range(n_orders):
+        lim = q_id_limits[o]
+        s2, s1 = slice(*lim[0]), slice(*lim[1])
+        b = b_21[o][s2, s1]
+        N1 = min(lim[1, 1] - lim[1, 0], 2 * o + 1)
+        N2 = min(lim[0, 1] - lim[0, 0], 2 * o + 1)
+        v1 = np.atleast_2d(np.asarray(proj_1[o]))[s1, :N1].copy()
+        v2 = np.atleast_2d(np.asarray(proj_2[o]))[s2, :N2].copy()
+        e1 = np.asarray(eig_1[o])[:N1]
+        pos = e1 > 0
+        v1d = v1.copy()
+        v1d[:, ~pos] = 0
+        v1d[:, pos] /= e1[None, pos]
+        if method == "direct":
+            e2 = np.asarray(eig_2[o])[:N2]
+            pos2 = e2 > 0
+            v2d = v2.copy()
+            v2d[:, ~pos2] = 0
+            v2d[:, pos2] /= e2[None, pos2]
+            w = v2d.conj().T @ b @ v1d
+        else:
+            target = (np.asarray(radial_points)[s2, None] * b) @ v1d
+            w = solve_procrustes_problem(target, v2)
+        W.append(w)
+        nz = b != 0
+        err = np.full(b.shape, -1.0)
+        err[nz] = np.abs(b[nz] - (v2 @ w @ v1.conj().T)[nz]) / np.abs(b[nz])
+        errors[o][s2, s1] = err
+    return W, errors
+
+
+# -------------------------------------------------- particle-number estimation
+def estimate_number_of_particles(proj_matrices, sht, search_space=(1.0, 10.0, 64),
+                                 average_intensity=None, method="onset",
+                                 onset_threshold=1e-4):
+    """Estimate the number of particles from the projection matrices: scan a
+    scale s applied to the isotropic coefficient (I_00/s) and track the
+    negative-intensity volume fraction, which transitions from ~0 to growing
+    at s ≈ √n_particles (reference estimate_number_of_particles,
+    fxs_invariant_tools.py:1583-1860). The scan is one jitted vmap.
+
+    method='onset' locates the first scale whose negative fraction exceeds
+    `onset_threshold` (scales ∝ √n robustly); method='gradient' reproduces
+    the reference's argmax|d(neg)/ds| inflection heuristic.
+
+    → (n_particles, gradient curve, negative fractions, scales)."""
+    import jax
+    import jax.numpy as jnp
+    from xframe_tpu.library.hostio import to_host
+
+    L = sht.l_max
+    n_q = np.atleast_2d(np.asarray(proj_matrices[0])).shape[0]
+    V = pad_projection_matrices(proj_matrices, L, n_q)
+    if average_intensity is not None:
+        V[:, :, 0] = 0
+        V[:, L, 0] = np.abs(np.asarray(average_intensity)) * 2 * np.sqrt(np.pi)
+    I00 = np.abs(V[:, L, 0]).real
+    scales = np.linspace(*search_space)
+
+    @jax.jit
+    def negative_fractions(v_re, v_im, i00):
+        I = sht.inverse(v_re + 1j * v_im).real          # (n_q, nθ, nφ)
+        base = i00[:, None, None] / (2 * np.sqrt(np.pi))
+
+        def frac(s):
+            I_s = I + (1.0 / s - 1.0) * base
+            return jnp.mean(I_s < 0)
+
+        return jax.vmap(frac)(jnp.asarray(scales, dtype=jnp.float32))
+
+    neg = to_host(negative_fractions(
+        np.ascontiguousarray(V.real, dtype=np.float32),
+        np.ascontiguousarray(V.imag, dtype=np.float32),
+        np.asarray(I00, dtype=np.float32)))
+    grad = np.gradient(neg, scales[1] - scales[0])
+    if method == "gradient":
+        s_star = scales[np.argmax(np.abs(grad))]
+    else:
+        above = np.nonzero(neg > onset_threshold)[0]
+        s_star = scales[above[0]] if len(above) else scales[-1]
+    return float(s_star ** 2), grad, neg, scales
