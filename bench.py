@@ -23,7 +23,9 @@ def main():
 
     n_restarts = int(os.environ.get("XF_BENCH_RESTARTS", "4"))
     n_iter = int(os.environ.get("XF_BENCH_ITERS", "20"))
-    p = make_demo_problem(128, 64, n_theta=256, n_phi=512)
+    method = os.environ.get("XF_BENCH_PROCRUSTES", "newton_schulz")
+    p = make_demo_problem(128, 64, n_theta=256, n_phi=512,
+                          procrustes_method=method)
     schedule = [Segment("HIO", n_iter, betas=np.full(n_iter, 0.5), ft_stab=True)]
     rho0s = p.initial_density_batch(0, n_restarts)
     run = jax.jit(lambda r: p.mtip.run_batch(r, schedule))

@@ -149,3 +149,48 @@ def test_build_schedule_tutorial_shape():
     assert np.isclose(sw_segs[0].sigma, 20.0)
     assert np.isclose(sw_segs[1].sigma, 18.0)
     assert sw_segs[-2].sigma >= 3.0
+
+
+def test_newton_schulz_procrustes_matches_svd(problem):
+    """The matmul-only polar iteration must (a) produce near-unitary W on the
+    valid block and (b) drive the phasing loop to the same convergence as the
+    exact SVD path."""
+    import jax.numpy as jnp
+    from xframe_tpu.projects.fxs.projections import polar_unitary_newton_schulz
+    mtip = problem["mtip"]
+    rho0 = _initial_density(problem, jax.random.PRNGKey(3))
+    psi = problem["ft"].forward(rho0)
+    Ilm = problem["ft"].sht.forward((psi * psi.conj()).real)
+    from dataclasses import replace as _replace
+    rc = mtip.rc
+    W_svd = np.asarray(rc.approximate_unknowns(Ilm))
+    rc_ns_probe = _replace(rc, procrustes_method="newton_schulz",
+                           ns_iterations=50)
+    W_ns = np.asarray(rc_ns_probe.approximate_unknowns(Ilm))
+    # l=16 has 2l+1 > n_q: the block is exactly singular and NS converges to
+    # a partial isometry there (the SVD completion is arbitrary anyway)
+    for l in [0, 2, 8]:
+        w = W_ns[l]
+        unitarity = np.abs(w.conj().T @ w - np.eye(w.shape[0])).max()
+        assert unitarity < 5e-2, (l, unitarity)
+    # same polar factor up to iteration tolerance on well-conditioned blocks
+    rel = np.abs(W_ns[2] - W_svd[2]).max()
+    assert rel < 0.1, rel
+
+    # end-to-end: NS-based phasing converges like the SVD-based one
+    from dataclasses import replace
+    from xframe_tpu.projects.fxs.phasing import MTIP
+    rc_ns = replace(rc, procrustes_method="newton_schulz", ns_iterations=50)
+    mtip_ns = MTIP(problem["ft"], rc_ns, mtip.real, mtip.sw, mtip._w_err,
+                   np.asarray(mtip.initial_support),
+                   enforce_initial_support_limit=mtip.enforce_limit)
+    schedule = [
+        Segment('HIO', 30, betas=np.full(30, 0.5), ft_stab=True),
+        Segment('SW', sigma=mtip.sw.default_sigma * 2, threshold=0.09),
+        Segment('ER', 20, betas=np.zeros(20), ft_stab=True),
+    ]
+    run_ns = jax.jit(lambda r: mtip_ns.run(r, schedule))
+    state, errors = run_ns(rho0)
+    errors = np.asarray(errors)
+    assert np.isfinite(errors).all()
+    assert errors[-1] < 0.3 * errors[:5].mean()

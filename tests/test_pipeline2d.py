@@ -1,0 +1,75 @@
+"""2D pipeline integration: simulate_ccd → extract → reconstruct (polar)."""
+import os
+
+import numpy as np
+import pytest
+
+import xframe_tpu as xf
+
+
+@pytest.fixture(scope="module")
+def home(tmp_path_factory):
+    path = tmp_path_factory.mktemp("xf_home_2d")
+    old = os.environ.get("XFRAME_TPU_HOME")
+    os.environ["XFRAME_TPU_HOME"] = str(path)
+    yield str(path)
+    if old is None:
+        os.environ.pop("XFRAME_TPU_HOME", None)
+    else:
+        os.environ["XFRAME_TPU_HOME"] = old
+
+
+def test_2d_pipeline(home):
+    xf.select_project("fxs", "simulate_ccd", overrides={
+        "structure_name": "pytest2d",
+        "dimensions": 2,
+        "grid": {"n_radial_points": 48, "max_order": 12, "max_q": 0.5,
+                 "n_phi": 64},
+        "shapes": {"types": ["sphere", "sphere"],
+                   "centers": [[0, 0], [40, 1.0]],
+                   "sizes": [22, 15], "densities": [1.0, 0.7],
+                   "random_orientation": [False, False]},
+        "cross_correlation": {"xray_wavelength": 1.23984},
+    })
+    ccd = xf.run()
+    assert ccd["dimensions"] == 2
+    assert ccd["cross_correlation"]["I1I1"].shape == (48, 48, 64)
+
+    xf.select_project("fxs", "extract", overrides={
+        "structure_name": "pytest2d", "dimensions": 2, "max_order": 12})
+    inv = xf.run()
+    bm = inv["deg_2_invariant"]["I1I1"]
+    assert bm.shape == (13, 48, 48)
+    proj = inv["data_projection_matrices"]["I1I1"]
+    assert len(proj) == 13
+    assert all(np.asarray(v).shape == (48, 1) for v in proj)
+
+    xf.select_project("fxs", "reconstruct", overrides={
+        "structure_name": "pytest2d",
+        "dimensions": 2,
+        "particle_radius": 60,
+        "grid": {"n_radial_points": 32, "max_order": 10, "n_phi": 64},
+        "multi_start": {"n_reconstructions": 2, "seed": 5},
+        "main_loop": {"sub_loops": {
+            "order": ["main"],
+            "main": {"iterations": 2, "order": ["HIO", "SW", "ER"],
+                     "methods": {"HIO": {"iterations": 15},
+                                 "SW": {"iterations": 1},
+                                 "ER": {"iterations": 10}}},
+        }},
+        "projections": {"real": {
+            "shrink_wrap": {"sigmas": [False], "thresholds": [0.09]},
+            "HIO": {"beta": [[0.5, 0.4, -1 / 50, 100]]},
+        }},
+    })
+    res = xf.run()
+    cfg = res["configuration"]
+    assert cfg["dimensions"] == 2
+    results = res["reconstruction_results"]
+    assert len(results) == 2
+    for key, r in results.items():
+        assert r["real_density"].shape == (32, 64)
+        err = np.asarray(r["error_dict"]["main"])
+        assert np.isfinite(err).all()
+    e0 = np.asarray(results["0"]["error_dict"]["main"])
+    assert e0[-1] < e0[:5].mean()

@@ -55,9 +55,13 @@ class MultiStartRunner:
         self.schedule = schedule
         self.mesh = mesh
         fn = jax.vmap(partial(mtip.run, schedule=schedule))
+        grid_rank = np.ndim(mtip.initial_support)  # 3 for (r,θ,φ), 2 for (r,φ)
         if mesh is not None:
-            theta = theta_axis if (theta_axis in mesh.axis_names) else None
-            self.in_sharding = NamedSharding(mesh, P(restart_axis, None, theta, None))
+            theta = theta_axis if (theta_axis in mesh.axis_names
+                                   and grid_rank == 3) else None
+            spec = P(restart_axis, None, theta, None) if grid_rank == 3 \
+                else P(restart_axis, None, None)
+            self.in_sharding = NamedSharding(mesh, spec)
             self._jitted = jax.jit(fn, in_shardings=(self.in_sharding,))
         else:
             self.in_sharding = None

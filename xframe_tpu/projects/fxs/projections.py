@@ -20,7 +20,30 @@ from dataclasses import dataclass, field
 from typing import Any
 
 import numpy as np
+import jax
 import jax.numpy as jnp
+
+
+def polar_unitary_newton_schulz(M, iterations=18, eps=1e-12):
+    """Unitary polar factor of a (batched) matrix via Newton–Schulz:
+    X ← 1.5·X − 0.5·X X† X, converging to U = M(M†M)^{-1/2} for ‖M‖₂ < √3.
+
+    Matmul-only — unlike jnp.linalg.svd this runs entirely on the MXU, which
+    makes the per-iteration Procrustes step ~free on TPU. The iterate is
+    normalized by a Frobenius upper bound of the spectral norm."""
+    # spectral-norm upper bound √(‖M‖₁·‖M‖∞) — much tighter than Frobenius,
+    # which matters for the small-σ convergence phase
+    a = jnp.abs(M)
+    norm = jnp.sqrt(jnp.max(jnp.sum(a, axis=-1), axis=-1)
+                    * jnp.max(jnp.sum(a, axis=-2), axis=-1))[..., None, None]
+    X = M / (norm + eps)
+
+    def body(X, _):
+        XhX = jnp.einsum("...ij,...ik->...jk", X.conj(), X)
+        return 1.5 * X - 0.5 * jnp.einsum("...ij,...jk->...ik", X, XhX), None
+
+    X, _ = jax.lax.scan(body, X, None, length=iterations)
+    return X
 
 
 # ------------------------------------------------------------ reciprocal side
@@ -34,13 +57,16 @@ class ReciprocalConstraint:
     radial_mask: Any    # (L+1, n_q) bool
     n_particles: float
     l_max: int
+    procrustes_method: str = "svd"   # 'svd' | 'newton_schulz'
+    ns_iterations: int = 50
 
     @classmethod
     def build(cls, projection_matrices, radial_points, l_max,
               used_order_ids=None, odd_orders_to_0=True,
               use_averaged_intensity=True, average_intensity=None,
               radial_mask=None, n_particles=1.0, schmidt_scaling=True,
-              real_dtype=jnp.float32):
+              real_dtype=jnp.float32, procrustes_method="svd",
+              ns_iterations=50):
         """Host-side assembly from extract-format data.
 
         projection_matrices: list of (n_q, min(2l+1, n_q)) complex V_l
@@ -85,18 +111,31 @@ class ReciprocalConstraint:
                    eye_pad=eye.astype(np_c),
                    use_order=np.asarray(use_order),
                    radial_mask=np.asarray(radial_mask),
-                   n_particles=float(n_particles), l_max=L)
+                   n_particles=float(n_particles), l_max=L,
+                   procrustes_method=procrustes_method,
+                   ns_iterations=int(ns_iterations))
 
     # -- jittable ops ------------------------------------------------------
     def approximate_unknowns(self, Ilm):
         """Per-l Procrustes unitaries W_l from intensity coefficients.
 
         Ilm: (n_q, n_m, L+1) → W: (L+1, n_m, n_m). The centered padding makes
-        M_l + eye_complement block-diagonal, so the SVD polar factor restricts
-        to the true (2l+1)² unitary on the valid block."""
+        M_l + eye_complement block-diagonal, so the polar factor restricts
+        to the true (2l+1)² unitary on the valid block. Method 'svd' is
+        exact; 'newton_schulz' is a matmul-only polar iteration that stays on
+        the MXU (polar_unitary_newton_schulz)."""
         Ilt = jnp.moveaxis(Ilm, 2, 0)                      # (L+1, n_q, n_m)
-        M = self.PD @ Ilt + self.eye_pad                   # (L+1, n_m, n_m)
-        u, _, vh = jnp.linalg.svd(M, full_matrices=False)
+        B = self.PD @ Ilt                                  # (L+1, n_m, n_m)
+        if self.procrustes_method == "newton_schulz":
+            # eye-pad the complement at the block's RMS singular-value scale:
+            # any positive multiple of I has polar factor I, and matching the
+            # scales keeps the Newton–Schulz normalization well conditioned
+            sizes = 2 * jnp.arange(self.l_max + 1, dtype=B.real.dtype) + 1
+            rms = jnp.sqrt(jnp.sum(jnp.abs(B) ** 2, axis=(-2, -1))
+                           / sizes)[..., None, None]
+            M = B + self.eye_pad * (rms + 1e-20).astype(B.dtype)
+            return polar_unitary_newton_schulz(M, self.ns_iterations)
+        u, _, vh = jnp.linalg.svd(B + self.eye_pad, full_matrices=False)
         return u @ vh
 
     def project_coefficients(self, Ilm, W):

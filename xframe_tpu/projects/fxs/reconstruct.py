@@ -111,6 +111,12 @@ class ProjectWorker(ProjectWorkerInterface):
     def setup_mtip(self, inv):
         """Build transforms + constraints from settings and invariant data.
         Returns (MTIP, ft, aux dict)."""
+        dim = int(inv.get("dimensions", self.settings.get("dimensions", 3)))
+        if dim == 2:
+            return self._setup_2d(inv)
+        return self._setup_3d(inv)
+
+    def _setup_3d(self, inv):
         opt = self.settings
         real_dtype = jnp.float64 if str(opt.get("precision")) == "float64" \
             else jnp.float32
@@ -221,7 +227,127 @@ class ProjectWorker(ProjectWorkerInterface):
         aux = dict(grid=grid, initial_support=initial_support,
                    initial_density_batch=initial_density_batch,
                    avg_intensity=avg_intensity, wavelength=inv["xray_wavelength"],
-                   proj=proj, rc=rc, total_intensity=total_intensity)
+                   proj=proj, rc=rc, total_intensity=total_intensity,
+                   dimensions=3)
+        return mtip, ft, aux
+
+    def _setup_2d(self, inv):
+        """Polar (2D) MTIP setup: circular-harmonic data projection with
+        rank-1 V_m vectors (reference dim-2 branches of fxs_Projections.py)."""
+        from xframe_tpu.library.shapes import polar_grid
+        from xframe_tpu.ops.fourier import PolarFourierTransform
+        from xframe_tpu.ops.integrate import PolarIntegrator
+        from xframe_tpu.projects.fxs.projections import (
+            ReciprocalConstraintPolar, RealCircularHarmonics)
+        opt = self.settings
+        real_dtype = jnp.float64 if str(opt.get("precision")) == "float64" \
+            else jnp.float32
+        cdtype = jnp.complex128 if real_dtype == jnp.float64 else jnp.complex64
+
+        qs_data = np.asarray(inv["data_radial_points"], dtype=float)
+        M = min(int(opt.grid.max_order), int(inv["max_order"]))
+        N = int(opt.grid.n_radial_points)
+        q_max = float(opt.grid.max_q) if opt.grid.max_q else float(qs_data.max())
+        ft_mode = str(opt.fourier_transform.type)
+        rc_coef = float(opt.fourier_transform.reciprocity_coefficient)
+        n_phi = int(opt.grid.get("n_phi") or 0)
+        if n_phi <= 0:
+            n_phi = 2 ** int(np.ceil(np.log2(2 * (M + 1))))
+
+        weights = load_cached_weights(
+            M, N, rc_coef, 2, ft_mode,
+            allow_cache=bool(opt.fourier_transform.get("allow_weight_caching",
+                                                       True)))
+        ft = PolarFourierTransform(N, M, n_phi, q_max, mode=ft_mode,
+                                   reciprocity_coefficient=rc_coef,
+                                   real_dtype=real_dtype, weights_dict=weights)
+        phis = 2 * np.pi * np.arange(n_phi) / n_phi
+        grid = polar_grid(ft.rs, phis)
+
+        proj = regrid_projection_matrices(
+            inv["data_projection_matrices"]["I1I1"], qs_data, ft.qs)
+        proj = [np.asarray(v).reshape(len(ft.qs), -1)[:, 0] for v in proj]
+        avg_intensity = np.interp(ft.qs, qs_data,
+                                  np.asarray(inv["average_intensity"],
+                                             dtype=float))
+        ropt = opt.projections.reciprocal
+        used = ropt.get("used_order_ids", "all")
+        if isinstance(used, str) and used == "all":
+            used_ids = np.arange(M + 1)
+        else:
+            used_ids = np.asarray(used, dtype=int)
+            used_ids = used_ids[used_ids <= M]
+        rc_constraint = ReciprocalConstraintPolar.build(
+            proj, ft.qs, M, used_order_ids=used_ids,
+            odd_orders_to_0=bool(ropt.get("assume_zero_odd_orders", True)),
+            use_averaged_intensity=bool(ropt.get("use_averaged_intensity", True)),
+            average_intensity=avg_intensity,
+            radial_mask=self._radial_mask(ropt, M, ft.qs),
+            n_particles=float(ropt.number_of_particles.get("initial", 1)),
+            real_dtype=real_dtype)
+
+        popt = opt.projections.real.projections
+        apply = list(popt.get("apply", ["support", "value_threshold",
+                                        "limit_imag"]))
+        thr = popt.get("value_threshold", {}).get("threshold", [0, False])
+        real_constraint = RealConstraint(
+            apply_support="support" in apply,
+            apply_value_threshold="value_threshold" in apply,
+            threshold_low=None if thr[0] is False else float(thr[0]),
+            threshold_high=float(thr[1]) if (len(thr) > 1 and thr[1]) else None,
+            apply_limit_imag="limit_imag" in apply,
+            limit_imag=float(popt.get("limit_imag", {}).get("threshold", 2.0)),
+            apply_assert_real="assert_real" in apply)
+        support_radius = float(popt.get("support", {}).get(
+            "initial_support", {}).get("max_radius", opt.particle_radius))
+        initial_support = grid[..., 0] < support_radius
+        enforce_opt = popt.get("support", {}).get("enforce_initial_support", {})
+        enforce_limit = float(enforce_opt.get("if_error_bigger_than", np.inf)) \
+            if enforce_opt.get("apply", False) else np.inf
+
+        sw = ShrinkWrap.build(ft.qs, grid_rank=2, real_dtype=real_dtype)
+        integ = PolarIntegrator(ft.rs, n_phi, real_dtype=real_dtype)
+        w_err = np.asarray(integ._w) * initial_support
+        cht = RealCircularHarmonics(n_phi, M)
+        mtip = MTIP(ft, rc_constraint, real_constraint, sw, w_err,
+                    initial_support,
+                    enforce_initial_support_limit=enforce_limit,
+                    real_dtype=real_dtype, harmonic=cht)
+
+        total_intensity = float(np.trapezoid(avg_intensity * ft.qs, ft.qs)
+                                * 2 * np.pi)
+        gopt = opt.density_guess
+        radius = float(gopt.get("radius", opt.particle_radius))
+        if str(gopt.get("type", "bump")) == "ball":
+            bump = (ft.rs < radius).astype(float)
+        else:
+            slope = float(gopt.get("bump", {}).get("slope", 0.3))
+            bump = get_test_function(support=[-radius, radius],
+                                     slope=slope)(ft.rs)
+        snr = float(gopt.get("random", {}).get("SNR", 2.0))
+        np_real = np.float32 if real_dtype == jnp.float32 else np.float64
+        bump_host = np.asarray(bump, dtype=np_real)
+        w_full = np.asarray(integ._w)
+        shape = (N, n_phi)
+
+        def _guess(k):
+            rho0 = bump_density_guess(k, bump_host, shape, snr=snr,
+                                      total_intensity=total_intensity,
+                                      integration_weights=w_full, cdtype=cdtype)
+            return ft.inverse(ft.forward(rho0))
+
+        from functools import partial
+
+        @partial(jax.jit, static_argnums=(0, 1))
+        def initial_density_batch(seed, n):
+            return jax.vmap(_guess)(jax.random.split(jax.random.PRNGKey(seed), n))
+
+        aux = dict(grid=grid, initial_support=initial_support,
+                   initial_density_batch=initial_density_batch,
+                   avg_intensity=avg_intensity,
+                   wavelength=inv["xray_wavelength"],
+                   proj=proj, rc=rc_coef, total_intensity=total_intensity,
+                   dimensions=2, phis=phis)
         return mtip, ft, aux
 
     def _radial_mask(self, ropt, L, qs):
@@ -285,17 +411,28 @@ class ProjectWorker(ProjectWorkerInterface):
                                "final": float(to_host(states.best_err[i]))},
                 "n_particles": float(mtip.rc.n_particles),
             }
+        if aux.get("dimensions", 3) == 3:
+            grid_cfg = {
+                "real_grid": np.asarray(ft.rs),
+                "reciprocal_grid": np.asarray(ft.qs),
+                "thetas": np.asarray(ft.sht.theta),
+                "phis": np.asarray(ft.sht.phi),
+            }
+            max_order = ft.sht.l_max
+        else:
+            grid_cfg = {
+                "real_grid": np.asarray(ft.rs),
+                "reciprocal_grid": np.asarray(ft.qs),
+                "phis": np.asarray(aux["phis"]),
+            }
+            max_order = ft.m_max
         return {
             "configuration": {
-                "internal_grid": {
-                    "real_grid": np.asarray(ft.rs),
-                    "reciprocal_grid": np.asarray(ft.qs),
-                    "thetas": np.asarray(ft.sht.theta),
-                    "phis": np.asarray(ft.sht.phi),
-                },
+                "internal_grid": grid_cfg,
+                "dimensions": aux.get("dimensions", 3),
                 "reciprocity_coefficient": aux["rc"],
                 "xray_wavelength": float(aux["wavelength"]),
-                "max_order": ft.sht.l_max,
+                "max_order": max_order,
                 "fourier_transform_mode": ft.mode,
                 "q_max": float(ft.q_max),
                 "seed": int(seed),
