@@ -77,10 +77,21 @@ class ProjectWorker(ProjectWorkerInterface):
     database_class = ProjectDB
 
     def run(self):
+        import time
         opt = self.settings
+        prof = opt.get("profiling", {})
+        tracing = bool(prof.get("enable", False))
+        if tracing:
+            # device-level trace viewable in TensorBoard/XProf (replaces the
+            # reference's cProfile hooks, reconstruct.py:115-139)
+            trace_dir = str(prof.get("trace_dir") or "") or os.path.join(
+                settings_loader.home_dir(), "traces")
+            jax.profiler.start_trace(trace_dir)
+        t_setup0 = time.perf_counter()
         inv = self._load_invariants()
         mtip, ft, aux = self.setup_mtip(inv)
         schedule = self._build_schedule(ft)
+        t_setup = time.perf_counter() - t_setup0
         n_restarts = int(opt.multi_start.n_reconstructions)
 
         seed = opt.multi_start.get("seed")
@@ -90,13 +101,23 @@ class ProjectWorker(ProjectWorkerInterface):
 
         mesh = self._make_mesh(n_restarts)
         runner = MultiStartRunner(mtip, schedule, mesh)
+        t_run0 = time.perf_counter()
         states, errors = runner(rho0s)
+        jax.block_until_ready(errors)
+        t_run = time.perf_counter() - t_run0
         order, best_err = rank_restarts(states)
+        if tracing:
+            jax.profiler.stop_trace()
 
         results = self._collect_results(mtip, ft, aux, states, errors, order,
                                         seed)
+        n_iter = sum(s.n for s in schedule if s.method != "SW")
+        results["timing"] = {"setup_s": t_setup, "phasing_s": t_run,
+                             "sec_per_iteration_per_restart":
+                                 t_run / max(n_iter * n_restarts, 1)}
         path, run = self.db.save("reconstructions", results)
-        print(f"reconstruct: {n_restarts} restarts, best error "
+        print(f"reconstruct: {n_restarts} restarts, {n_iter} iterations each "
+              f"in {t_run:.1f}s (incl. compile), best error "
               f"{best_err[order[0]]:.3e}; saved to {path}")
         return results
 
