@@ -82,7 +82,9 @@ def test_phasing_converges_and_recovers_invariants(problem):
     run = jax.jit(lambda r: mtip.run(r, schedule))
     state, errors = run(rho0)
     errors = np.asarray(errors)
+    assert errors.shape[-1] == 2  # (main, reciprocal)
     assert np.isfinite(errors).all()
+    errors = errors[:, 0]
     # convergence: final error well below the early-phase error
     assert errors[-1] < 0.1 * errors[:5].mean()
     assert errors[-1] < 5e-2
@@ -114,8 +116,9 @@ def test_multi_start_vmap(problem):
     run = jax.jit(lambda r: mtip.run_batch(r, schedule))
     states, errors = run(rho0s)
     errors = np.asarray(errors)
-    assert errors.shape == (4, 15)
+    assert errors.shape == (4, 15, 2)
     assert np.isfinite(errors).all()
+    errors = errors[..., 0]
     # restarts differ (independent RNG) but all make progress
     assert (errors[:, -1] < errors[:, 0]).all()
     assert len(np.unique(errors[:, -1])) == 4
@@ -191,6 +194,6 @@ def test_newton_schulz_procrustes_matches_svd(problem):
     ]
     run_ns = jax.jit(lambda r: mtip_ns.run(r, schedule))
     state, errors = run_ns(rho0)
-    errors = np.asarray(errors)
+    errors = np.asarray(errors)[:, 0]
     assert np.isfinite(errors).all()
     assert errors[-1] < 0.3 * errors[:5].mean()

@@ -23,6 +23,7 @@ def test_phasing2d_converges_and_recovers_invariants():
     state, errors = run(rho0)
     errors = np.asarray(errors)
     assert np.isfinite(errors).all()
+    errors = errors[:, 0]
     assert errors[-1] < 0.2 * errors[:5].mean()
 
     # invariant fingerprint: B_m of the reconstruction matches the data
@@ -49,6 +50,7 @@ def test_phasing2d_multi_start():
     run = jax.jit(lambda r: p.mtip.run_batch(r, schedule))
     states, errors = run(rho0s)
     errors = np.asarray(errors)
-    assert errors.shape == (3, 15)
+    assert errors.shape == (3, 15, 2)
     assert np.isfinite(errors).all()
+    errors = errors[..., 0]
     assert (errors[:, -1] < errors[:, 0]).all()

@@ -146,8 +146,17 @@ class MTIP:
         den = jnp.sum(self._w_err * (rho_p * rho_p.conj()).real)
         return jnp.where(den > 0, num / den, jnp.inf)
 
+    def _reciprocal_error(self, psi, psi_p):
+        """relative L2 distance of the amplitude projection
+        (fxs_IO_methods.py reciprocal metric :131-206)."""
+        d = psi - psi_p
+        num = jnp.sum((d * d.conj()).real)
+        den = jnp.sum((psi * psi.conj()).real)
+        return jnp.where(den > 0, num / den, jnp.inf)
+
     def mtip_iteration(self, rho_in, support, beta, method: str, ft_stab: bool):
-        """One HIO/ER/RAAR step (reconstruct.py HIO sketch :576-595)."""
+        """One HIO/ER/RAAR step (reconstruct.py HIO sketch :576-595).
+        → (rho_new, real error, reciprocal error)."""
         psi = self.ft.forward(rho_in)
         intensity = (psi * psi.conj()).real
         Ilm = self.sht.forward(intensity)
@@ -161,13 +170,14 @@ class MTIP:
             rho_p = rho_p + corr.at[0].set(0)
         rho_proj, invalid = self.real(rho_p, support)
         err = self._real_error(rho_p, rho_proj)
+        err_rec = self._reciprocal_error(psi, psi_p)
         if method == 'HIO':
             rho_new = hio_update(rho_in, rho_p, rho_proj, invalid, beta)
         elif method == 'RAAR':
             rho_new = raar_update(rho_in, rho_p, rho_proj, invalid, beta)
         else:
             rho_new = er_update(rho_proj)
-        return rho_new, err
+        return rho_new, err, err_rec
 
     # -------------------------------------------------------------- segments
     def _run_segment(self, state: PhasingState, seg: Segment):
@@ -175,13 +185,14 @@ class MTIP:
 
         def body(carry, beta):
             rho, best_rho, best_mask, best_err, _ = carry
-            rho_new, err = self.mtip_iteration(rho, state.support, beta,
-                                               seg.method, seg.ft_stab)
+            rho_new, err, err_rec = self.mtip_iteration(
+                rho, state.support, beta, seg.method, seg.ft_stab)
             better = err < best_err
             best_rho = jnp.where(better, rho_new, best_rho)
             best_mask = jnp.where(better, state.support, best_mask)
             best_err = jnp.minimum(err, best_err)
-            return (rho_new, best_rho, best_mask, best_err, err), err
+            return (rho_new, best_rho, best_mask, best_err, err), \
+                jnp.stack([err, err_rec])
 
         carry = (state.rho, state.best_rho, state.best_mask, state.best_err,
                  state.last_err)
@@ -218,7 +229,9 @@ class MTIP:
             else:
                 state, errs = self._run_segment(state, seg)
                 err_chunks.append(errs)
-        errors = jnp.concatenate(err_chunks) if err_chunks else jnp.zeros((0,))
+        # (n_iterations, 2): columns = (real "main" error, reciprocal error)
+        errors = jnp.concatenate(err_chunks) if err_chunks \
+            else jnp.zeros((0, 2))
         return state, errors
 
     def finalize(self, rho):

@@ -184,7 +184,10 @@ class ProjectWorker(ProjectWorkerInterface):
             use_averaged_intensity=bool(ropt.get("use_averaged_intensity", True)),
             average_intensity=avg_intensity, radial_mask=radial_mask,
             n_particles=float(ropt.number_of_particles.get("initial", 1)),
-            schmidt_scaling=False, real_dtype=real_dtype)
+            schmidt_scaling=False, real_dtype=real_dtype,
+            procrustes_method=str(ropt.get("procrustes_method",
+                                           "newton_schulz")),
+            ns_iterations=int(ropt.get("ns_iterations", 50)))
 
         # real constraint + initial support
         popt = opt.projections.real.projections
@@ -428,7 +431,8 @@ class ProjectWorker(ProjectWorkerInterface):
                 "support_mask": to_host(states.best_mask[i]),
                 "initial_support": to_host(aux["initial_support"]),
                 "fxs_unknowns": to_host(W),
-                "error_dict": {"main": errors_h[i],
+                "error_dict": {"main": errors_h[i][:, 0],
+                               "reciprocal": errors_h[i][:, 1],
                                "final": float(to_host(states.best_err[i]))},
                 "n_particles": float(mtip.rc.n_particles),
             }
