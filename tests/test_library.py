@@ -1,0 +1,56 @@
+"""Library utilities: grids/regrid, Tikhonov solvers, ramps."""
+import numpy as np
+
+from xframe_tpu.library.grids import (construct_grid, regrid, SampledFunction,
+                                      uniform_grid)
+from xframe_tpu.library.mathtools import (tikhonov_solve, tikhonov_solve_svd,
+                                          back_substitution)
+from xframe_tpu.library.ramps import ExponentialRamp, LinearRamp
+
+
+def test_construct_grid():
+    g = construct_grid([np.arange(3), np.arange(4) * 0.5])
+    assert g.shape == (3, 4, 2)
+    assert np.allclose(g[2, 3], [2.0, 1.5])
+
+
+def test_regrid_complex_multi_axis():
+    old = np.linspace(0, 1, 11)
+    new = np.linspace(0, 1, 23)
+    data = np.exp(2j * np.pi * old)[:, None] * np.arange(1, 4)[None, :]
+    out = regrid(data, old, new, axis=0)
+    expect = np.exp(2j * np.pi * new)[:, None] * np.arange(1, 4)[None, :]
+    # linear-interp bound: h²/8·|f''|·amp = 0.1²/8·4π²·3 ≈ 0.15
+    assert np.abs(out - expect).max() < 0.16
+    sf = SampledFunction(data, old)
+    assert np.allclose(sf.regrid(new).data, out)
+
+
+def test_tikhonov():
+    rng = np.random.default_rng(0)
+    A = rng.normal(size=(20, 8)) + 1j * rng.normal(size=(20, 8))
+    x_true = rng.normal(size=8)
+    b = A @ x_true
+    x0 = tikhonov_solve(A, b, 1e-10)
+    assert np.abs(x0 - x_true).max() < 1e-6
+    x1 = tikhonov_solve_svd(A, b, 1e-10)
+    assert np.abs(x1 - x_true).max() < 1e-6
+    # regularization shrinks the solution
+    x_reg = tikhonov_solve(A, b, 10.0)
+    assert np.linalg.norm(x_reg) < np.linalg.norm(x_true)
+
+
+def test_back_substitution():
+    U = np.triu(np.arange(1, 17, dtype=float).reshape(4, 4)) + np.eye(4)
+    x_true = np.array([1.0, -2.0, 0.5, 3.0])
+    x = back_substitution(U, U @ x_true)
+    assert np.allclose(x, x_true)
+
+
+def test_ramps():
+    r = ExponentialRamp(0.5, 0.4, -1 / 250, 500)
+    assert np.isclose(r(0), 0.5)
+    assert r(499) < 0.5
+    lin = LinearRamp(20, [False, 5], -2)
+    assert np.isclose(lin(0), 20)
+    assert np.isclose(lin(1), 18)
