@@ -81,3 +81,39 @@ def test_correlate_worker_end_to_end(home):
     path = os.path.join(home, "data", "fxs", "ccd", "corr_test", "run_1",
                         "ccd.h5")
     assert os.path.exists(path)
+
+
+def test_native_frame_reader(tmp_path):
+    """C++ thread-pool reader: values identical to numpy, short reads zeroed."""
+    from xframe_tpu.native import read_frame_batch, PrefetchingFrameLoader, _load
+    rng = np.random.default_rng(1)
+    shape = (32, 48)
+    paths = []
+    frames = []
+    for i in range(9):
+        f = rng.normal(size=shape).astype(np.float32)
+        p = tmp_path / f"f{i}.raw"
+        f.tofile(p)
+        paths.append(str(p))
+        frames.append(f)
+    batch, n_ok = read_frame_batch(paths, shape)
+    assert n_ok == 9
+    assert np.array_equal(batch, np.stack(frames))
+    # short file → zero-filled, not counted
+    (tmp_path / "short.raw").write_bytes(b"\x00" * 17)
+    batch2, n_ok2 = read_frame_batch(paths[:2] + [str(tmp_path / "short.raw")],
+                                     shape)
+    assert n_ok2 == 2
+    assert np.array_equal(batch2[:2], np.stack(frames[:2]))
+    assert (batch2[2] == 0).all()
+    # uint16 conversion path
+    u = (rng.uniform(0, 1000, shape)).astype(np.uint16)
+    u.tofile(tmp_path / "u16.raw")
+    b3, ok3 = read_frame_batch([str(tmp_path / "u16.raw")], shape,
+                               dtype=np.uint16)
+    assert ok3 == 1 and np.array_equal(b3[0], u.astype(np.float32))
+    # prefetching loader covers all frames in order
+    loader = PrefetchingFrameLoader(paths, shape, batch_size=4)
+    got = np.concatenate(list(loader))
+    assert np.array_equal(got, np.stack(frames))
+    assert _load() is not None, "native library failed to build"

@@ -151,14 +151,11 @@ class ProjectWorker(ProjectWorkerInterface):
             paths = paths[: int(n_max)]
         dtype = np.dtype(str(opt.get("input", {}).get("dtype", "float32")))
         batch_size = int(opt.get("batch_size", 64))
-
-        def frame_iter():
-            for i in range(0, len(paths), batch_size):
-                chunk = paths[i: i + batch_size]
-                frames = np.stack([
-                    np.fromfile(p, dtype=dtype).reshape(ny, nx)
-                    for p in chunk])
-                yield frames.astype(np.float32)
+        # C++ thread-pool reader with double-buffered prefetch: the next
+        # batch loads while the current one correlates on device
+        from xframe_tpu.native import PrefetchingFrameLoader
+        frame_iter = PrefetchingFrameLoader(paths, (ny, nx), dtype=dtype,
+                                            batch_size=batch_size)
 
         lit_min = float(fopt.get("lit_pixel_fraction_min", 0.0) or 0.0)
 
@@ -168,7 +165,7 @@ class ProjectWorker(ProjectWorkerInterface):
             frac = (batch > 0).mean(axis=(1, 2))
             return (frac >= lit_min).astype(np.float32)
 
-        out = corr.correlate_frames(frame_iter(), batch_size=batch_size,
+        out = corr.correlate_frames(iter(frame_iter), batch_size=batch_size,
                                     is_good=is_good)
         data = {
             "dimensions": 3,
