@@ -85,10 +85,16 @@ class PolarFourierTransform:
             (np.arange(m_max + 1), np.arange(n_phi - m_max, n_phi)))
 
     def _apply(self, hankel_fn, f):
-        c = self.cht.forward(f)[..., self._m_cols]
+        # FFT-order m selection [0..M, -M..-1] via slices (no gather/scatter)
+        M = self.m_max
+        c_full = self.cht.forward(f)
+        parts = [c_full[..., : M + 1]] + ([c_full[..., -M:]] if M > 0 else [])
+        c = jnp.concatenate(parts, axis=-1)
         g = hankel_fn(c)
-        full = jnp.zeros(g.shape[:-1] + (self.n_phi,), dtype=g.dtype)
-        full = full.at[..., self._m_cols].set(g)
+        pad = self.n_phi - (2 * M + 1)
+        zeros = jnp.zeros(g.shape[:-1] + (pad,), dtype=g.dtype)
+        full = jnp.concatenate([g[..., : M + 1], zeros, g[..., M + 1:]],
+                               axis=-1)
         return self.cht.inverse(full)
 
     def forward(self, density):

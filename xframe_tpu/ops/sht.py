@@ -94,16 +94,23 @@ class SphericalHarmonicTransform:
     def forward(self, f):
         """f(..., θ, φ) → f_lm (..., m_fft, l)."""
         fm = jnp.fft.fft(f.astype(self.complex_dtype), axis=-1)
-        fm = fm[..., self._m_cols] * (2 * np.pi / self.n_phi)
+        # centered m = -L..L from FFT bins: [-L..-1] live at the end — pure
+        # slices (n_phi > 2L), no gather
+        L = self.l_max
+        parts = ([fm[..., -L:]] if L > 0 else []) + [fm[..., : L + 1]]
+        fm = jnp.concatenate(parts, axis=-1) * (2 * np.pi / self.n_phi)
         # Σ_θ w_θ P̄_lm(θ) f_m(θ):  (..., θ, m) × (m, θ, l) → (..., m, l)
         return jnp.einsum('...tm,mtl->...ml', fm, self._PW)
 
     def inverse(self, c):
         """f_lm (..., m_fft, l) → f(..., θ, φ)."""
         fm = jnp.einsum('...ml,mtl->...tm', c.astype(self.complex_dtype), self._P)
-        shape = fm.shape[:-1] + (self.n_phi,)
-        full = jnp.zeros(shape, dtype=fm.dtype)
-        full = full.at[..., self._m_cols].set(fm)
+        # scatter centered m back to FFT bins with zero padding in between —
+        # slice + concat instead of a scatter
+        L = self.l_max
+        pad = self.n_phi - self.n_m
+        zeros = jnp.zeros(fm.shape[:-1] + (pad,), dtype=fm.dtype)
+        full = jnp.concatenate([fm[..., L:], zeros, fm[..., :L]], axis=-1)
         return jnp.fft.ifft(full, axis=-1) * self.n_phi
 
 
