@@ -197,3 +197,52 @@ def test_newton_schulz_procrustes_matches_svd(problem):
     errors = np.asarray(errors)[:, 0]
     assert np.isfinite(errors).all()
     assert errors[-1] < 0.3 * errors[:5].mean()
+
+
+def test_checkpointing_runner_resumes(problem, tmp_path):
+    """Chunked runner: (a) produces the same trajectory as the monolithic
+    run, (b) resumes from a mid-run snapshot, (c) reuses compilations for
+    identical chunk structures."""
+    from xframe_tpu.parallel.mesh import CheckpointingRunner
+    mtip = problem["mtip"]
+    schedule = [
+        Segment('HIO', 8, betas=np.linspace(0.5, 0.45, 8), ft_stab=True),
+        Segment('SW', sigma=mtip.sw.default_sigma, threshold=0.09),
+        Segment('ER', 4, betas=np.zeros(4), ft_stab=True),
+        Segment('HIO', 8, betas=np.linspace(0.45, 0.4, 8), ft_stab=True),
+        Segment('SW', sigma=mtip.sw.default_sigma, threshold=0.09),
+        Segment('ER', 4, betas=np.zeros(4), ft_stab=True),
+    ]
+    keys = jax.random.split(jax.random.PRNGKey(1), 2)
+    rho0s = jnp.stack([_initial_density(problem, k) for k in keys])
+
+    # monolithic reference trajectory
+    run = jax.jit(lambda r: mtip.run_batch(r, schedule))
+    states_ref, errors_ref = run(rho0s)
+    errors_ref = np.asarray(errors_ref)
+
+    ckpt = str(tmp_path / "phasing_checkpoint.h5")
+    runner = CheckpointingRunner(mtip, schedule, checkpoint_path=ckpt)
+    states, errors = runner(rho0s)
+    errors = np.asarray(errors)
+    assert errors.shape == errors_ref.shape
+    assert np.allclose(errors, errors_ref, rtol=1e-3, atol=1e-6)
+    # chunks: [HIO,SW], [ER,HIO,SW], [ER] → 3 distinct structures; a longer
+    # loop repeating [ER,HIO,SW] would add no further compilations
+    assert len(runner._compiled) == 3
+    import os
+    assert os.path.exists(ckpt)
+
+    # true mid-run resume: interrupt after chunk 1, then a FRESH runner picks
+    # up from the snapshot and must land on the reference trajectory
+    ckpt2 = str(tmp_path / "interrupted.h5")
+    runner_a = CheckpointingRunner(mtip, schedule, checkpoint_path=ckpt2)
+    runner_a(rho0s, max_chunks=1)
+    runner_b = CheckpointingRunner(mtip, schedule, checkpoint_path=ckpt2)
+    states_r, errors_r = runner_b(rho0s)
+    errors_r = np.asarray(errors_r)
+    assert errors_r.shape == errors_ref.shape
+    # float32 snapshot roundtrip: trajectories agree to single precision
+    assert np.allclose(errors_r, errors_ref, rtol=5e-2, atol=1e-5)
+    assert np.allclose(np.asarray(states_r.best_err),
+                       np.asarray(states_ref.best_err), rtol=5e-2)

@@ -15,6 +15,7 @@ from functools import partial
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
@@ -79,3 +80,143 @@ def rank_restarts(states, errors=None):
     from xframe_tpu.library.hostio import to_host
     best = to_host(states.best_err)
     return np.argsort(best), best
+
+
+def split_schedule_chunks(schedule):
+    """Split a flattened schedule at shrink-wrap boundaries: each chunk is a
+    run of iteration segments ending with (and including) the next SW. Chunks
+    with identical structure share one jit compilation."""
+    chunks, current = [], []
+    for seg in schedule:
+        current.append(seg)
+        if seg.method == "SW":
+            chunks.append(current)
+            current = []
+    if current:
+        chunks.append(current)
+    return chunks
+
+
+def _chunk_structure_args(chunk):
+    structure, args = [], []
+    for seg in chunk:
+        if seg.method == "SW":
+            structure.append(("SW",))
+            args.append((np.float32(seg.sigma), np.float32(seg.threshold)))
+        else:
+            structure.append((seg.method, int(seg.n), bool(seg.ft_stab)))
+            args.append(np.asarray(seg.betas, dtype=np.float32))
+    return tuple(structure), tuple(args)
+
+
+class CheckpointingRunner:
+    """Multi-start runner that executes the schedule in shrink-wrap-bounded
+    chunks, snapshotting the full batched PhasingState to disk between chunks
+    — mid-run durability the reference lacks (SURVEY.md §5 "no checkpoint
+    restart"). Identical chunk structures reuse one compilation because ramp
+    values enter as traced arguments (MTIP.run_chunk)."""
+
+    def __init__(self, mtip, schedule, mesh: Mesh | None = None,
+                 checkpoint_path: str | None = None, save_every: int = 1,
+                 restart_axis: str = "restarts", theta_axis: str = "theta"):
+        self.mtip = mtip
+        self.chunks = split_schedule_chunks(schedule)
+        self.mesh = mesh
+        self.checkpoint_path = checkpoint_path
+        self.save_every = max(int(save_every), 1)
+        self._compiled = {}
+        if mesh is not None:
+            grid_rank = np.ndim(mtip.initial_support)
+            theta = theta_axis if (theta_axis in mesh.axis_names
+                                   and grid_rank == 3) else None
+            spec = P(restart_axis, None, theta, None) if grid_rank == 3 \
+                else P(restart_axis, None, None)
+            self.in_sharding = NamedSharding(mesh, spec)
+        else:
+            self.in_sharding = None
+
+    def _step(self, structure):
+        if structure not in self._compiled:
+            fn = lambda state, args: self.mtip.run_chunk(state, structure, args)  # noqa: E731
+            self._compiled[structure] = jax.jit(
+                jax.vmap(fn, in_axes=(0, None)), static_argnums=())
+        return self._compiled[structure]
+
+    # --------------------------------------------------------- checkpoint IO
+    def _save(self, state, errors_list, chunk_index):
+        from xframe_tpu.library.hostio import tree_to_host, to_host
+        from xframe_tpu.io import hdf5 as hdf5_io
+        import os
+        h = tree_to_host(state)
+        data = {
+            "chunk_index": int(chunk_index),
+            "rho_re": np.real(h.rho), "rho_im": np.imag(h.rho),
+            "support": np.asarray(h.support),
+            "best_rho_re": np.real(h.best_rho),
+            "best_rho_im": np.imag(h.best_rho),
+            "best_mask": np.asarray(h.best_mask),
+            "best_err": np.asarray(h.best_err),
+            "last_err": np.asarray(h.last_err),
+            "errors": np.concatenate([to_host(e) for e in errors_list], axis=1)
+            if errors_list else np.zeros((0, 0, 2), dtype=np.float32),
+        }
+        tmp = self.checkpoint_path + ".tmp"
+        os.makedirs(os.path.dirname(os.path.abspath(tmp)), exist_ok=True)
+        hdf5_io.save(tmp, data)
+        os.replace(tmp, self.checkpoint_path)
+
+    def _load(self):
+        from xframe_tpu.io import hdf5 as hdf5_io
+        from xframe_tpu.library.hostio import to_device_complex
+        from xframe_tpu.projects.fxs.phasing import PhasingState
+        import os
+        if not (self.checkpoint_path and os.path.exists(self.checkpoint_path)):
+            return None, 0, []
+        d = hdf5_io.load(self.checkpoint_path)
+        state = PhasingState(
+            rho=to_device_complex(np.asarray(d["rho_re"])
+                                  + 1j * np.asarray(d["rho_im"]),
+                                  self.mtip.cdtype),
+            support=jnp_bool(np.asarray(d["support"])),
+            best_rho=to_device_complex(np.asarray(d["best_rho_re"])
+                                       + 1j * np.asarray(d["best_rho_im"]),
+                                       self.mtip.cdtype),
+            best_mask=jnp_bool(np.asarray(d["best_mask"])),
+            best_err=np.asarray(d["best_err"], dtype=np.float32),
+            last_err=np.asarray(d["last_err"], dtype=np.float32))
+        prev = np.asarray(d["errors"], dtype=np.float32)
+        errors = [prev] if prev.ndim == 3 and prev.shape[1] > 0 else []
+        return state, int(d["chunk_index"]), errors
+
+    # ------------------------------------------------------------------ run
+    def __call__(self, rho0_batch, resume=True, max_chunks=None):
+        """max_chunks limits how many chunks run this call (the snapshot
+        still lands, so a later call resumes where this one stopped)."""
+        if self.in_sharding is not None:
+            rho0_batch = jax.device_put(rho0_batch, self.in_sharding)
+        state, start_chunk, errors = (None, 0, [])
+        if resume and self.checkpoint_path:
+            state, start_chunk, errors = self._load()
+        if state is None:
+            state = jax.jit(self.mtip.initial_state_batch)(rho0_batch)
+            start_chunk, errors = 0, []
+        stop = len(self.chunks) if max_chunks is None \
+            else min(start_chunk + int(max_chunks), len(self.chunks))
+        for i in range(start_chunk, stop):
+            structure, args = _chunk_structure_args(self.chunks[i])
+            state, errs = self._step(structure)(state, args)
+            errors.append(errs)
+            if self.checkpoint_path and ((i + 1) % self.save_every == 0
+                                         or i == stop - 1):
+                jax.block_until_ready(state.rho)
+                self._save(state, errors, i + 1)
+        all_errors = jnp.concatenate(
+            [jnp.asarray(e) for e in errors], axis=1) if errors \
+            else jnp.zeros((len(rho0_batch), 0, 2))
+        return state, all_errors
+
+
+def jnp_bool(arr):
+    """bool host array → device bool via a jitted cast (axon-safe)."""
+    f = jax.jit(lambda x: x > 0.5)
+    return f(np.asarray(arr, dtype=np.float32))

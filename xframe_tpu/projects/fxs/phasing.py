@@ -180,8 +180,12 @@ class MTIP:
         return rho_new, err, err_rec
 
     # -------------------------------------------------------------- segments
-    def _run_segment(self, state: PhasingState, seg: Segment):
-        betas = jnp.asarray(seg.betas, dtype=self.rdtype)
+    def _run_segment(self, state: PhasingState, seg: Segment, betas=None):
+        """betas may be passed as a traced array (checkpointed chunk runner)
+        instead of baked in from the Segment — identical chunk structures
+        then share one compilation."""
+        if betas is None:
+            betas = jnp.asarray(seg.betas, dtype=self.rdtype)
 
         def body(carry, beta):
             rho, best_rho, best_mask, best_err, _ = carry
@@ -201,19 +205,79 @@ class MTIP:
         return PhasingState(rho, state.support, best_rho, best_mask,
                             best_err, last_err), errs
 
-    def _shrink_wrap(self, state: PhasingState, seg: Segment):
+    def _shrink_wrap(self, state: PhasingState, seg: Segment, sigma=None,
+                     threshold=None):
         """SW sketch (reconstruct.py:598-605) + error-gated initial-support
         enforcement (reconstruct.py:879-886)."""
+        if sigma is None:
+            sigma = jnp.asarray(seg.sigma, dtype=self.rdtype)
+        if threshold is None:
+            threshold = seg.threshold
         blurred = self.ft.inverse(
             self.ft.forward(jnp.abs(state.rho).astype(self.cdtype))
-            * self.sw.gaussian_values(jnp.asarray(seg.sigma, dtype=self.rdtype)))
-        new_support = self.sw.new_support(blurred, seg.threshold)
+            * self.sw.gaussian_values(sigma))
+        new_support = self.sw.new_support(blurred, threshold)
         enforce = state.last_err > self.enforce_limit
         support = jnp.where(enforce, new_support & self.initial_support, new_support)
         return PhasingState(state.rho, support, state.best_rho, state.best_mask,
                             state.best_err, state.last_err)
 
     # ------------------------------------------------------------------ run
+    def initial_state(self, rho0):
+        """Fresh PhasingState for ONE restart (vmap outside, like run)."""
+        inf = jnp.asarray(np.inf, dtype=self.rdtype)
+        return PhasingState(rho=rho0.astype(self.cdtype),
+                            support=jnp.asarray(self.initial_support),
+                            best_rho=rho0.astype(self.cdtype),
+                            best_mask=jnp.asarray(self.initial_support),
+                            best_err=inf, last_err=inf)
+
+    def initial_state_batch(self, rho0_batch):
+        """Fresh batched PhasingState (restart axis leading); jit this —
+        complex casts must not run eagerly on the axon backend."""
+        n = rho0_batch.shape[0]
+        sup = jnp.broadcast_to(jnp.asarray(self.initial_support),
+                               rho0_batch.shape)
+        inf = jnp.full((n,), np.inf, dtype=self.rdtype)
+        rho = rho0_batch.astype(self.cdtype)
+        return PhasingState(rho=rho, support=sup, best_rho=rho,
+                            best_mask=sup, best_err=inf, last_err=inf)
+
+    def run_from(self, state: PhasingState, schedule):
+        """Continue a phasing run from an existing state (checkpoint resume).
+        → (state, errors (n_iter, 2))."""
+        err_chunks = []
+        for seg in schedule:
+            if seg.method == 'SW':
+                state = self._shrink_wrap(state, seg)
+            else:
+                state, errs = self._run_segment(state, seg)
+                err_chunks.append(errs)
+        errors = jnp.concatenate(err_chunks) if err_chunks \
+            else jnp.zeros((0, 2), dtype=self.rdtype)
+        return state, errors
+
+    def run_chunk(self, state: PhasingState, structure, args):
+        """Execute one schedule chunk with the ramp values passed as traced
+        arrays. structure: static tuple of ('SW',) | (method, n, ft_stab);
+        args: matching tuple of (sigma, threshold) | betas-array. Chunks with
+        the same structure share one jit compilation."""
+        err_chunks = []
+        for seg_s, a in zip(structure, args):
+            if seg_s[0] == 'SW':
+                state = self._shrink_wrap(
+                    state, None, sigma=jnp.asarray(a[0], dtype=self.rdtype),
+                    threshold=jnp.asarray(a[1], dtype=self.rdtype))
+            else:
+                method, n, ft_stab = seg_s
+                seg = Segment(method, n, ft_stab=ft_stab)
+                state, errs = self._run_segment(
+                    state, seg, betas=jnp.asarray(a, dtype=self.rdtype))
+                err_chunks.append(errs)
+        errors = jnp.concatenate(err_chunks) if err_chunks \
+            else jnp.zeros((0, 2), dtype=self.rdtype)
+        return state, errors
+
     def run(self, rho0, schedule):
         """Full phasing run for ONE restart; vmap over restarts outside."""
         inf = jnp.asarray(np.inf, dtype=self.rdtype)

@@ -100,7 +100,18 @@ class ProjectWorker(ProjectWorkerInterface):
         rho0s = aux["initial_density_batch"](int(seed), n_restarts)
 
         mesh = self._make_mesh(n_restarts)
-        runner = MultiStartRunner(mtip, schedule, mesh)
+        ckpt_opt = opt.get("checkpointing", {})
+        ckpt_path = None
+        if ckpt_opt.get("enable", False):
+            from xframe_tpu.parallel.mesh import CheckpointingRunner
+            ckpt_path = os.path.join(
+                settings_loader.home_dir(), "data", "fxs", "checkpoints",
+                f"{opt.get('structure_name', 'default')}_phasing.h5")
+            runner = CheckpointingRunner(
+                mtip, schedule, mesh, checkpoint_path=ckpt_path,
+                save_every=int(ckpt_opt.get("save_every", 1)))
+        else:
+            runner = MultiStartRunner(mtip, schedule, mesh)
         t_run0 = time.perf_counter()
         states, errors = runner(rho0s)
         jax.block_until_ready(errors)
@@ -116,6 +127,8 @@ class ProjectWorker(ProjectWorkerInterface):
                              "sec_per_iteration_per_restart":
                                  t_run / max(n_iter * n_restarts, 1)}
         path, run = self.db.save("reconstructions", results)
+        if ckpt_path and os.path.exists(ckpt_path):
+            os.remove(ckpt_path)  # completed: the archive is the durable copy
         print(f"reconstruct: {n_restarts} restarts, {n_iter} iterations each "
               f"in {t_run:.1f}s (incl. compile), best error "
               f"{best_err[order[0]]:.3e}; saved to {path}")
