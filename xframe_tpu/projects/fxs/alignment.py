@@ -24,11 +24,17 @@ class Aligner:
     """Bundles the transforms + SO(3) correlator for one internal grid."""
 
     def __init__(self, ft, integration_weights, r_limit_ids=None,
-                 bandwidth=None, real_dtype=jnp.float32):
+                 bandwidth=None, l_max_align=None, real_dtype=jnp.float32):
+        """l_max_align caps the harmonic band used for the rotation SEARCH
+        (the Wigner-d table grows as O(n_β·L·(2L+1)²) — at L=64 it would be a
+        ~0.5 GB program constant); the final rotation is still applied at the
+        full band limit."""
         self.ft = ft
         self.sht = ft.sht
         L = ft.sht.l_max
-        self.corr = SO3Correlator(L, bandwidth=bandwidth, real_dtype=real_dtype)
+        self.l_align = min(int(l_max_align), L) if l_max_align else min(L, 32)
+        self.corr = SO3Correlator(self.l_align, bandwidth=bandwidth,
+                                  real_dtype=real_dtype)
         n_r = ft.n_radial_points
         if r_limit_ids is None:
             r_limit_ids = np.arange(n_r)
@@ -87,9 +93,17 @@ class Aligner:
                 lambda c: c * self._parity[None, None, :])
         return self._parity_fn(coeff)
 
+    def _truncate(self, coeff):
+        """Full-band centered layout → the alignment band (centered window)."""
+        L, La = self.sht.l_max, self.l_align
+        if La == L:
+            return coeff
+        return coeff[..., L - La: L + La + 1, : La + 1]
+
     def find_rotation(self, ref_coeff, coeff):
         """→ (α,β,γ) maximizing Re⟨Λ(R)·coeff, ref_coeff⟩."""
-        C = to_host(self._correlate(ref_coeff, coeff))
+        C = to_host(self._correlate(self._truncate(ref_coeff),
+                                    self._truncate(coeff)))
         ia, ib, ig = np.unravel_index(np.argmax(C), C.shape)
         return (float(self.corr.alphas[ia]), float(self.corr.betas[ib]),
                 float(self.corr.gammas[ig])), float(C[ia, ib, ig])

@@ -96,8 +96,11 @@ class ProjectWorker(ProjectWorkerInterface):
         rl = fr.get("r_limit_ids", "all")
         r_ids = None if (isinstance(rl, str) and rl == "all") \
             else np.asarray(rl, dtype=int)
+        lma = fr.get("l_max_align", "auto")
         aligner = Aligner(ft, integ._w, r_limit_ids=r_ids,
-                          bandwidth=int(fr.get("so3_n_beta") or 0) or None)
+                          bandwidth=int(fr.get("so3_n_beta") or 0) or None,
+                          l_max_align=None if (isinstance(lma, str))
+                          else int(lma))
 
         # center + normalize
         mode = str(opt.get("normalize_reconstructions", {}).get("mode", "max"))
