@@ -1,0 +1,82 @@
+"""Framework integration through the ACTUAL CLI in subprocesses, with a
+throwaway user project — the reference's framework test pattern
+(tests/test_framework_integration.py:64-200): generated project worker,
+settings with `command:` evals, custom output, stdout + file assertions."""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture()
+def home(tmp_path):
+    proj = tmp_path / "projects" / "hello"
+    (proj / "settings" / "greet").mkdir(parents=True)
+    (proj / "greet.py").write_text('''
+import os
+import numpy as np
+from xframe_tpu.interfaces import ProjectWorkerInterface
+from xframe_tpu.settings import loader as settings_loader
+
+
+class ProjectWorker(ProjectWorkerInterface):
+    def run(self):
+        opt = self.settings
+        values = np.asarray(opt.values)
+        out = os.path.join(settings_loader.home_dir(), "data", "hello.txt")
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        with open(out, "w") as f:
+            f.write(f"{opt.greeting} sum={values.sum():.1f}")
+        print(f"hello worker says: {opt.greeting}")
+        return values
+''')
+    (proj / "settings" / "greet" / "default_0.1.yaml").write_text('''
+greeting:
+  _value: "default-hi"
+values:
+  _value:
+    command: 'np.arange(4)'
+scale:
+  _value: 1.0
+''')
+    (proj / "settings" / "greet" / "loud.yaml").write_text('''
+greeting: "HELLO"
+values:
+  command: 'np.arange(5) * 2'
+''')
+    return str(tmp_path)
+
+
+def _cli(home, *args):
+    env = dict(os.environ, XFRAME_TPU_HOME=home, JAX_PLATFORMS="cpu")
+    return subprocess.run([sys.executable, "-m", "xframe_tpu", *args],
+                          capture_output=True, text=True, cwd=REPO, env=env,
+                          timeout=300)
+
+
+def test_cli_runs_user_project(home):
+    r = _cli(home, "hello", "greet", "loud")
+    assert r.returncode == 0, r.stderr
+    assert "hello worker says: HELLO" in r.stdout
+    out = os.path.join(home, "data", "hello.txt")
+    with open(out) as f:
+        content = f.read()
+    assert content == "HELLO sum=20.0"  # command: eval ran (0+2+4+6+8)
+
+
+def test_cli_defaults_without_named_settings(home):
+    r = _cli(home, "hello", "greet")
+    assert r.returncode == 0, r.stderr
+    assert "default-hi" in r.stdout
+    with open(os.path.join(home, "data", "hello.txt")) as f:
+        assert f.read() == "default-hi sum=6.0"
+
+
+def test_cli_discovery_lists_user_project(home):
+    r = _cli(home, "--help")
+    assert r.returncode in (0, 1)
+    assert "hello" in r.stdout

@@ -35,13 +35,29 @@ def select_project(project, worker, settings_name=None, overrides=None):
 
 
 def run():
-    """Instantiate the selected worker and run it (reference startup_routines.py:270-350)."""
+    """Instantiate the selected worker and run it (reference
+    startup_routines.py:270-350). Workers resolve from the built-in
+    `xframe_tpu.projects` package first, then from `<home>/projects/<project>/
+    <worker>.py` (user projects, reference home-folder discovery)."""
     import importlib
+    import importlib.util
+    import os
 
     project, worker = _selected["project"], _selected["worker"]
     if project is None:
         raise RuntimeError("No project selected. Call select_project() first.")
-    mod = importlib.import_module(f"xframe_tpu.projects.{project}.{worker}")
+    try:
+        mod = importlib.import_module(f"xframe_tpu.projects.{project}.{worker}")
+    except ModuleNotFoundError:
+        from xframe_tpu.settings import loader as settings_loader
+        path = os.path.join(settings_loader.home_dir(), "projects", project,
+                            f"{worker}.py")
+        if not os.path.exists(path):
+            raise
+        spec = importlib.util.spec_from_file_location(
+            f"xframe_tpu_user.{project}.{worker}", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
     w = mod.ProjectWorker()
     return w.run()
 

@@ -82,7 +82,7 @@ def build_schedule(main_loop_opt, hio_beta_opt, sw_sigmas_opt, sw_thresholds_opt
         for _ in range(int(loop['iterations'])):
             for method in loop['order']:
                 mopt = loop['methods'][method]
-                if isinstance(mopt, dict):
+                if hasattr(mopt, 'get'):  # dict or DictNamespace node
                     repeats = int(mopt.get('iterations', 0))
                 else:
                     repeats = int(mopt)

@@ -89,9 +89,11 @@ def install_dir() -> str:
 
 
 def settings_folders(project: str, worker: str) -> list:
-    """Search precedence, highest first."""
+    """Search precedence, highest first (reference 4-level precedence:
+    home settings > user project dir > install tree)."""
     return [
         os.path.join(home_dir(), "settings", "projects", project, worker),
+        os.path.join(home_dir(), "projects", project, "settings", worker),
         os.path.join(install_dir(), "projects", project, "settings", worker),
     ]
 
