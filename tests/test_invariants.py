@@ -116,3 +116,45 @@ class Test2D:
         # hermitian-symmetric CC. Use the real part consistency instead:
         cc2 = itools.deg2_invariant_to_cc_2d(bm2, n_phi=64)
         assert np.abs(cc2 - cc).max() < 1e-8 * np.abs(cc).max()
+
+
+class TestCCMasks:
+    def test_mask_shapes_and_coverage(self):
+        import xframe_tpu.projects.fxs.invariants as itools
+        qs = np.linspace(0.05, 0.5, 12)
+        phis = 2 * np.pi * np.arange(32) / 32
+        none = itools.cc_mask(qs, phis, "none")
+        assert none.all() and none.shape == (12, 12, 32)
+        arc = itools.cc_mask(qs, phis, "pixel_arc", xray_wavelength=1.23984,
+                             pixel_size=100.0)
+        assert arc.shape == (12, 12, 32)
+        assert not arc.all()           # masks the Δ≈0 self-correlation band
+        assert not arc[5, 5, 0]        # same point always masked
+        flat = itools.cc_mask(qs, phis, "pixel_flat",
+                              xray_wavelength=1.23984, pixel_size=100.0)
+        assert not flat[5, 5, 0] and flat.any()
+        don = itools.cc_mask(qs, phis, "donatelli", xray_wavelength=1.23984,
+                             threshold=0.01)
+        assert don.shape == (12, 12, 32) and don.any()
+
+    def test_interpolate_masked_cc(self):
+        import xframe_tpu.projects.fxs.invariants as itools
+        n_phi = 16
+        phis = 2 * np.pi * np.arange(n_phi) / n_phi
+        cc = np.cos(phis)[None, None, :] * np.ones((3, 3, 1))
+        mask = np.ones((3, 3, n_phi), dtype=bool)
+        mask[1, 2, 3:6] = False
+        mask[0, 0, 0] = False          # wrap-around case
+        filled = itools.interpolate_masked_cc(np.where(mask, cc, 99.0), mask)
+        assert np.abs(filled[1, 2] - np.cos(phis)).max() < 0.1
+        assert np.abs(filled[0, 0, 0] - 1.0) < 0.1
+
+    def test_pi_periodicity(self):
+        import xframe_tpu.projects.fxs.invariants as itools
+        n_phi = 8
+        phis = 2 * np.pi * np.arange(n_phi) / n_phi
+        even = np.cos(2 * phis)   # π-periodic
+        odd = np.cos(phis)        # π-antiperiodic
+        cc = (even + odd)[None, None, :]
+        out = itools.enforce_pi_periodicity(cc)
+        assert np.allclose(out[0, 0], even, atol=1e-12)

@@ -43,6 +43,18 @@ class ProjectWorker(ProjectWorkerInterface):
         zero_odd = bool(ds_opt.get("assume_zero_odd_orders", True))
         method = str(ds_opt.get("bl_extraction_method", "back_substitution"))
 
+        # --- CC mask (reference cross_correlation_mask :100-232)
+        phis = np.asarray(ccd["angular_points"], dtype=float)
+        mask_opt = ds_opt.get("cc_mask", {})
+        mask_type = str(mask_opt.get("type", "none"))
+        mask = itools.cc_mask(
+            qs, phis, mask_type=mask_type, xray_wavelength=wavelength,
+            pixel_size=mask_opt.get("pixel_size"),
+            mask_at_pi=bool(mask_opt.get("mask_at_pi", True)),
+            threshold=float(mask_opt.get("threshold", 0.01)),
+            custom=mask_opt.get("mask")) if dim == 3 else \
+            np.ones(cc.shape, dtype=bool)
+
         # --- CC modifications (reference modify_cross_correlation :235-289)
         mod = ds_opt.get("modify_cc", {})
         subtracted_avg = bool(mod.get("subtract_average_intensity", True))
@@ -60,6 +72,13 @@ class ProjectWorker(ProjectWorkerInterface):
             cc = np.fft.irfft(ccn, cc.shape[-1], axis=-1)
         if mod.get("q1q2_symmetrize", False):
             cc = (cc + np.swapaxes(cc, 0, 1)) / 2
+        if mod.get("pi_periodicity", False):
+            cc = itools.enforce_pi_periodicity(cc)
+        if not mask.all():
+            if mod.get("interpolate_masked", True):
+                cc = itools.interpolate_masked_cc(cc, mask)
+            else:
+                cc = np.where(mask, cc, 0.0)
 
         # --- B_l extraction
         if dim == 3:

@@ -405,3 +405,109 @@ def estimate_number_of_particles(proj_matrices, sht, search_space=(1.0, 10.0, 64
         above = np.nonzero(neg > onset_threshold)[0]
         s_star = scales[above[0]] if len(above) else scales[-1]
     return float(s_star ** 2), grad, neg, scales
+
+
+# -------------------------------------------------------------------- CC masks
+def cc_mask(qs, phis, mask_type="none", xray_wavelength=None, pixel_size=None,
+            mask_at_pi=True, threshold=0.01, custom=None):
+    """Cross-correlation validity masks (n_q, n_q, n_phi) — regions of the
+    CC plane dominated by detector artifacts (reference
+    fxs_invariant_tools.py:100-232).
+
+    none       : all true
+    pixel_arc  : mask pairs of Ewald-sphere points closer (arc length) than
+                 the reciprocal feature size 2π/pixel_size (optionally also
+                 around Δ=π)
+    pixel_flat : flat-detector variant — mask Δ≈0 (and π) where q1≈q2
+    donatelli  : |q1±q2|²-style threshold (Donatelli PNAS 2018 suppl.)
+    direct     : user-provided boolean array
+    """
+    qs = np.asarray(qs, dtype=float)
+    phis = np.asarray(phis, dtype=float)
+    n_q, n_phi = len(qs), len(phis)
+    if mask_type == "none":
+        return np.ones((n_q, n_q, n_phi), dtype=bool)
+    if mask_type == "direct":
+        return np.asarray(custom, dtype=bool)
+
+    if mask_type == "donatelli":
+        thetas = ewald_sphere_theta_pi(xray_wavelength, qs)
+        ct, st = np.cos(thetas), np.sin(thetas)
+        a = (qs ** 2)[:, None, None] + (qs ** 2)[None, :, None]
+        b = 2 * qs[:, None, None] * qs[None, :, None] * (
+            ct[:, None, None] * ct[None, :, None]
+            + st[:, None, None] * st[None, :, None]
+            * np.cos(phis)[None, None, :])
+        return ~((a + b < threshold) | (a - b < threshold))
+
+    r_pix = 2 * np.pi / float(pixel_size)
+    if mask_type == "pixel_arc":
+        # Ewald-sphere points: shift the scattering vectors to the sphere
+        # center and measure great-circle distance
+        thetas = ewald_sphere_theta_pi(xray_wavelength, qs)
+        ewald_r = 2 * np.pi / xray_wavelength
+        z = np.broadcast_to((qs * np.cos(thetas) - ewald_r)[:, None],
+                            (n_q, n_phi))
+        cart = np.stack([
+            qs[:, None] * np.sin(thetas)[:, None] * np.cos(phis)[None, :],
+            qs[:, None] * np.sin(thetas)[:, None] * np.sin(phis)[None, :],
+            z,
+        ], axis=-1)                                  # (n_q, n_phi, 3)
+        sph_theta = np.arccos(np.clip(cart[..., 2]
+                                      / np.linalg.norm(cart, axis=-1),
+                                      -1, 1))[:, 0]  # φ-independent
+        ct, st = np.cos(sph_theta), np.sin(sph_theta)
+
+        def arc(phi_vals):
+            cosarc = ct[:, None, None] * ct[None, :, None] \
+                + st[:, None, None] * st[None, :, None] \
+                * np.cos(phi_vals)[None, None, :]
+            return np.abs(ewald_r * np.arccos(np.clip(cosarc, -1, 1)))
+
+        mask = arc(phis) > r_pix
+        if mask_at_pi:
+            mask &= arc(phis - np.pi) > r_pix
+        return mask
+    if mask_type == "pixel_flat":
+        with np.errstate(divide="ignore"):
+            # angular extent of one reciprocal pixel on the ring of radius q
+            phi_min = np.where(qs > 0, r_pix / np.where(qs > 0, qs, 1.0),
+                               np.inf)
+        phi_mask = (phis[None, :] > phi_min[:, None]) \
+            & (phis[None, :] < 2 * np.pi - phi_min[:, None])
+        if mask_at_pi:
+            phi_mask &= (phis[None, :] > np.pi + phi_min[:, None]) \
+                | (phis[None, :] < np.pi - phi_min[:, None])
+        phi_mask = phi_mask[None, :, :] & phi_mask[:, None, :]
+        radial_mask = np.abs(qs[None, :] - qs[:, None]) > r_pix
+        return radial_mask[:, :, None] | phi_mask
+    raise ValueError(f"unknown cc mask type {mask_type!r}")
+
+
+def interpolate_masked_cc(cc, mask):
+    """Fill masked Δ entries of each (q1,q2) row by periodic linear
+    interpolation from the unmasked neighbors (reference
+    interpolate_masked_cc, fxs_invariant_tools.py:335-351)."""
+    cc = np.array(cc, dtype=float, copy=True)
+    mask = np.asarray(mask, dtype=bool)
+    n_phi = cc.shape[-1]
+    x = np.arange(n_phi)
+    bad_pairs = np.argwhere(~mask.all(axis=-1))
+    for i, j in bad_pairs:
+        good = mask[i, j]
+        if not good.any():
+            cc[i, j] = 0.0
+            continue
+        xg = x[good]
+        # periodic extension for wrap-around interpolation
+        xp = np.concatenate([xg - n_phi, xg, xg + n_phi])
+        fp = np.tile(cc[i, j, good], 3)
+        cc[i, j, ~good] = np.interp(x[~good], xp, fp)
+    return cc
+
+
+def enforce_pi_periodicity(cc):
+    """Average CC(Δ) with CC(Δ+π) (Friedel symmetry of the intensity on a
+    flat Ewald sphere; reference modify_cross_correlation pi_periodicity)."""
+    cc = np.asarray(cc)
+    return 0.5 * (cc + np.roll(cc, cc.shape[-1] // 2, axis=-1))
