@@ -67,12 +67,21 @@ def projection_matrices_to_deg2_invariant_3d(proj_matrices) -> np.ndarray:
 def deg2_invariant_to_cc_3d(bl: np.ndarray, xray_wavelength: float,
                             qs: np.ndarray, n_phi: int = None) -> np.ndarray:
     """Synthesize CC(q1,q2,Δ) from B_l via the PP relation + irfft
-    (reference deg2_invariant_to_cc_3d 'back_substitution' mode, :962-990)."""
+    (reference deg2_invariant_to_cc_3d 'back_substitution' mode, :962-990).
+
+    Accumulates C_n per order — memory O(n_q²·L), never materializing the
+    full (n_q², L²) PP tensor (which is terabytes at production grids; the
+    reference fanned this out over worker processes for the same reason)."""
     l_max = bl.shape[0] - 1
     thetas = ewald_sphere_theta_pi(xray_wavelength, qs)
     tables = ewald_legendre_tables(thetas, l_max)
-    pp = pp_matrices(tables)  # (q1,q2,n,l)
-    cns = np.einsum("lqp,qpnl->qpn", bl, pp)
+    n_q = len(qs)
+    cns = np.zeros((n_q, n_q, l_max + 1), dtype=complex)
+    for l in range(l_max + 1):
+        if not np.any(bl[l]):
+            continue
+        col = pp_matrix_single_l(tables, l)       # (q1, q2, n<=l)
+        cns[..., : l + 1] += bl[l][..., None] * col
     if n_phi is None:
         n_phi = 2 * (cns.shape[-1] - 1)
     return np.fft.irfft(cns * n_phi, n_phi, axis=-1)
