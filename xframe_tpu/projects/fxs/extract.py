@@ -110,6 +110,17 @@ class ProjectWorker(ProjectWorkerInterface):
             vecs, eigs = itools.deg2_invariant_to_projection_vectors_2d(bl)
             proj = [v[:, None] for v in vecs]
 
+        # --- optional prephasing: SHT positivity constraint on V_l
+        # (reference extract.py:479-493 → fxs_invariant_tools.py:1271)
+        pp = opt.get("projection_matrices", {}).get("prephase", {})
+        if dim == 3 and bool(pp.get("apply", False)):
+            from xframe_tpu.ops.sht import SphericalHarmonicTransform
+            sht = SphericalHarmonicTransform(bl.shape[0] - 1)
+            proj, converged = itools.enforce_sht_constraint(
+                proj, sht, iterations=int(pp.get("iterations", 10)) * 10)
+            print(f"extract: prephasing "
+                  f"{'converged' if converged else 'ran its iteration budget'}")
+
         low_res = avg_intensity * 2 * np.sqrt(np.pi)
         return {
             "dimensions": dim,
