@@ -102,6 +102,19 @@ class SphericalHarmonicTransform:
         # Σ_θ w_θ P̄_lm(θ) f_m(θ):  (..., θ, m) × (m, θ, l) → (..., m, l)
         return jnp.einsum('...tm,mtl->...ml', fm, self._PW)
 
+    def forward_real(self, f):
+        """Analysis of a REAL field: rfft + half-size Legendre contraction,
+        negative m filled by the hermitian symmetry
+        c_{l,-m} = (-1)^m conj(c_{l,m}). Returns the same centered layout as
+        forward (used for the intensity projection in the MTIP loop)."""
+        L = self.l_max
+        fm = jnp.fft.rfft(f.astype(self.real_dtype), axis=-1)[..., : L + 1] \
+            * (2 * np.pi / self.n_phi)
+        c_pos = jnp.einsum('...tm,mtl->...ml', fm, self._PW[L:])  # m = 0..L
+        signs = ((-1.0) ** np.arange(1, L + 1))[::-1]
+        c_neg = signs[:, None] * jnp.conj(c_pos[..., 1:, :])[..., ::-1, :]
+        return jnp.concatenate([c_neg, c_pos], axis=-2)
+
     def inverse(self, c):
         """f_lm (..., m_fft, l) → f(..., θ, φ)."""
         fm = jnp.einsum('...ml,mtl->...tm', c.astype(self.complex_dtype), self._P)

@@ -159,7 +159,8 @@ class MTIP:
         → (rho_new, real error, reciprocal error)."""
         psi = self.ft.forward(rho_in)
         intensity = (psi * psi.conj()).real
-        Ilm = self.sht.forward(intensity)
+        analyse = getattr(self.sht, 'forward_real', self.sht.forward)
+        Ilm = analyse(intensity)
         Ilm_proj = self.rc(Ilm)
         I_new = self.sht.inverse(Ilm_proj).real
         psi_p = project_to_modified_intensity(psi, intensity, I_new)
@@ -303,7 +304,8 @@ class MTIP:
         ψ' (amplitude-projected), the last unknowns, and deg-2 invariants."""
         psi = self.ft.forward(rho.astype(self.cdtype))
         intensity = (psi * psi.conj()).real
-        Ilm = self.sht.forward(intensity)
+        analyse = getattr(self.sht, 'forward_real', self.sht.forward)
+        Ilm = analyse(intensity)
         W = self.rc.approximate_unknowns(Ilm)
         Ilm_proj = self.rc.project_coefficients(Ilm, W)
         I_new = self.sht.inverse(Ilm_proj).real
