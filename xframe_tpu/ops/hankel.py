@@ -274,3 +274,25 @@ class PolarHankelTransform:
 
     def inverse(self, f):
         return self._apply(self._wi, f)
+
+
+# --------------------------------------------------- large-table argument path
+def weight_planes(ht):
+    """(forward, inverse) float32 real/imag planes of a Hankel transform's
+    tables — for passing weights as jit ARGUMENTS instead of embedded
+    constants. Needed when tables are too large to ship inside the program
+    (the axon tunnel rejects oversized compile payloads) and generally wise
+    beyond ~100 MB."""
+    return ((np.ascontiguousarray(ht._wf.real, dtype=np.float32),
+             np.ascontiguousarray(ht._wf.imag, dtype=np.float32)),
+            (np.ascontiguousarray(ht._wi.real, dtype=np.float32),
+             np.ascontiguousarray(ht._wi.imag, dtype=np.float32)))
+
+
+def apply_hankel_planes(w_re, w_im, f, skip_zero=False):
+    """Jittable Hankel application with the weight planes as traced inputs:
+    out[..., p, m, l] = Σ_k (w_re+i·w_im)[k,p,l] · f[..., k, m, l]."""
+    if skip_zero:
+        f = f[..., 1:, :, :]
+    w = (w_re + 1j * w_im).astype(f.dtype)
+    return jnp.einsum('kpl,...kml->...pml', w, f)

@@ -146,3 +146,107 @@ class Aligner:
         rho_rot = self._synth(rot)
         return rho_rot, rot, {"angles": angles, "score": score,
                               "inverted": tag == "inverted"}
+
+
+class Aligner2D:
+    """Polar (2D) alignment: rotation search is a 1D circular correlation of
+    the circular-harmonic coefficients (reference average 2D branch):
+    C(α) = Σ_{r,m} w_r f_m(r) conj(g_m(r)) e^{imα}, point inversion is the
+    parity flip f_m → (-1)^m f_m."""
+
+    def __init__(self, ft, integration_weights, r_limit_ids=None,
+                 real_dtype=jnp.float32):
+        self.ft = ft
+        self.n_phi = ft.n_phi
+        n_r = ft.n_radial_points
+        if r_limit_ids is None:
+            r_limit_ids = np.arange(n_r)
+        w = np.zeros(n_r)
+        ids = np.asarray(r_limit_ids, dtype=int)
+        w[ids] = np.asarray(ft.rs)[ids]
+        self._w_r = (w / max(w.sum(), 1e-30)).astype(np.float32)
+        self._w_int = np.asarray(integration_weights)
+        ms = np.fft.fftfreq(self.n_phi, 1 / self.n_phi).astype(np.float32)
+        self._parity = ((-1.0) ** np.abs(ms)).astype(np.float32)
+        self.alphas = 2 * np.pi * np.arange(self.n_phi) / self.n_phi
+
+        self._coeffs = jax.jit(lambda rho: jnp.fft.fft(rho, axis=-1)
+                               / self.n_phi)
+        self._ft_fwd = jax.jit(ft.forward)
+        self._ft_inv = jax.jit(ft.inverse)
+
+        @jax.jit
+        def _correlate(f, g):
+            M = jnp.einsum("r,rm,rm->m", self._w_r, f, g.conj())
+            return jnp.fft.ifft(M).real * self.n_phi  # C(α_k), α_k = 2πk/n
+
+        self._correlate = _correlate
+
+        @jax.jit
+        def _center(rho):
+            w = jnp.abs(rho) * self._w_int
+            total = jnp.sum(w)
+            r_cart = self._r_cart()
+            com = jnp.einsum("rp,rpc->c", w, jnp.asarray(r_cart)) / total
+            psi = ft.forward(rho)
+            q_cart = self._q_cart()
+            phase = jnp.exp(1j * jnp.einsum(
+                "rpc,c->rp", jnp.asarray(q_cart), com).astype(psi.dtype))
+            return ft.inverse(psi * phase), com
+
+        self._center_fn = _center
+
+    def _r_cart(self):
+        if not hasattr(self, "_r_cart_cache"):
+            from xframe_tpu.library.shapes import polar_grid, spherical_to_cartesian
+            phis = 2 * np.pi * np.arange(self.n_phi) / self.n_phi
+            self._r_cart_cache = spherical_to_cartesian(
+                polar_grid(np.asarray(self.ft.rs), phis))
+        return self._r_cart_cache
+
+    def _q_cart(self):
+        if not hasattr(self, "_q_cart_cache"):
+            from xframe_tpu.library.shapes import polar_grid, spherical_to_cartesian
+            phis = 2 * np.pi * np.arange(self.n_phi) / self.n_phi
+            self._q_cart_cache = spherical_to_cartesian(
+                polar_grid(np.asarray(self.ft.qs), phis))
+        return self._q_cart_cache
+
+    def center(self, rho):
+        return self._center_fn(rho)
+
+    def coefficients(self, rho):
+        return self._coeffs(rho)
+
+    def invert_parity(self, coeff):
+        if not hasattr(self, "_parity_fn"):
+            self._parity_fn = jax.jit(lambda c: c * self._parity[None, :])
+        return self._parity_fn(coeff)
+
+    def rotate_density(self, rho, alpha):
+        """Rotate by circular spectral shift: f(φ-α)."""
+        if not hasattr(self, "_rotate_fn"):
+            ms = np.fft.fftfreq(self.n_phi, 1 / self.n_phi).astype(np.float32)
+            self._rotate_fn = jax.jit(lambda r, a: jnp.fft.ifft(
+                jnp.fft.fft(r, axis=-1)
+                * jnp.exp(-1j * ms * a).astype(r.dtype), axis=-1))
+        return self._rotate_fn(rho, jnp.float32(alpha))
+
+    def l2_distance(self, rho_a, rho_b):
+        if not hasattr(self, "_l2_fn"):
+            self._l2_fn = jax.jit(lambda a, b: jnp.sqrt(
+                jnp.sum(self._w_int * jnp.abs(a - b) ** 2)
+                / jnp.maximum(jnp.sum(self._w_int * jnp.abs(b) ** 2), 1e-30)
+            ).astype(jnp.float32))
+        return float(to_host(self._l2_fn(rho_a, rho_b)))
+
+    def align(self, rho, ref_coeff, check_point_inversion=True):
+        """2D point inversion ρ(-x) = ρ(r, φ+π) is itself a rotation, so the
+        circular search covers it; no separate disambiguation branch."""
+        coeff = self.coefficients(rho)
+        C = to_host(self._correlate(ref_coeff, coeff))
+        k = int(np.argmax(C))
+        alpha = 2 * np.pi * k / self.n_phi
+        rho_rot = self.rotate_density(rho, alpha)
+        return rho_rot, None, {"angles": (alpha, 0.0, 0.0),
+                               "score": float(C[k]), "inverted": False}

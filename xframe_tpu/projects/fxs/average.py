@@ -79,28 +79,41 @@ class ProjectWorker(ProjectWorkerInterface):
         grid_cfg = cfg["internal_grid"]
         rs = np.asarray(grid_cfg["real_grid"])
         qs = np.asarray(grid_cfg["reciprocal_grid"])
-        thetas = np.asarray(grid_cfg["thetas"])
+        thetas = np.asarray(grid_cfg.get("thetas", []))
         phis = np.asarray(grid_cfg["phis"])
         L = int(cfg.get("max_order", len(thetas) - 1))
         rc = float(cfg.get("reciprocity_coefficient", 2.0))
 
-        mode = str(cfg.get("fourier_transform_mode", "midpoint"))
+        dim = int(cfg.get("dimensions", 3))
+        ft_mode = str(cfg.get("fourier_transform_mode", "midpoint"))
         q_max = float(cfg.get("q_max", 0) or
-                      (qs[-1] + qs[0] if mode == "midpoint" else qs[-1]))
-        ft = SphericalFourierTransform(
-            len(rs), L, q_max=q_max, mode=mode, reciprocity_coefficient=rc,
-            n_theta=len(thetas), n_phi=len(phis))
-        integ = SphericalIntegrator(rs, len(thetas), len(phis))
-
+                      (qs[-1] + qs[0] if ft_mode == "midpoint" else qs[-1]))
         fr = opt.get("find_rotation", {})
         rl = fr.get("r_limit_ids", "all")
         r_ids = None if (isinstance(rl, str) and rl == "all") \
             else np.asarray(rl, dtype=int)
-        lma = fr.get("l_max_align", "auto")
-        aligner = Aligner(ft, integ._w, r_limit_ids=r_ids,
-                          bandwidth=int(fr.get("so3_n_beta") or 0) or None,
-                          l_max_align=None if (isinstance(lma, str))
-                          else int(lma))
+        if dim == 3:
+            ft = SphericalFourierTransform(
+                len(rs), L, q_max=q_max, mode=ft_mode,
+                reciprocity_coefficient=rc,
+                n_theta=len(thetas), n_phi=len(phis))
+            integ = SphericalIntegrator(rs, len(thetas), len(phis))
+            lma = fr.get("l_max_align", "auto")
+            aligner = Aligner(ft, integ._w, r_limit_ids=r_ids,
+                              bandwidth=int(fr.get("so3_n_beta") or 0) or None,
+                              l_max_align=None if (isinstance(lma, str))
+                              else int(lma))
+            theta_weights = ft.sht.gl_weights
+        else:
+            from xframe_tpu.ops.fourier import PolarFourierTransform
+            from xframe_tpu.ops.integrate import PolarIntegrator
+            from xframe_tpu.projects.fxs.alignment import Aligner2D
+            ft = PolarFourierTransform(len(rs), L, len(phis), q_max,
+                                       mode=ft_mode,
+                                       reciprocity_coefficient=rc)
+            integ = PolarIntegrator(rs, len(phis))
+            aligner = Aligner2D(ft, integ._w, r_limit_ids=r_ids)
+            theta_weights = None
 
         # center + normalize
         mode = str(opt.get("normalize_reconstructions", {}).get("mode", "max"))
@@ -149,9 +162,9 @@ class ProjectWorker(ProjectWorkerInterface):
         psis = np.stack([to_host(aligner._ft_fwd(to_device_complex(a)))
                          for a in aligned])
         metrics = {}
+        axes = None if dim == 3 else (-1,)
         if bool(opt.get("resolution_metrics", {}).get("PRTF", True)):
-            w_theta = ft.sht.gl_weights
-            prtf_vals = rm.prtf(psis, theta_weights=w_theta)
+            prtf_vals = rm.prtf(psis, theta_weights=theta_weights, axes=axes)
             q_res, d_res = rm.prtf_resolution(prtf_vals, qs)
             metrics["PRTF"] = prtf_vals
             metrics["PRTF_qs"] = qs
@@ -161,8 +174,9 @@ class ProjectWorker(ProjectWorkerInterface):
             half = len(aligned) // 2
             psi_a = np.mean(psis[:half], axis=0)
             psi_b = np.mean(psis[half:], axis=0)
-            metrics["FSC"] = np.abs(rm.fsc(psi_a, psi_b, ft.sht.gl_weights))
-            n_shell = len(thetas) * len(phis) * np.ones(len(qs))
+            metrics["FSC"] = np.abs(rm.fsc(psi_a, psi_b, theta_weights,
+                                           axes=axes))
+            n_shell = max(len(thetas), 1) * len(phis) * np.ones(len(qs))
             metrics["FSC_half_bit"] = rm.half_bit_threshold(n_shell)
 
         norm_avg = avg / max(np.abs(avg).max(), 1e-30)
@@ -184,8 +198,9 @@ class ProjectWorker(ProjectWorkerInterface):
                 "inverted": np.asarray([i["inverted"] for i in align_info]),
                 "l2_to_ref": np.asarray([i["l2_to_ref"] for i in align_info]),
             },
-            "so3_grid": {"alphas": aligner.corr.alphas,
-                         "betas": aligner.corr.betas,
-                         "gammas": aligner.corr.gammas},
+            "so3_grid": ({"alphas": aligner.corr.alphas,
+                          "betas": aligner.corr.betas,
+                          "gammas": aligner.corr.gammas} if dim == 3
+                         else {"alphas": aligner.alphas}),
             "grid": {"rs": rs, "thetas": thetas, "phis": phis, "qs": qs},
         }

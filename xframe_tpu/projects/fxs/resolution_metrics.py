@@ -12,22 +12,26 @@ from __future__ import annotations
 import numpy as np
 
 
-def _angular_mean(x, theta_weights=None):
-    """Mean over the angular axes of (..., n_q, n_theta, n_phi)."""
-    if theta_weights is None:
-        return x.mean(axis=(-2, -1))
+def _angular_mean(x, theta_weights=None, axes=None):
+    """Mean over the angular axes: (..., n_q, n_theta, n_phi) by default,
+    (..., n_q, n_phi) with axes=(-1,) for polar data."""
+    if axes is None:
+        axes = (-2, -1)
+    if theta_weights is None or axes == (-1,):
+        return x.mean(axis=axes)
     w = np.asarray(theta_weights)
     return (x * w[:, None]).sum(axis=(-2, -1)) / (w.sum() * x.shape[-1])
 
 
-def prtf(psis, theta_weights=None):
+def prtf(psis, theta_weights=None, axes=None):
     """PRTF(q) from a stack of aligned reciprocal amplitudes
-    (n_signals, n_q, n_theta, n_phi)."""
+    (n_signals, n_q, n_theta, n_phi), or (n_signals, n_q, n_phi) with
+    axes=(-1,)."""
     psis = np.asarray(psis)
     num = np.abs(psis.mean(axis=0))
     den = np.abs(psis).mean(axis=0)
     ratio = np.where(den > 0, num / np.where(den > 0, den, 1.0), 0.0)
-    return _angular_mean(ratio, theta_weights)
+    return _angular_mean(ratio, theta_weights, axes=axes)
 
 
 def prtf_resolution(prtf_values, qs, criterion=1 / np.e):
@@ -39,12 +43,12 @@ def prtf_resolution(prtf_values, qs, criterion=1 / np.e):
     return q_c, (2 * np.pi / q_c if q_c > 0 else None)
 
 
-def fsc(psi1, psi2, theta_weights=None):
-    """Fourier shell correlation over angular shells of (n_q, nθ, nφ) arrays."""
+def fsc(psi1, psi2, theta_weights=None, axes=None):
+    """Fourier shell/ring correlation over angular shells."""
     psi1, psi2 = np.asarray(psi1), np.asarray(psi2)
-    num = _angular_mean(psi1 * np.conj(psi2), theta_weights)
-    d1 = _angular_mean(np.abs(psi1) ** 2, theta_weights)
-    d2 = _angular_mean(np.abs(psi2) ** 2, theta_weights)
+    num = _angular_mean(psi1 * np.conj(psi2), theta_weights, axes=axes)
+    d1 = _angular_mean(np.abs(psi1) ** 2, theta_weights, axes=axes)
+    d2 = _angular_mean(np.abs(psi2) ** 2, theta_weights, axes=axes)
     den = np.sqrt(d1 * d2)
     return np.where(den > 0, num / np.where(den > 0, den, 1.0), 0.0)
 

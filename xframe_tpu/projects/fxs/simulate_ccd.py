@@ -65,16 +65,25 @@ class ProjectWorker(ProjectWorkerInterface):
         grid = spherical_grid(ft.rs, ft.sht.theta, ft.sht.phi)
         density = build_density_from_shapes(grid, opt.shapes)
 
-        # one jitted program: density → intensity coefficients (axon cannot
-        # run the chain eagerly; see library.hostio)
+        # one jitted program: density → intensity coefficients. The Hankel
+        # weights enter as ARGUMENTS, not constants — at simulation grids
+        # (N=512, L=128 ⇒ 270 MB table) embedded constants exceed the axon
+        # tunnel's compile-payload limit (hankel.weight_planes).
         import jax
+        from xframe_tpu.ops.hankel import weight_planes, apply_hankel_planes
+
+        (wf_re, wf_im), _ = weight_planes(ft.hankel)
+        skip_zero = ft.hankel.skip_zero
 
         @jax.jit
-        def intensity_coeff(rho_real):
-            psi = ft.forward(rho_real.astype(jnp.complex64))
-            return ft.sht.forward((psi * psi.conj()).real)
+        def intensity_coeff(rho_real, w_re, w_im):
+            c = ft.sht.forward(rho_real.astype(jnp.complex64))
+            F = apply_hankel_planes(w_re, w_im, c, skip_zero)
+            psi = ft.sht.inverse(F)
+            return ft.sht.forward_real((psi * psi.conj()).real)
 
-        coeff = to_host(intensity_coeff(np.asarray(density, dtype=np.float32)))
+        coeff = to_host(intensity_coeff(
+            np.asarray(density, dtype=np.float32), wf_re, wf_im))
         bl = itools.harmonic_coeff_to_deg2_invariants_3d(coeff)
         # Friedel symmetry of |F|² kills odd orders exactly; enforce
         bl[1::2] = 0
