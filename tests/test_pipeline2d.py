@@ -73,3 +73,36 @@ def test_2d_pipeline(home):
         assert np.isfinite(err).all()
     e0 = np.asarray(results["0"]["error_dict"]["main"])
     assert e0[-1] < e0[:5].mean()
+
+    # 2D averaging: circular alignment + polar PRTF
+    xf.select_project("fxs", "average", overrides={
+        "structure_name": "pytest2d",
+        "selection": {"error_limit": 10.0},
+        "l2_error_limit": 10.0,
+        "resolution_metrics": {"PRTF": True},
+    })
+    avg = xf.run()
+    assert avg["average"]["real_density"].shape == (32, 64)
+    assert len(avg["aligned"]) == 2
+    prtf = avg["resolution_metrics"]["PRTF"]
+    assert prtf.shape == (32,)
+    assert np.isfinite(prtf).all() and (prtf <= 1 + 1e-6).all()
+    angles = avg["rotation_metric"]["angles"]
+    assert angles.shape == (2, 3)
+
+
+def test_aligner2d_recovers_rotation():
+    import jax.numpy as jnp
+    from xframe_tpu.projects.fxs.demo import make_demo_problem_2d
+    from xframe_tpu.projects.fxs.alignment import Aligner2D
+    p = make_demo_problem_2d(24, 10, 64)
+    aligner = Aligner2D(p.ft, p.integrator._w)
+    rho = jnp.asarray(p.rho_true, dtype=jnp.complex64)
+    k0 = 13
+    alpha0 = 2 * np.pi * k0 / 64
+    rho_rot = jnp.asarray(np.roll(p.rho_true, k0, axis=-1),
+                          dtype=jnp.complex64)  # f(φ - α0) on the grid
+    ref_coeff = aligner.coefficients(rho_rot)
+    aligned, _, info = aligner.align(rho, ref_coeff)
+    assert np.isclose(info["angles"][0], alpha0, atol=1e-6)
+    assert np.abs(np.asarray(aligned) - np.asarray(rho_rot)).max() < 1e-3
