@@ -121,7 +121,7 @@ class ProjectWorker(ProjectWorkerInterface):
             jax.profiler.stop_trace()
 
         results = self._collect_results(mtip, ft, aux, states, errors, order,
-                                        seed)
+                                        seed, rho0s=rho0s)
         n_iter = sum(s.n for s in schedule if s.method != "SW")
         results["timing"] = {"setup_s": t_setup, "phasing_s": t_run,
                              "sec_per_iteration_per_restart":
@@ -424,7 +424,8 @@ class ProjectWorker(ProjectWorkerInterface):
         return make_mesh(axes)
 
     # ------------------------------------------------------------ result save
-    def _collect_results(self, mtip, ft, aux, states, errors, order, seed):
+    def _collect_results(self, mtip, ft, aux, states, errors, order, seed,
+                         rho0s=None):
         opt = self.settings
         keep = opt.multi_start.get("results_to_keep", "all")
         ids = order if (isinstance(keep, str) and keep == "all") \
@@ -442,6 +443,8 @@ class ProjectWorker(ProjectWorkerInterface):
                 "last_real_density": to_host(states.rho[i]),
                 "reciprocal_density": to_host(psi_p),
                 "support_mask": to_host(states.best_mask[i]),
+                "initial_density": to_host(rho0s[i])
+                if rho0s is not None else None,
                 "initial_support": to_host(aux["initial_support"]),
                 "fxs_unknowns": to_host(W),
                 "error_dict": {"main": errors_h[i][:, 0],
