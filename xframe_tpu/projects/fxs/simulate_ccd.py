@@ -84,14 +84,26 @@ class ProjectWorker(ProjectWorkerInterface):
 
         coeff = to_host(intensity_coeff(
             np.asarray(density, dtype=np.float32), wf_re, wf_im))
-        bl = itools.harmonic_coeff_to_deg2_invariants_3d(coeff)
+        # B_l = I_l I_l† on device (O(L·n_q²·n_m) — minutes in numpy at
+        # production grids, sub-second on the MXU)
+        import jax
+
+        @jax.jit
+        def bl_from_coeff(c_re, c_im):
+            c = c_re + 1j * c_im
+            return jnp.einsum("qml,pml->lqp", c, c.conj()).real
+
+        bl = to_host(bl_from_coeff(
+            np.ascontiguousarray(coeff.real, dtype=np.float32),
+            np.ascontiguousarray(coeff.imag, dtype=np.float32))
+        ).astype(complex)
         # Friedel symmetry of |F|² kills odd orders exactly; enforce
         bl[1::2] = 0
 
         n_phi = int(opt.grid.get("n_phi") or 0)
         if n_phi <= 0:
             n_phi = 2 ** int(np.ceil(np.log2(2 * (L + 1))))
-        cc = itools.deg2_invariant_to_cc_3d(bl, wavelength, ft.qs, n_phi=n_phi)
+        cc = self._synthesize_cc_device(bl, wavelength, ft.qs, n_phi)
 
         # angular mean of the intensity: a(q) = I_00(q)·Y_00 = I_00/(2√π)
         avg_intensity = coeff[:, L, 0].real / (2 * np.sqrt(np.pi))
@@ -105,6 +117,30 @@ class ProjectWorker(ProjectWorkerInterface):
             "num_images_processed": 1,
             "num_images_good": 1,
         }
+
+    def _synthesize_cc_device(self, bl, wavelength, qs, n_phi):
+        """C_n = Σ_l B_l · P̄ⁿ_l(θ1)P̄ⁿ_l(θ2)/(2l+1) as ONE device einsum
+        (the zero padding of the Legendre table for n > l makes the full-n
+        contraction exact), then irfft → CC. Inputs enter as jit arguments —
+        at production grids they exceed the embeddable-constant size."""
+        import jax
+        from xframe_tpu.library.physics import ewald_sphere_theta_pi
+        from xframe_tpu.library.legendre import sph_legendre_table
+
+        L = bl.shape[0] - 1
+        thetas = ewald_sphere_theta_pi(wavelength, np.asarray(qs))
+        T = sph_legendre_table(L, np.cos(thetas)).astype(np.float32)  # (q,n,l)
+        scale = (1.0 / (2 * np.arange(L + 1) + 1)).astype(np.float32)
+
+        @jax.jit
+        def synth(bl_re, bl_im, tab):
+            bls = (bl_re + 1j * bl_im) * scale[:, None, None]
+            cns = jnp.einsum("lqp,qnl,pnl->qpn", bls, tab, tab)
+            return jnp.fft.irfft(cns * n_phi, n_phi, axis=-1)
+
+        return to_host(synth(
+            np.ascontiguousarray(bl.real, dtype=np.float32),
+            np.ascontiguousarray(bl.imag, dtype=np.float32), T)).real
 
     # ------------------------------------------------------------------- 2D
     def _run_2d(self, opt):
