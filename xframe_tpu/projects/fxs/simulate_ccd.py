@@ -135,7 +135,17 @@ class ProjectWorker(ProjectWorkerInterface):
         @jax.jit
         def synth(bl_re, bl_im, tab):
             bls = (bl_re + 1j * bl_im) * scale[:, None, None]
-            cns = jnp.einsum("lqp,qnl,pnl->qpn", bls, tab, tab)
+            n_q, n_n = tab.shape[0], tab.shape[1]
+
+            # accumulate per l — a three-tensor einsum would materialize a
+            # (q,p,n,l) intermediate (terabytes at production grids)
+            def body(l, cns):
+                col = tab[:, None, :, l] * tab[None, :, :, l]   # (q,p,n)
+                return cns + bls[l][:, :, None] * col
+
+            cns = jax.lax.fori_loop(
+                0, bls.shape[0], body,
+                jnp.zeros((n_q, n_q, n_n), dtype=bls.dtype))
             return jnp.fft.irfft(cns * n_phi, n_phi, axis=-1)
 
         return to_host(synth(
