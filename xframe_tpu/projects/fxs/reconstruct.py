@@ -452,6 +452,28 @@ class ProjectWorker(ProjectWorkerInterface):
                                "final": float(to_host(states.best_err[i]))},
                 "n_particles": float(mtip.rc.n_particles),
             }
+        # fidelity diagnostic for the best restart: relative diff between the
+        # reconstruction's deg-2 invariants and the data's B_l = V_l V_l†
+        # (reference deg2-invariant error metric, fxs_IO_methods.py:312-...)
+        if results and aux.get("dimensions", 3) == 3:
+            best = results["0"]
+            coeff = to_host(jax.jit(
+                lambda r_re, r_im: mtip.sht.forward_real((lambda p: (
+                    p * p.conj()).real)(ft.forward(r_re + 1j * r_im))))(
+                np.ascontiguousarray(best["real_density"].real,
+                                     dtype=np.float32),
+                np.ascontiguousarray(best["real_density"].imag,
+                                     dtype=np.float32)))
+            bl_rec = itools.harmonic_coeff_to_deg2_invariants_3d(coeff)
+            bl_data = itools.projection_matrices_to_deg2_invariant_3d(
+                aux["proj"])
+            diffs = []
+            for l in range(0, min(len(bl_data), bl_rec.shape[0]), 2):
+                scale = np.abs(bl_data[l]).max()
+                if scale > 0:
+                    diffs.append(np.abs(bl_rec[l] - bl_data[l]).mean() / scale)
+            best["error_dict"]["deg2_invariant_relative"] = \
+                np.asarray(diffs, dtype=np.float32)
         if aux.get("dimensions", 3) == 3:
             grid_cfg = {
                 "real_grid": np.asarray(ft.rs),
