@@ -31,7 +31,8 @@ def make_demo_problem(n_radial: int = 32, l_max: int = 16, *, q_max: float = Non
                       n_theta: int = None, n_phi: int = None, mode: str = "midpoint",
                       reciprocity_coefficient: float = 2.0,
                       real_dtype=jnp.float32,
-                      procrustes_method: str = "svd") -> SimpleNamespace:
+                      procrustes_method: str = "svd",
+                      ns_iterations: int = 50) -> SimpleNamespace:
     """Two-ball density → invariants → MTIP, plus initial-density helpers."""
     if q_max is None:
         q_max = 0.4 * n_radial / 32.0
@@ -72,7 +73,8 @@ def make_demo_problem(n_radial: int = 32, l_max: int = 16, *, q_max: float = Non
                                     average_intensity=avg_intensity,
                                     odd_orders_to_0=True, schmidt_scaling=False,
                                     real_dtype=real_dtype,
-                                    procrustes_method=procrustes_method)
+                                    procrustes_method=procrustes_method,
+                                    ns_iterations=ns_iterations)
     real = RealConstraint(limit_imag=2.0)
     sw = ShrinkWrap.build(ft.qs, real_dtype=real_dtype)
     w_err = np.asarray(integ._w) * initial_support
