@@ -86,7 +86,13 @@ class ProjectDB(DefaultDB):
     def load_ccd(self, run=None, path=None, **kw):
         if path is None:
             path, _ = self._resolve("ccd", run=run)
-        return self.load_direct(path)
+        data = self.load_direct(path)
+        # tolerate legacy layouts (reference _database_.py:482-565): a bare
+        # cross_correlation array instead of the {dataset: array} group
+        cc = data.get("cross_correlation")
+        if cc is not None and not isinstance(cc, dict):
+            data["cross_correlation"] = {"I1I1": np.asarray(cc)}
+        return data
 
     # -------------------------------------------------------------- invariants
     def save_invariants(self, data, run=None, **kw):
