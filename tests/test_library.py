@@ -54,3 +54,29 @@ def test_ramps():
     lin = LinearRamp(20, [False, 5], -2)
     assert np.isclose(lin(0), 20)
     assert np.isclose(lin(1), 18)
+
+
+def test_pdb_density(tmp_path):
+    from xframe_tpu.library.pdb import parse_pdb, pdb_density
+    pdb = tmp_path / "toy.pdb"
+    pdb.write_text(
+        "ATOM      1  N   ALA A   1      10.000  10.000  10.000  1.00  0.00"
+        "           N  \n"
+        "ATOM      2  CA  ALA A   1      11.500  10.000  10.000  1.00  0.00"
+        "           C  \n"
+        "HETATM    3 ZN    ZN A   2      10.700  11.000  10.000  0.50  0.00"
+        "          ZN  \n"
+        "TER\nEND\n")
+    pos, zs, occ = parse_pdb(str(pdb))
+    assert pos.shape == (3, 3)
+    assert list(zs) == [7, 6, 30]
+    assert occ[2] == 0.5
+    # density integrates to ~total electrons on a wide cartesian grid
+    ax = np.linspace(-8, 8, 33)
+    X, Y, Z = np.meshgrid(ax, ax, ax, indexing="ij")
+    grid = np.stack([X, Y, Z], axis=-1)
+    rho = pdb_density(str(pdb), grid, resolution=3.0)
+    dv = (ax[1] - ax[0]) ** 3
+    total = rho.sum() * dv
+    expected = 7 + 6 + 30 * 0.5
+    assert abs(total - expected) / expected < 0.05

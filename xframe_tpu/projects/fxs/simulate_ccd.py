@@ -20,8 +20,15 @@ from xframe_tpu.projects.fxs._database_ import ProjectDB
 
 
 def build_density_from_shapes(grid, shapes_opt, rng=None):
-    """Superpose the configured shapes on a (r,θ,φ) or (r,φ) grid."""
+    """Superpose the configured shapes on a (r,θ,φ) or (r,φ) grid; a 'pdb'
+    entry smears a deposited structure onto the grid (library.pdb)."""
     density = np.zeros(grid.shape[:-1])
+    if str(shapes_opt.get("types", [""])[0]) == "pdb":
+        from xframe_tpu.library.pdb import pdb_density
+        from xframe_tpu.library.shapes import spherical_to_cartesian
+        return pdb_density(str(shapes_opt["pdb_file"]),
+                           spherical_to_cartesian(grid),
+                           resolution=float(shapes_opt.get("resolution", 4.0)))
     types = list(shapes_opt["types"])
     centers = list(shapes_opt["centers"])
     sizes = list(shapes_opt["sizes"])
