@@ -177,12 +177,19 @@ class ProjectWorker(ProjectWorkerInterface):
                                        weights_dict=weights)
         grid = spherical_grid(ft.rs, ft.sht.theta, ft.sht.phi)
 
-        # reciprocal constraint from the data
+        # reciprocal constraint from the data — normalized so the intensity
+        # scale is O(1): raw XFEL intensities (~1e29) overflow float32 in the
+        # quadratic error/procrustes sums. The reconstruction is
+        # scale-equivariant; densities are rescaled by √s on save.
         proj = regrid_projection_matrices(inv["data_projection_matrices"]["I1I1"],
                                           qs_data, ft.qs)
         avg_intensity = np.interp(ft.qs, qs_data,
                                   np.asarray(inv["average_intensity"],
                                              dtype=float))
+        data_scale = float(max(np.abs(avg_intensity).max(),
+                               max(np.abs(v).max() for v in proj), 1e-30))
+        proj = [np.asarray(v) / data_scale for v in proj]
+        avg_intensity = avg_intensity / data_scale
         ropt = opt.projections.reciprocal
         used = ropt.get("used_order_ids", "all")
         if isinstance(used, str) and used == "all":
@@ -265,7 +272,7 @@ class ProjectWorker(ProjectWorkerInterface):
                    initial_density_batch=initial_density_batch,
                    avg_intensity=avg_intensity, wavelength=inv["xray_wavelength"],
                    proj=proj, rc=rc, total_intensity=total_intensity,
-                   dimensions=3)
+                   dimensions=3, data_scale=data_scale)
         return mtip, ft, aux
 
     def _setup_2d(self, inv):
@@ -307,6 +314,11 @@ class ProjectWorker(ProjectWorkerInterface):
         avg_intensity = np.interp(ft.qs, qs_data,
                                   np.asarray(inv["average_intensity"],
                                              dtype=float))
+        # float32 overflow guard: normalize the data scale (see _setup_3d)
+        data_scale = float(max(np.abs(avg_intensity).max(),
+                               max(np.abs(v).max() for v in proj), 1e-30))
+        proj = [np.asarray(v) / data_scale for v in proj]
+        avg_intensity = avg_intensity / data_scale
         ropt = opt.projections.reciprocal
         used = ropt.get("used_order_ids", "all")
         if isinstance(used, str) and used == "all":
@@ -384,7 +396,7 @@ class ProjectWorker(ProjectWorkerInterface):
                    avg_intensity=avg_intensity,
                    wavelength=inv["xray_wavelength"],
                    proj=proj, rc=rc_coef, total_intensity=total_intensity,
-                   dimensions=2, phis=phis)
+                   dimensions=2, phis=phis, data_scale=data_scale)
         return mtip, ft, aux
 
     def _radial_mask(self, ropt, L, qs):
@@ -433,17 +445,19 @@ class ProjectWorker(ProjectWorkerInterface):
         finalize = jax.jit(mtip.finalize)
         errors_h = to_host(errors)
 
+        # undo the setup-time data normalization: I ∝ s ⇒ ψ, ρ ∝ √s
+        sqrt_s = float(np.sqrt(aux.get("data_scale", 1.0)))
         results = {}
         for rank, i in enumerate(ids):
             i = int(i)
             rho = states.best_rho[i]
             psi_p, W = finalize(rho)
             results[str(rank)] = {
-                "real_density": to_host(rho),
-                "last_real_density": to_host(states.rho[i]),
-                "reciprocal_density": to_host(psi_p),
+                "real_density": to_host(rho) * sqrt_s,
+                "last_real_density": to_host(states.rho[i]) * sqrt_s,
+                "reciprocal_density": to_host(psi_p) * sqrt_s,
                 "support_mask": to_host(states.best_mask[i]),
-                "initial_density": to_host(rho0s[i])
+                "initial_density": to_host(rho0s[i]) * sqrt_s
                 if rho0s is not None else None,
                 "initial_support": to_host(aux["initial_support"]),
                 "fxs_unknowns": to_host(W),
@@ -457,13 +471,12 @@ class ProjectWorker(ProjectWorkerInterface):
         # (reference deg2-invariant error metric, fxs_IO_methods.py:312-...)
         if results and aux.get("dimensions", 3) == 3:
             best = results["0"]
+            rho_n = best["real_density"] / max(sqrt_s, 1e-30)  # normalized units
             coeff = to_host(jax.jit(
                 lambda r_re, r_im: mtip.sht.forward_real((lambda p: (
                     p * p.conj()).real)(ft.forward(r_re + 1j * r_im))))(
-                np.ascontiguousarray(best["real_density"].real,
-                                     dtype=np.float32),
-                np.ascontiguousarray(best["real_density"].imag,
-                                     dtype=np.float32)))
+                np.ascontiguousarray(rho_n.real, dtype=np.float32),
+                np.ascontiguousarray(rho_n.imag, dtype=np.float32)))
             bl_rec = itools.harmonic_coeff_to_deg2_invariants_3d(coeff)
             bl_data = itools.projection_matrices_to_deg2_invariant_3d(
                 aux["proj"])
@@ -500,7 +513,10 @@ class ProjectWorker(ProjectWorkerInterface):
                 "q_max": float(ft.q_max),
                 "seed": int(seed),
             },
-            "projection_matrices": [np.asarray(v) for v in aux["proj"]],
-            "average_intensity": np.asarray(aux["avg_intensity"]),
+            "projection_matrices": [np.asarray(v)
+                                    * aux.get("data_scale", 1.0)
+                                    for v in aux["proj"]],
+            "average_intensity": np.asarray(aux["avg_intensity"])
+            * aux.get("data_scale", 1.0),
             "reconstruction_results": results,
         }
