@@ -13,8 +13,7 @@ from __future__ import annotations
 
 import glob
 import os
-import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

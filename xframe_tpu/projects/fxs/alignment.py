@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from xframe_tpu.library.hostio import to_host
 from xframe_tpu.library.shapes import spherical_to_cartesian
-from xframe_tpu.ops.so3 import SO3Correlator, wigner_D_single, rotate_coeff
+from xframe_tpu.ops.so3 import SO3Correlator, wigner_D_single
 
 
 class Aligner:

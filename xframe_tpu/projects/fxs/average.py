@@ -10,7 +10,6 @@ average_results.h5. The per-candidate alignment ops are jitted device code.
 from __future__ import annotations
 
 import numpy as np
-import jax.numpy as jnp
 
 from xframe_tpu.interfaces import ProjectWorkerInterface
 from xframe_tpu.library.hostio import to_host, to_device_complex

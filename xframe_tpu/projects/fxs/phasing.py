@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from xframe_tpu.library.ramps import ExponentialRamp, LinearRamp
 from xframe_tpu.projects.fxs.projections import (
-    ReciprocalConstraint, RealConstraint, ShrinkWrap,
+    RealConstraint, ShrinkWrap,
     project_to_modified_intensity, hio_update, er_update, raar_update,
 )
 

@@ -16,7 +16,7 @@ Conventions preserved from the reference:
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any
 
 import numpy as np

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from xframe_tpu.interfaces import ProjectWorkerInterface
-from xframe_tpu.library.hostio import to_host, tree_to_host
+from xframe_tpu.library.hostio import to_host
 from xframe_tpu.library.shapes import spherical_grid, get_test_function
 from xframe_tpu.ops.fourier import SphericalFourierTransform
 from xframe_tpu.ops.hankel import generate_weights
