@@ -119,10 +119,15 @@ class MTIP:
     def __init__(self, ft, reciprocal, real: RealConstraint,
                  shrink_wrap: ShrinkWrap, integration_weights, initial_support,
                  enforce_initial_support_limit=np.inf, real_dtype=jnp.float32,
-                 harmonic=None):
+                 harmonic=None, fix_global_phase=True):
         """harmonic: intensity↔coefficient transform for the data projection;
         defaults to ft.sht (3D). Pass projections.RealCircularHarmonics for
-        the 2D polar pipeline."""
+        the 2D polar pipeline.
+
+        fix_global_phase anchors the global phase gauge each iteration
+        (intensities are invariant under ρ → e^{iφ}ρ, so nothing else pins
+        φ; the reference relies on its absolute limit_imag threshold, which
+        only bites at its particular density scales)."""
         self.ft = ft
         self.sht = harmonic if harmonic is not None else ft.sht
         self.rc = reciprocal
@@ -136,6 +141,7 @@ class MTIP:
         self._w_err = np.asarray(integration_weights, dtype=np_real)
         self.initial_support = np.asarray(initial_support)
         self.enforce_limit = float(enforce_initial_support_limit)
+        self.fix_global_phase = bool(fix_global_phase)
 
     # ------------------------------------------------------------- iteration
     def _real_error(self, rho_p, rho_proj):
@@ -154,9 +160,19 @@ class MTIP:
         den = jnp.sum((psi * psi.conj()).real)
         return jnp.where(den > 0, num / den, jnp.inf)
 
+    def _anchor_global_phase(self, rho):
+        """Rotate out the global phase (gauge): φ = ½·arg Σ w ρ², sign chosen
+        so the supported real part is net-positive."""
+        z = jnp.sum(self._w_err * rho * rho)
+        rho_g = rho * jnp.exp(-0.5j * jnp.angle(z)).astype(rho.dtype)
+        s = jnp.sign(jnp.sum(self._w_err * rho_g.real))
+        return rho_g * jnp.where(s < 0, -1.0, 1.0).astype(rho.dtype)
+
     def mtip_iteration(self, rho_in, support, beta, method: str, ft_stab: bool):
         """One HIO/ER/RAAR step (reconstruct.py HIO sketch :576-595).
         → (rho_new, real error, reciprocal error)."""
+        if self.fix_global_phase:
+            rho_in = self._anchor_global_phase(rho_in)
         psi = self.ft.forward(rho_in)
         intensity = (psi * psi.conj()).real
         analyse = getattr(self.sht, 'forward_real', self.sht.forward)
