@@ -214,13 +214,18 @@ class ProjectWorker(ProjectWorkerInterface):
         apply = list(popt.get("apply", ["support", "value_threshold",
                                         "limit_imag"]))
         thr = popt.get("value_threshold", {}).get("threshold", [0, False])
+        # absolute thresholds are given in PHYSICAL density units; the
+        # internal state is normalized by √data_scale (I ∝ s ⇒ ρ ∝ √s)
+        unit = 1.0 / np.sqrt(data_scale)
         real_constraint = RealConstraint(
             apply_support="support" in apply,
             apply_value_threshold="value_threshold" in apply,
-            threshold_low=None if thr[0] is False else float(thr[0]),
-            threshold_high=float(thr[1]) if (len(thr) > 1 and thr[1]) else None,
+            threshold_low=None if thr[0] is False else float(thr[0]) * unit,
+            threshold_high=float(thr[1]) * unit
+            if (len(thr) > 1 and thr[1]) else None,
             apply_limit_imag="limit_imag" in apply,
-            limit_imag=float(popt.get("limit_imag", {}).get("threshold", 2.0)),
+            limit_imag=float(popt.get("limit_imag", {}).get("threshold", 2.0))
+            * unit,
             apply_assert_real="assert_real" in apply)
         support_radius = float(popt.get("support", {}).get(
             "initial_support", {}).get("max_radius", opt.particle_radius))
@@ -339,13 +344,18 @@ class ProjectWorker(ProjectWorkerInterface):
         apply = list(popt.get("apply", ["support", "value_threshold",
                                         "limit_imag"]))
         thr = popt.get("value_threshold", {}).get("threshold", [0, False])
+        # absolute thresholds are given in PHYSICAL density units; the
+        # internal state is normalized by √data_scale (I ∝ s ⇒ ρ ∝ √s)
+        unit = 1.0 / np.sqrt(data_scale)
         real_constraint = RealConstraint(
             apply_support="support" in apply,
             apply_value_threshold="value_threshold" in apply,
-            threshold_low=None if thr[0] is False else float(thr[0]),
-            threshold_high=float(thr[1]) if (len(thr) > 1 and thr[1]) else None,
+            threshold_low=None if thr[0] is False else float(thr[0]) * unit,
+            threshold_high=float(thr[1]) * unit
+            if (len(thr) > 1 and thr[1]) else None,
             apply_limit_imag="limit_imag" in apply,
-            limit_imag=float(popt.get("limit_imag", {}).get("threshold", 2.0)),
+            limit_imag=float(popt.get("limit_imag", {}).get("threshold", 2.0))
+            * unit,
             apply_assert_real="assert_real" in apply)
         support_radius = float(popt.get("support", {}).get(
             "initial_support", {}).get("max_radius", opt.particle_radius))
