@@ -87,3 +87,49 @@ def test_streaming_and_calibration(run_folder):
     # calibration applied: (raw - 1) * 2 stays in (-2, 18)
     assert chunks[0]["data"].min() > -2.01
     assert chunks[0]["data"].max() < 18.01
+
+
+def test_panel_correlator_with_agipd(run_folder, tmp_path, monkeypatch):
+    """Experiment-sourced correlation: AGIPD geometry binning end-to-end
+    through the correlate worker."""
+    monkeypatch.setenv("XFRAME_TPU_HOME", str(tmp_path))
+    import xframe_tpu as xf
+    xf.select_project("fxs", "correlate", overrides={
+        "structure_name": "spb_test",
+        "wavelength": 1.23984,
+        "polar_grid": {"n_q": 24, "n_phi": 64},
+        "batch_size": 8,
+        "max_n_patterns": 16,
+        "input": {"source": "experiment"},
+        "experiment": {"run_folder": run_folder, "detector_distance": 0.2},
+    })
+    ccd = xf.run()
+    cc = ccd["cross_correlation"]["I1I1"]
+    assert cc.shape == (24, 24, 64)
+    assert np.isfinite(cc).all()
+    assert ccd["num_images_good"] == 16
+    assert (ccd["radial_points"] > 0).all()
+    import os
+    assert os.path.exists(os.path.join(
+        str(tmp_path), "data", "fxs", "ccd", "spb_test", "run_1", "ccd.h5"))
+
+
+def test_panel_correlator_binning_correctness():
+    """Uniform frames must bin to uniform polar intensity wherever bins have
+    pixels; CC of constant frames is constant."""
+    from xframe_tpu.projects.fxs.correlate import PanelCorrelator
+    from xframe_tpu.experiments.SPB.detectors.agipd import AGIPD
+    det = AGIPD(detector_distance=0.2)
+    corr = PanelCorrelator(det.pixel_grid_reciprocal(1.23984),
+                           n_q=16, n_phi=32)
+    frames = np.full((4,) + det.data_shape, 2.0, dtype=np.float32)
+    out = corr.correlate_frames(iter([frames]))
+    filled = corr._bin_counts > 0
+    avg_rings = out["average_intensity"]
+    # rings that have pixels average to the frame value
+    ring_filled = filled.any(axis=1)
+    polar_mean = np.where(filled, 2.0, 0.0).sum(1) / np.maximum(
+        filled.sum(1), 1)
+    assert np.allclose(avg_rings[ring_filled],
+                       (np.where(filled, 2.0, 0.0).sum(1)
+                        / 32)[ring_filled], atol=1e-5)

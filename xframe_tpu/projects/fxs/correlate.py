@@ -131,6 +131,58 @@ class ProjectWorker(ProjectWorkerInterface):
     database_class = ProjectDB
 
     def run(self):
+        if str(self.settings.get("input", {}).get("source", "files")) \
+                == "experiment":
+            return self._run_experiment()
+        return self._run_files()
+
+    # --------------------------------------------- facility (multi-panel) path
+    def _run_experiment(self):
+        """Stream calibrated AGIPD frames from an SPB run folder through the
+        geometry-binned PanelCorrelator (reference correlate-on-experiment
+        path via comm_module.get_data)."""
+        opt = self.settings
+        eopt = opt.get("experiment", {})
+        from xframe_tpu.experiments.SPB.experiment import (
+            ExperimentWorker, DataSelection, Filters)
+        exp = ExperimentWorker(
+            str(eopt["run_folder"]),
+            geometry_file=eopt.get("geometry_file") or None,
+            detector_distance=float(eopt.get("detector_distance", 0.217)),
+            wavelength=float(opt.wavelength),
+            filters=Filters(lit_pixel_fraction_min=float(
+                opt.get("filters", {}).get("lit_pixel_fraction_min", 0) or 0)))
+        mods = tuple(sorted(exp._module_files))  # modules present in the run
+        corr = PanelCorrelator(
+            exp.get_pixel_grid_reciprocal()[list(mods)],
+            n_q=int(opt.polar_grid.get("n_q", 0) or 128),
+            n_phi=int(opt.polar_grid.n_phi))
+        n_max = opt.get("max_n_patterns", "all")
+        stop = None if (isinstance(n_max, str) and n_max == "all") else int(n_max)
+        sel = DataSelection(frame_range=(0, stop), modules=mods,
+                            batch_size=int(opt.get("batch_size", 32)))
+
+        def frames():
+            for chunk in exp.get_data(sel):
+                yield chunk["data"]
+
+        out = corr.correlate_frames(frames())
+        data = {
+            "dimensions": 3,
+            "radial_points": corr.qs,
+            "angular_points": corr.phis,
+            "xray_wavelength": float(opt.wavelength),
+            "average_intensity": out["average_intensity"],
+            "cross_correlation": {"I1I1": out["cross_correlation"]},
+            "num_images_processed": exp.n_frames() if stop is None else stop,
+            "num_images_good": out["num_images_good"],
+        }
+        path, run = self.db.save("ccd", data)
+        print(f"correlate(experiment): saved to {path}")
+        return data
+
+    # ------------------------------------------------- single-panel .raw path
+    def _run_files(self):
         opt = self.settings
         ny, nx = [int(v) for v in opt.image_dimensions]
         fopt = opt.get("filters", {})
@@ -192,3 +244,84 @@ class ProjectWorker(ProjectWorkerInterface):
             lines = [ln.strip() for ln in f if ln.strip()]
         return [ln if os.path.isabs(ln) else os.path.join(folder, ln)
                 for ln in lines]
+
+
+class PanelCorrelator:
+    """Multi-panel (lab-frame geometry) correlator: detector pixels are
+    binned to a polar (q, φ) grid by their Ewald scattering coordinates
+    (reference SPB expLibrary regrid path), then the standard mask-corrected
+    FFT cross-correlation runs on the binned intensities. Binning is a
+    device scatter-add with precomputed flat indices — geometry-agnostic
+    (any panel layout a detector class provides)."""
+
+    def __init__(self, pixel_grid_reciprocal, n_q=128, n_phi=512,
+                 q_range=None, pixel_mask=None):
+        qgrid = np.asarray(pixel_grid_reciprocal)  # (..., 3): (q, θ, φ)
+        q = qgrid[..., 0].ravel()
+        phi = np.mod(qgrid[..., 2].ravel(), 2 * np.pi)
+        if q_range is None:
+            q_range = (float(q[q > 0].min()), float(q.max()))
+        self.n_q, self.n_phi = int(n_q), int(n_phi)
+        self.qs = np.linspace(q_range[0], q_range[1], self.n_q + 1)[:-1] \
+            + (q_range[1] - q_range[0]) / (2 * self.n_q)
+        self.phis = 2 * np.pi * np.arange(self.n_phi) / self.n_phi
+
+        qi = np.floor((q - q_range[0]) / (q_range[1] - q_range[0])
+                      * self.n_q).astype(np.int32)
+        pi = np.floor(phi / (2 * np.pi) * self.n_phi).astype(np.int32) \
+            % self.n_phi
+        valid = (qi >= 0) & (qi < self.n_q)
+        if pixel_mask is not None:
+            valid &= np.asarray(pixel_mask, dtype=bool).ravel()
+        # invalid pixels scatter to a trash bin n_q*n_phi
+        flat = np.where(valid, qi * self.n_phi + pi, self.n_q * self.n_phi)
+        self._flat_idx = flat.astype(np.int32)
+        self._n_bins = self.n_q * self.n_phi + 1
+        counts = np.bincount(flat, minlength=self._n_bins)[:-1]
+        self._bin_counts = counts.reshape(self.n_q, self.n_phi)
+
+        self._process = jax.jit(self._process_batch)
+
+    def _bin_frames(self, frames):
+        """(B, ...) → polar sums (B, n_q, n_phi)."""
+        B = frames.shape[0]
+        flatframes = frames.reshape(B, -1)
+        sums = jax.vmap(lambda f: jax.ops.segment_sum(
+            f, self._flat_idx, num_segments=self._n_bins))(flatframes)
+        return sums[:, :-1].reshape(B, self.n_q, self.n_phi)
+
+    def _process_batch(self, frames, good):
+        polar_sum = self._bin_frames(frames)
+        counts = jnp.asarray(np.maximum(self._bin_counts, 1),
+                             dtype=jnp.float32)
+        polar = polar_sum / counts
+        pmask = (jnp.asarray(self._bin_counts) > 0).astype(jnp.float32)
+        polar = polar * pmask
+        g = good[:, None, None]
+        f = jnp.fft.rfft(polar * g, axis=-1)
+        m = jnp.fft.rfft(jnp.broadcast_to(pmask, polar.shape) * g, axis=-1)
+        cc_f = jnp.einsum("bqn,bpn->qpn", f.conj(), f)
+        cc_m = jnp.einsum("bqn,bpn->qpn", m.conj(), m)
+        waxs = jnp.sum(polar * g, axis=0)
+        count = jnp.sum(jnp.broadcast_to(pmask, polar.shape)
+                        * g[..., 0][:, :, None], axis=0)
+        return cc_f, cc_m, waxs, count, jnp.sum(good)
+
+    def correlate_frames(self, frame_iter, is_good=None):
+        acc = None
+        add = jax.jit(jnp.add)
+        for batch in frame_iter:
+            batch = np.asarray(batch, dtype=np.float32)
+            good = np.ones(len(batch), dtype=np.float32) if is_good is None \
+                else np.asarray(is_good(batch), dtype=np.float32)
+            out = list(self._process(batch, good))
+            acc = out if acc is None else [add(a, o)
+                                           for a, o in zip(acc, out)]
+        cc_f, cc_m, waxs, count, n_good = [to_host(a) for a in acc]
+        ccf = np.fft.irfft(cc_f, self.n_phi, axis=-1)
+        ccm = np.fft.irfft(cc_m, self.n_phi, axis=-1)
+        cc = np.where(ccm > 0.5, ccf / np.where(ccm > 0.5, ccm, 1.0), 0.0)
+        avg = np.where(count > 0, waxs / np.maximum(count, 1), 0.0)
+        return {"cross_correlation": cc,
+                "average_intensity": avg.mean(axis=-1),
+                "num_images_good": int(n_good)}
