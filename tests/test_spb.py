@@ -133,3 +133,15 @@ def test_panel_correlator_binning_correctness():
     assert np.allclose(avg_rings[ring_filled],
                        (np.where(filled, 2.0, 0.0).sum(1)
                         / 32)[ring_filled], atol=1e-5)
+
+
+def test_comm_facade(run_folder):
+    from xframe_tpu import comm
+    from xframe_tpu.experiments.SPB.experiment import DataSelection
+    comm.select_experiment("SPB", run_folder=run_folder,
+                           detector_distance=0.2)
+    assert comm.get_geometry().shape == (16, 512, 128, 3)
+    chunk = next(comm.get_data(DataSelection(frame_range=(0, 4),
+                                             modules=(0, 1, 2, 3),
+                                             batch_size=4)))
+    assert chunk["data"].shape == (4, 4, 512, 128)

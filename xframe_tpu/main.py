@@ -91,6 +91,10 @@ def main(argv=None):
             wp.add_argument("settings", nargs="?", default=None,
                             help="settings name (resolved through the "
                                  "settings folder precedence) or a .yaml path")
+            wp.add_argument("-e", "--experiment", default=None,
+                            help="experiment to bind for comm.get_data "
+                                 "(e.g. SPB); kwargs come from the settings "
+                                 "'experiment' block")
 
     args = parser.parse_args(argv)
     if args.version:
@@ -111,6 +115,12 @@ def main(argv=None):
     import xframe_tpu
     xframe_tpu.select_project(args.project, args.worker,
                               getattr(args, "settings", None))
+    if getattr(args, "experiment", None):
+        from xframe_tpu import comm, settings
+        ekw = settings.project.get("experiment", {})
+        ekw = ekw.dict() if hasattr(ekw, "dict") else dict(ekw)
+        ekw.pop("name", None)
+        comm.select_experiment(args.experiment, **ekw)
     xframe_tpu.run()
     return 0
 

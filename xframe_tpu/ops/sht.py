@@ -89,7 +89,71 @@ class SphericalHarmonicTransform:
         ls = np.arange(self.l_max + 1)[None, :]
         self.lm_mask = ls >= np.abs(ms)[:, None]  # (n_m, L+1), host numpy
 
-    # -- pure functions (close over device constants; safe under jit/vmap) --
+        # Equatorial-symmetry split (the classic libsharp trick): with the GL
+        # grid symmetric about θ=π/2 and P̄_lm(π-θ) = (-1)^{l+m} P̄_lm(θ), the
+        # θ contraction folds to n_theta/2 points with two parity-packed
+        # tables — HALF the Legendre-matmul FLOPs. Enabled for even n_theta.
+        self._use_sym = self.n_theta % 2 == 0
+        if self._use_sym:
+            t2 = self.n_theta // 2
+            L = self.l_max
+            self._n_le = (L + 2) // 2             # even l count
+            self._n_lo = (L + 1) // 2             # odd l count
+            le = np.arange(0, L + 1, 2)
+            lo = np.arange(1, L + 1, 2)
+            # parity of (l+m) decides fold sign; pack by l parity, and select
+            # the folded input by m parity at runtime
+            self._m_even = (np.abs(ms) % 2 == 0)[:, None]  # (n_m, 1)
+            self._P_e = np.ascontiguousarray(self._P[:, :t2, le])
+            self._P_o = np.ascontiguousarray(self._P[:, :t2, lo])
+            self._PW_e = np.ascontiguousarray(self._PW[:, :t2, le])
+            self._PW_o = np.ascontiguousarray(self._PW[:, :t2, lo])
+
+    # -- pure functions (close over host-numpy constants; safe under jit) --
+
+    def _analysis_core(self, fm, m_rows):
+        """Legendre analysis of (..., θ, m_subset) Fourier columns.
+
+        With the equatorial split: fold θ about π/2 (sign by (l+m) parity),
+        contract over n_theta/2 points with parity-packed tables — half the
+        matmul FLOPs of the dense contraction."""
+        if not self._use_sym:
+            return jnp.einsum('...tm,mtl->...ml', fm, self._PW[m_rows])
+        t2 = self.n_theta // 2
+        head = fm[..., :t2, :]
+        tail = fm[..., ::-1, :][..., :t2, :]
+        f_plus, f_minus = head + tail, head - tail
+        m_even = self._m_even[m_rows][:, 0]
+        in_e = jnp.where(m_even[None, :], f_plus, f_minus)  # (l+m) even terms
+        in_o = jnp.where(m_even[None, :], f_minus, f_plus)
+        c_e = jnp.einsum('...tm,mtl->...ml', in_e, self._PW_e[m_rows])
+        c_o = jnp.einsum('...tm,mtl->...ml', in_o, self._PW_o[m_rows])
+        return self._interleave_l(c_e, c_o)
+
+    def _interleave_l(self, c_e, c_o):
+        """(..., m, n_le) + (..., m, n_lo) → (..., m, L+1) with l interleaved
+        even/odd — pure pad + reshape."""
+        if self._n_lo < self._n_le:
+            pad = jnp.zeros(c_o.shape[:-1] + (1,), dtype=c_o.dtype)
+            c_o = jnp.concatenate([c_o, pad], axis=-1)
+        out = jnp.stack([c_e, c_o], axis=-1).reshape(
+            c_e.shape[:-1] + (2 * self._n_le,))
+        return out[..., : self.l_max + 1]
+
+    def _synthesis_core(self, c, m_rows):
+        """Inverse of _analysis_core: parity-packed synthesis on the half-θ
+        grid, mirrored to the full grid."""
+        c = c.astype(self.complex_dtype)
+        if not self._use_sym:
+            return jnp.einsum('...ml,mtl->...tm', c, self._P[m_rows])
+        s_e = jnp.einsum('...ml,mtl->...tm', c[..., 0::2], self._P_e[m_rows])
+        s_o = jnp.einsum('...ml,mtl->...tm', c[..., 1::2], self._P_o[m_rows])
+        m_even = self._m_even[m_rows][:, 0]
+        even_par = jnp.where(m_even[None, :], s_e, s_o)  # Σ over (l+m) even
+        odd_par = jnp.where(m_even[None, :], s_o, s_e)
+        head = even_par + odd_par
+        tail = (even_par - odd_par)[..., ::-1, :]
+        return jnp.concatenate([head, tail], axis=-2)
 
     def forward(self, f):
         """f(..., θ, φ) → f_lm (..., m_fft, l)."""
@@ -99,8 +163,7 @@ class SphericalHarmonicTransform:
         L = self.l_max
         parts = ([fm[..., -L:]] if L > 0 else []) + [fm[..., : L + 1]]
         fm = jnp.concatenate(parts, axis=-1) * (2 * np.pi / self.n_phi)
-        # Σ_θ w_θ P̄_lm(θ) f_m(θ):  (..., θ, m) × (m, θ, l) → (..., m, l)
-        return jnp.einsum('...tm,mtl->...ml', fm, self._PW)
+        return self._analysis_core(fm, slice(None))
 
     def forward_real(self, f):
         """Analysis of a REAL field: rfft + half-size Legendre contraction,
@@ -110,14 +173,14 @@ class SphericalHarmonicTransform:
         L = self.l_max
         fm = jnp.fft.rfft(f.astype(self.real_dtype), axis=-1)[..., : L + 1] \
             * (2 * np.pi / self.n_phi)
-        c_pos = jnp.einsum('...tm,mtl->...ml', fm, self._PW[L:])  # m = 0..L
+        c_pos = self._analysis_core(fm, slice(L, None))  # m = 0..L rows
         signs = ((-1.0) ** np.arange(1, L + 1))[::-1]
         c_neg = signs[:, None] * jnp.conj(c_pos[..., 1:, :])[..., ::-1, :]
         return jnp.concatenate([c_neg, c_pos], axis=-2)
 
     def inverse(self, c):
         """f_lm (..., m_fft, l) → f(..., θ, φ)."""
-        fm = jnp.einsum('...ml,mtl->...tm', c.astype(self.complex_dtype), self._P)
+        fm = self._synthesis_core(c, slice(None))
         # scatter centered m back to FFT bins with zero padding in between —
         # slice + concat instead of a scatter
         L = self.l_max
