@@ -24,7 +24,7 @@ def main():
     n_restarts = int(os.environ.get("XF_BENCH_RESTARTS", "4"))
     n_iter = int(os.environ.get("XF_BENCH_ITERS", "20"))
     method = os.environ.get("XF_BENCH_PROCRUSTES", "newton_schulz")
-    ns_iters = int(os.environ.get("XF_BENCH_NS_ITERS", "50"))
+    ns_iters = int(os.environ.get("XF_BENCH_NS_ITERS", "16"))
     p = make_demo_problem(128, 64, n_theta=256, n_phi=512,
                           procrustes_method=method, ns_iterations=ns_iters)
     schedule = [Segment("HIO", n_iter, betas=np.full(n_iter, 0.5), ft_stab=True)]

@@ -168,7 +168,7 @@ def test_newton_schulz_procrustes_matches_svd(problem):
     rc = mtip.rc
     W_svd = np.asarray(rc.approximate_unknowns(Ilm))
     rc_ns_probe = _replace(rc, procrustes_method="newton_schulz",
-                           ns_iterations=50)
+                           ns_iterations=16)
     W_ns = np.asarray(rc_ns_probe.approximate_unknowns(Ilm))
     # l=16 has 2l+1 > n_q: the block is exactly singular and NS converges to
     # a partial isometry there (the SVD completion is arbitrary anyway)
@@ -183,7 +183,7 @@ def test_newton_schulz_procrustes_matches_svd(problem):
     # end-to-end: NS-based phasing converges like the SVD-based one
     from dataclasses import replace
     from xframe_tpu.projects.fxs.phasing import MTIP
-    rc_ns = replace(rc, procrustes_method="newton_schulz", ns_iterations=50)
+    rc_ns = replace(rc, procrustes_method="newton_schulz", ns_iterations=16)
     mtip_ns = MTIP(problem["ft"], rc_ns, mtip.real, mtip.sw, mtip._w_err,
                    np.asarray(mtip.initial_support),
                    enforce_initial_support_limit=mtip.enforce_limit)

@@ -59,6 +59,16 @@ class SphericalFourierTransform:
     def inverse_coeff(self, coeff):
         return self.hankel.inverse(coeff)
 
+    def forward_and_roundtrip(self, density):
+        """(FT(ρ), iFT(FT(ρ))) sharing one analysis: SHT∘iSHT is exact on
+        band-limited coefficients, so the roundtrip defect needs only the
+        Hankel pair + one extra synthesis (used by ft-stabilization)."""
+        c = self.sht.forward(density)
+        cf = self.hankel.forward(c)
+        psi = self.sht.inverse(cf)
+        rt = self.sht.inverse(self.hankel.inverse(cf))
+        return psi, rt
+
 
 class PolarFourierTransform:
     """2D FT between (r,φ) and (q,φ) polar grids."""
@@ -102,3 +112,20 @@ class PolarFourierTransform:
 
     def inverse(self, amplitude):
         return self._apply(self.hankel.inverse, amplitude)
+
+    def forward_and_roundtrip(self, density):
+        """(FT(ρ), iFT(FT(ρ))) sharing one circular-harmonic analysis."""
+        M = self.m_max
+        c_full = self.cht.forward(density)
+        parts = [c_full[..., : M + 1]] + ([c_full[..., -M:]] if M > 0 else [])
+        c = jnp.concatenate(parts, axis=-1)
+        cf = self.hankel.forward(c)
+        ci = self.hankel.inverse(cf)
+        pad = self.n_phi - (2 * M + 1)
+
+        def expand(g):
+            zeros = jnp.zeros(g.shape[:-1] + (pad,), dtype=g.dtype)
+            return self.cht.inverse(jnp.concatenate(
+                [g[..., : M + 1], zeros, g[..., M + 1:]], axis=-1))
+
+        return expand(cf), expand(ci)

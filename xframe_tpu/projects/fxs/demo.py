@@ -32,7 +32,7 @@ def make_demo_problem(n_radial: int = 32, l_max: int = 16, *, q_max: float = Non
                       reciprocity_coefficient: float = 2.0,
                       real_dtype=jnp.float32,
                       procrustes_method: str = "svd",
-                      ns_iterations: int = 50) -> SimpleNamespace:
+                      ns_iterations: int = 16) -> SimpleNamespace:
     """Two-ball density → invariants → MTIP, plus initial-density helpers."""
     if q_max is None:
         q_max = 0.4 * n_radial / 32.0

@@ -173,7 +173,10 @@ class MTIP:
         → (rho_new, real error, reciprocal error)."""
         if self.fix_global_phase:
             rho_in = self._anchor_global_phase(rho_in)
-        psi = self.ft.forward(rho_in)
+        if ft_stab and hasattr(self.ft, 'forward_and_roundtrip'):
+            psi, roundtrip = self.ft.forward_and_roundtrip(rho_in)
+        else:
+            psi, roundtrip = self.ft.forward(rho_in), None
         intensity = (psi * psi.conj()).real
         analyse = getattr(self.sht, 'forward_real', self.sht.forward)
         Ilm = analyse(intensity)
@@ -183,7 +186,8 @@ class MTIP:
         rho_p = self.ft.inverse(psi_p)
         if ft_stab:
             # add back the FT-roundtrip defect of the input (except radial 0)
-            corr = rho_in - self.ft.inverse(psi)
+            rt = roundtrip if roundtrip is not None else self.ft.inverse(psi)
+            corr = rho_in - rt
             rho_p = rho_p + corr.at[0].set(0)
         rho_proj, invalid = self.real(rho_p, support)
         err = self._real_error(rho_p, rho_proj)

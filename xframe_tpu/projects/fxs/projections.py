@@ -24,13 +24,17 @@ import jax
 import jax.numpy as jnp
 
 
-def polar_unitary_newton_schulz(M, iterations=18, eps=1e-12):
-    """Unitary polar factor of a (batched) matrix via Newton–Schulz:
-    X ← 1.5·X − 0.5·X X† X, converging to U = M(M†M)^{-1/2} for ‖M‖₂ < √3.
+def polar_unitary_newton_schulz(M, iterations=18, eps=1e-12, order=5):
+    """Unitary polar factor of a (batched) matrix via Newton–Schulz-type
+    matmul-only iterations — unlike jnp.linalg.svd this runs entirely on the
+    MXU, making the per-iteration Procrustes step ~free on TPU.
 
-    Matmul-only — unlike jnp.linalg.svd this runs entirely on the MXU, which
-    makes the per-iteration Procrustes step ~free on TPU. The iterate is
-    normalized by a Frobenius upper bound of the spectral norm."""
+    order=3: X ← 1.5X − 0.5·X(X†X), σ growth 1.5×/step.
+    order=5 (default): X ← aX + bX(X†X) + cX(X†X)², with the odd-polynomial
+    coefficients (3.4445, −4.7750, 2.0315) tuned for aggressive small-σ
+    growth (~3.4×/step; the scheme popularized by Muon-style orthogonalizers)
+    followed by two cubic polishing steps — ill-conditioned inputs converge
+    in ~⅓ the steps of the cubic iteration."""
     # spectral-norm upper bound √(‖M‖₁·‖M‖∞) — much tighter than Frobenius,
     # which matters for the small-σ convergence phase
     a = jnp.abs(M)
@@ -38,11 +42,25 @@ def polar_unitary_newton_schulz(M, iterations=18, eps=1e-12):
                     * jnp.max(jnp.sum(a, axis=-2), axis=-1))[..., None, None]
     X = M / (norm + eps)
 
-    def body(X, _):
+    def cubic(X, _):
         XhX = jnp.einsum("...ij,...ik->...jk", X.conj(), X)
         return 1.5 * X - 0.5 * jnp.einsum("...ij,...jk->...ik", X, XhX), None
 
-    X, _ = jax.lax.scan(body, X, None, length=iterations)
+    if order == 3:
+        X, _ = jax.lax.scan(cubic, X, None, length=iterations)
+        return X
+
+    ca, cb, cc = 3.4445, -4.7750, 2.0315
+
+    def quintic(X, _):
+        A = jnp.einsum("...ij,...ik->...jk", X.conj(), X)      # X†X
+        B = cb * A + cc * jnp.einsum("...ij,...jk->...ik", A, A)
+        return ca * X + jnp.einsum("...ij,...jk->...ik", X, B), None
+
+    X, _ = jax.lax.scan(quintic, X, None, length=iterations)
+    # polish: the quintic coefficients leave σ oscillating in a ±0.3 band
+    # around 1; four cubic steps contract that quadratically (→ ~1e-6)
+    X, _ = jax.lax.scan(cubic, X, None, length=4)
     return X
 
 
@@ -58,7 +76,7 @@ class ReciprocalConstraint:
     n_particles: float
     l_max: int
     procrustes_method: str = "svd"   # 'svd' | 'newton_schulz'
-    ns_iterations: int = 50
+    ns_iterations: int = 16
 
     @classmethod
     def build(cls, projection_matrices, radial_points, l_max,
@@ -66,7 +84,7 @@ class ReciprocalConstraint:
               use_averaged_intensity=True, average_intensity=None,
               radial_mask=None, n_particles=1.0, schmidt_scaling=True,
               real_dtype=jnp.float32, procrustes_method="svd",
-              ns_iterations=50):
+              ns_iterations=16):
         """Host-side assembly from extract-format data.
 
         projection_matrices: list of (n_q, min(2l+1, n_q)) complex V_l

@@ -207,7 +207,7 @@ class ProjectWorker(ProjectWorkerInterface):
             schmidt_scaling=False, real_dtype=real_dtype,
             procrustes_method=str(ropt.get("procrustes_method",
                                            "newton_schulz")),
-            ns_iterations=int(ropt.get("ns_iterations", 50)))
+            ns_iterations=int(ropt.get("ns_iterations", 16)))
 
         # real constraint + initial support
         popt = opt.projections.real.projections
