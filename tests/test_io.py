@@ -1,0 +1,93 @@
+"""IO layer tests: hostio shims, database templating/dispatch, run numbering,
+VTK output structure."""
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from xframe_tpu.library.hostio import to_host, to_device_complex, tree_to_host
+from xframe_tpu.io.database import DefaultDB
+from xframe_tpu.io import hdf5
+
+
+def test_to_host_dtypes():
+    assert to_host(jnp.ones((3,), jnp.float32)).dtype == np.float32
+    c = to_host(jnp.asarray([1 + 2j], jnp.complex64))
+    assert np.iscomplexobj(c) and c[0] == 1 + 2j
+    b = to_host(jnp.asarray([True, False]))
+    assert b.dtype == bool and b.tolist() == [True, False]
+    i = to_host(jnp.asarray([3, -4], jnp.int32))
+    assert i.tolist() == [3, -4]
+    assert to_host(np.arange(3)).tolist() == [0, 1, 2]  # passthrough
+
+
+def test_to_device_complex_roundtrip():
+    x = np.array([[1 + 2j, -3.5j], [0.25, 4 - 1j]])
+    d = to_device_complex(x)
+    assert d.dtype == jnp.complex64
+    assert np.allclose(to_host(d), x)
+    tree = tree_to_host({"a": jnp.ones(2), "b": (jnp.zeros(1),)})
+    assert isinstance(tree["a"], np.ndarray)
+
+
+def test_database_templating(tmp_path):
+    db = DefaultDB({"thing": "{base}/{name}/run_{run}/thing.h5"},
+                   base=str(tmp_path))
+    p = db.get_path("thing", name="x", run=3)
+    assert p == f"{tmp_path}/x/run_3/thing.h5"
+    with pytest.raises(KeyError):
+        db.get_path("thing", name="x")  # missing modifier
+
+
+def test_database_dispatch_and_runs(tmp_path):
+    db = DefaultDB({"d": str(tmp_path / "sub" / "d.npy"),
+                    "t": str(tmp_path / "t.txt"),
+                    "y": str(tmp_path / "y.yaml")})
+    db.save("d", np.arange(4))
+    assert db.load("d").tolist() == [0, 1, 2, 3]
+    db.save("t", "hello")
+    assert db.load("t") == "hello"
+    db.save("y", {"a": 1, "b": [1, 2]})
+    assert db.load("y") == {"a": 1, "b": [1, 2]}
+    # run numbering
+    folder = str(tmp_path / "runs")
+    p1, n1 = DefaultDB.next_run_folder(folder)
+    p2, n2 = DefaultDB.next_run_folder(folder)
+    assert (n1, n2) == (1, 2)
+    assert os.path.isdir(p2)
+
+
+def test_hdf5_nested_roundtrip(tmp_path):
+    data = {
+        "arr_c": np.arange(6, dtype=complex).reshape(2, 3) * (1 + 1j),
+        "arr_b": np.array([True, False]),
+        "nested": {"tup": (1, "two", 3.0), "none": None,
+                   "ragged": [np.zeros((2, 2)), np.ones((3, 1))]},
+        "scalar": 7,
+        "string": "héllo",
+    }
+    p = str(tmp_path / "t.h5")
+    hdf5.save(p, data)
+    out = hdf5.load(p)
+    assert np.array_equal(out["arr_c"], data["arr_c"])
+    assert out["arr_b"].dtype == bool
+    assert out["nested"]["tup"] == (1, "two", 3.0)
+    assert out["nested"]["none"] is None
+    assert np.array_equal(out["nested"]["ragged"][1], np.ones((3, 1)))
+    assert out["scalar"] == 7
+    assert out["string"] == "héllo"
+
+
+def test_vtk_output_parses(tmp_path):
+    from xframe_tpu.io import vtk
+    import xml.etree.ElementTree as ET
+    p = str(tmp_path / "g.vts")
+    vtk.save_spherical(p, np.linspace(1, 2, 3), np.linspace(0.2, 3.0, 4),
+                       np.linspace(0, 6, 5), {"rho": np.ones((3, 4, 5)),
+                                              "psi": np.ones((3, 4, 5)) * 1j})
+    root = ET.parse(p).getroot()
+    assert root.attrib["type"] == "StructuredGrid"
+    names = [d.attrib["Name"] for d in root.iter("DataArray")]
+    assert "rho" in names and "psi_real" in names and "psi_imag" in names
+    assert "Points" in names

@@ -28,8 +28,8 @@ class DefaultDB:
         self.base_modifiers.setdefault("home", settings_loader.home_dir())
 
     # ------------------------------------------------------------------ paths
-    def get_path(self, name, makedirs=False, **modifiers):
-        template = self.path_templates.get(name, name)
+    def get_path(self, key, makedirs=False, **modifiers):
+        template = self.path_templates.get(key, key)
         subs = {**self.base_modifiers, **modifiers}
         # repeated substitution lets templates reference other templates
         path = template
@@ -38,7 +38,7 @@ class DefaultDB:
                 new = path.format(**subs)
             except (KeyError, IndexError) as e:
                 raise KeyError(
-                    f"path template {template!r} for {name!r} is missing "
+                    f"path template {template!r} for {key!r} is missing "
                     f"modifier {e}") from e
             if new == path:
                 break
