@@ -145,3 +145,35 @@ def test_comm_facade(run_folder):
                                              modules=(0, 1, 2, 3),
                                              batch_size=4)))
     assert chunk["data"].shape == (4, 4, 512, 128)
+
+
+def test_exp_library_saxs_and_rois():
+    from xframe_tpu.experiments.SPB import exp_library as xl
+    from xframe_tpu.experiments.SPB.detectors.agipd import AGIPD
+    det = AGIPD(detector_distance=0.2)
+    qgrid = det.pixel_grid_reciprocal(1.23984)
+    # isotropic frames: I(q) = 3 everywhere
+    frames = np.full((3,) + det.data_shape, 3.0, dtype=np.float32)
+    prof, centers = xl.saxs_profile(frames, qgrid, n_q=32)
+    filled = prof > 0
+    assert np.allclose(prof[filled], 3.0, atol=1e-6)
+    assert len(centers) == 32 and np.all(np.diff(centers) > 0)
+    roi = xl.annulus_roi(qgrid, centers[5], centers[20])
+    assert roi.shape == det.data_shape
+    assert 0 < roi.sum() < roi.size
+    az = xl.azimuthal_roi(qgrid, -0.5, 0.5)  # wrap-around sector
+    assert 0 < az.sum() < az.size
+
+
+def test_refine_beam_center_recovers_offset():
+    from xframe_tpu.experiments.SPB import exp_library as xl
+    rng = np.random.default_rng(0)
+    # synthetic single-panel detector with a ring pattern offset from origin
+    ax = np.linspace(-0.05, 0.05, 64)
+    X, Y = np.meshgrid(ax, ax, indexing="ij")
+    centers = np.stack([X, Y, np.full_like(X, 0.2)], axis=-1)
+    true = (1.5e-3, -1.0e-3)
+    r = np.hypot(X - true[0], Y - true[1])
+    frame = np.exp(-(r - 0.02) ** 2 / 2e-6)
+    dx, dy = xl.refine_beam_center(frame, centers, search_radius=2e-3, steps=9)
+    assert abs(dx - true[0]) <= 6e-4 and abs(dy - true[1]) <= 6e-4
