@@ -106,3 +106,27 @@ def test_aligner2d_recovers_rotation():
     aligned, _, info = aligner.align(rho, ref_coeff)
     assert np.isclose(info["angles"][0], alpha0, atol=1e-6)
     assert np.abs(np.asarray(aligned) - np.asarray(rho_rot)).max() < 1e-3
+
+
+def test_so2_gauge_pin():
+    """With SO_freedom the pinned order's unknown is exactly 1 and phasing
+    still converges."""
+    import jax, jax.numpy as jnp
+    from dataclasses import replace
+    from xframe_tpu.projects.fxs.demo import make_demo_problem_2d
+    from xframe_tpu.projects.fxs.phasing import MTIP, Segment
+    p = make_demo_problem_2d(24, 10, 64)
+    rc = replace(p.mtip.rc, so_pin_order=2)
+    mtip = MTIP(p.ft, rc, p.mtip.real, p.mtip.sw, p.mtip._w_err,
+                np.asarray(p.mtip.initial_support), harmonic=p.cht)
+    rho0 = p.initial_density_batch(1, 1)[0]
+    psi = p.ft.forward(rho0)
+    Im = p.cht.forward((psi * psi.conj()).real)
+    phases = np.asarray(rc.approximate_unknowns(Im))
+    assert phases[2] == 1.0
+    assert np.allclose(np.abs(phases[::2][1:]), 1.0, atol=1e-5)
+    sched = [Segment("HIO", 10, betas=np.full(10, 0.5), ft_stab=True),
+             Segment("ER", 5, betas=np.zeros(5))]
+    state, errors = jax.jit(lambda r: mtip.run(r, sched))(rho0)
+    e = np.asarray(errors)[:, 0]
+    assert np.isfinite(e).all() and e[-1] < e[0]

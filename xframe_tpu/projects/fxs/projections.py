@@ -205,12 +205,17 @@ class ReciprocalConstraintPolar:
     radial_mask: Any     # (M+1, n_q) bool
     n_particles: float
     m_max: int
+    so_pin_order: Any = None   # int: pin this order's phase unknown to 1
+                               # (2D SO(2) gauge fix, reference
+                               # generate_apply_SO_freedom_2D,
+                               # fxs_Projections.py:973-1010)
 
     @classmethod
     def build(cls, projection_vectors, radial_points, m_max,
               used_order_ids=None, odd_orders_to_0=True,
               use_averaged_intensity=True, average_intensity=None,
-              radial_mask=None, n_particles=1.0, real_dtype=jnp.float32):
+              radial_mask=None, n_particles=1.0, real_dtype=jnp.float32,
+              so_pin_order=None):
         np_c = np.complex64 if real_dtype == jnp.float32 else np.complex128
         n_q = len(radial_points)
         V = np.zeros((m_max + 1, n_q), dtype=complex)
@@ -231,13 +236,19 @@ class ReciprocalConstraintPolar:
         return cls(V=V.astype(np_c), VD=(V.conj() * D2[None, :]).astype(np_c),
                    use_order=np.asarray(use_order),
                    radial_mask=np.asarray(radial_mask),
-                   n_particles=float(n_particles), m_max=m_max)
+                   n_particles=float(n_particles), m_max=m_max,
+                   so_pin_order=so_pin_order)
 
     def approximate_unknowns(self, Im):
         """Im: (n_q, M+1) → unit phases (M+1,)."""
         u = jnp.einsum("mq,qm->m", self.VD, Im)
         mag = jnp.abs(u)
-        return jnp.where(mag > 0, u / jnp.where(mag > 0, mag, 1.0), 1.0)
+        phases = jnp.where(mag > 0, u / jnp.where(mag > 0, mag, 1.0), 1.0)
+        if self.so_pin_order is not None:
+            # fix the in-plane rotation gauge: the strongest order's unknown
+            # is defined to be 1
+            phases = phases.at[int(self.so_pin_order)].set(1.0)
+        return phases
 
     def project_coefficients(self, Im, phases):
         proj = self.V * phases[:, None]                    # (M+1, n_q)

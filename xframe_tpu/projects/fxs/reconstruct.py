@@ -331,8 +331,17 @@ class ProjectWorker(ProjectWorkerInterface):
         else:
             used_ids = np.asarray(used, dtype=int)
             used_ids = used_ids[used_ids <= M]
+        so_pin = None
+        so_opt = ropt.get("SO_freedom", {})
+        if bool(so_opt.get("apply", False)):
+            # pin the strongest even nonzero order (reference SO(2) fix)
+            hp = float(so_opt.get("radial_high_pass", 0.2))
+            lo = int((len(ft.qs) - 1) * hp)
+            scores = [np.abs(np.asarray(v)[lo:]).sum() if (m % 2 == 0 and m > 0)
+                      else -1.0 for m, v in enumerate(proj)]
+            so_pin = int(np.argmax(scores))
         rc_constraint = ReciprocalConstraintPolar.build(
-            proj, ft.qs, M, used_order_ids=used_ids,
+            proj, ft.qs, M, used_order_ids=used_ids, so_pin_order=so_pin,
             odd_orders_to_0=bool(ropt.get("assume_zero_odd_orders", True)),
             use_averaged_intensity=bool(ropt.get("use_averaged_intensity", True)),
             average_intensity=avg_intensity,
