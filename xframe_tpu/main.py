@@ -79,6 +79,8 @@ def main(argv=None):
         description="TPU-native FXS reconstruction framework")
     parser.add_argument("--setup_home", action="store_true",
                         help="create the home folder tree and exit")
+    parser.add_argument("-d", "--debug", action="store_true",
+                        help="verbose logging")
     parser.add_argument("--print_home", action="store_true")
     parser.add_argument("--version", action="store_true")
     sub = parser.add_subparsers(dest="project")
@@ -97,6 +99,9 @@ def main(argv=None):
                                  "'experiment' block")
 
     args = parser.parse_args(argv)
+    if getattr(args, "debug", False):
+        from xframe_tpu.logger import setup_logging
+        setup_logging("DEBUG")
     if args.version:
         import xframe_tpu
         print(xframe_tpu.__version__)

@@ -44,6 +44,14 @@ class SphericalFourierTransform:
     def grid_shape(self):
         return (self.n_radial_points, self.sht.n_theta, self.sht.n_phi)
 
+    @property
+    def grid_pair(self):
+        """(real (r,θ,φ) grid, reciprocal (q,θ,φ) grid) — the reference's
+        FTGridPair surface (pythonLibrary.py:1045)."""
+        from xframe_tpu.library.shapes import spherical_grid
+        return (spherical_grid(self.rs, self.sht.theta, self.sht.phi),
+                spherical_grid(self.qs, self.sht.theta, self.sht.phi))
+
     def forward(self, density):
         """ρ(r,θ,φ) → ψ(q,θ,φ)."""
         return self.sht.inverse(self.hankel.forward(self.sht.forward(density)))
