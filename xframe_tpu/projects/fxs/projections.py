@@ -152,6 +152,21 @@ class ReciprocalConstraint:
             rms = jnp.sqrt(jnp.sum(jnp.abs(B) ** 2, axis=(-2, -1))
                            / sizes)[..., None, None]
             M = B + self.eye_pad * (rms + 1e-20).astype(B.dtype)
+            L, n_m = self.l_max, 2 * self.l_max + 1
+            if n_m > 128 and L >= 1:
+                # MXU alignment: the valid window of every l ≤ L-1 fits the
+                # (n_m-2)-wide inner crop (127 → one 128-lane tile); only the
+                # l = L block needs the full 2L+1 width. Splitting avoids the
+                # 129 → 256 lane padding (≈4× matmul waste) on most blocks.
+                W_small = polar_unitary_newton_schulz(M[:L, 1:-1, 1:-1],
+                                                      self.ns_iterations)
+                W_last = polar_unitary_newton_schulz(M[L:],
+                                                     self.ns_iterations)
+                eye_border = jnp.zeros((L, n_m, n_m), dtype=M.dtype)
+                eye_border = eye_border.at[:, 0, 0].set(1.0)
+                eye_border = eye_border.at[:, n_m - 1, n_m - 1].set(1.0)
+                W = eye_border.at[:, 1:-1, 1:-1].set(W_small)
+                return jnp.concatenate([W, W_last], axis=0)
             return polar_unitary_newton_schulz(M, self.ns_iterations)
         u, _, vh = jnp.linalg.svd(B + self.eye_pad, full_matrices=False)
         return u @ vh
