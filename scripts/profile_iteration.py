@@ -64,5 +64,33 @@ def main():
           f"{(3*t_ft + t_sht + t_synth + t_proj)*1e3:8.2f} ms expected)")
 
 
+
+
+def ft_breakdown():
+    import jax.numpy as jnp
+    B = 4
+    p = make_demo_problem(128, 64, n_theta=256, n_phi=512)
+    ft = p.ft
+    rho = p.initial_density_batch(0, B)
+
+    sht_fwd = jax.jit(jax.vmap(ft.sht.forward))
+    c = sht_fwd(rho)
+    t_a = timed(sht_fwd, rho)
+    hank = jax.jit(jax.vmap(ft.hankel.forward))
+    t_h = timed(hank, c)
+    sht_inv = jax.jit(jax.vmap(ft.sht.inverse))
+    t_s = timed(sht_inv, c)
+    fft_only = jax.jit(lambda x: jnp.fft.fft(x, axis=-1))
+    t_f = timed(fft_only, rho)
+    print(f"  SHT analysis (fold+einsums+fft): {t_a*1e3:8.2f} ms")
+    print(f"  Hankel (batched per-l matmul)  : {t_h*1e3:8.2f} ms")
+    print(f"  SHT synthesis (einsums+ifft)   : {t_s*1e3:8.2f} ms")
+    print(f"  bare FFT over phi              : {t_f*1e3:8.2f} ms")
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+    if "--ft" in sys.argv:
+        ft_breakdown()
+    else:
+        main()
