@@ -178,3 +178,37 @@ def test_roundtrip_reload(average_results, home):
     assert "reconstruction_results" in rec
     avg = db.load_average_results()
     assert "average" in avg
+
+
+def test_noisy_simulation_still_extracts(home):
+    """Noise on the synthetic CC propagates sanely through extraction: the
+    extracted B_l stay finite, PSD, and close to the noise-free ones."""
+    import xframe_tpu as xf
+    base = {
+        "structure_name": "pytest_noise",
+        "dimensions": 3,
+        "grid": {"n_radial_points": 32, "max_order": 10, "max_q": 0.5},
+        "shapes": {"types": ["sphere"], "centers": [[0, 0, 0]],
+                   "sizes": [22], "densities": [1.0],
+                   "random_orientation": [False]},
+        "cross_correlation": {"xray_wavelength": 1.23984},
+    }
+    xf.select_project("fxs", "simulate_ccd", overrides=base)
+    clean = xf.run()
+    xf.select_project("fxs", "simulate_ccd", overrides={
+        **base, "noise": {"apply": True, "snr": 50.0}})
+    noisy = xf.run()
+    cc_c = clean["cross_correlation"]["I1I1"]
+    cc_n = noisy["cross_correlation"]["I1I1"]
+    assert not np.allclose(cc_c, cc_n)
+    assert np.allclose(cc_n, np.swapaxes(cc_n, 0, 1))  # symmetry preserved
+
+    xf.select_project("fxs", "extract", overrides={
+        "structure_name": "pytest_noise", "dimensions": 3, "max_order": 10,
+        "input": {"ccd_run": 2}})
+    inv = xf.run()
+    bl_n = inv["deg_2_invariant"]["I1I1"]
+    assert np.isfinite(bl_n).all()
+    # PSD enforced despite noise
+    lam = np.linalg.eigvalsh((bl_n[2] + bl_n[2].conj().T) / 2)
+    assert lam.min() > -1e-6 * max(lam.max(), 1e-30)

@@ -112,6 +112,7 @@ class ProjectWorker(ProjectWorkerInterface):
             n_phi = 2 ** int(np.ceil(np.log2(2 * (L + 1))))
         cc = self._synthesize_cc_device(bl, wavelength, ft.qs, n_phi)
 
+        cc = self._apply_noise(cc, opt)
         # angular mean of the intensity: a(q) = I_00(q)·Y_00 = I_00/(2√π)
         avg_intensity = coeff[:, L, 0].real / (2 * np.sqrt(np.pi))
         return {
@@ -124,6 +125,20 @@ class ProjectWorker(ProjectWorkerInterface):
             "num_images_processed": 1,
             "num_images_good": 1,
         }
+
+    def _apply_noise(self, cc, opt):
+        """Optional additive noise on the synthetic CC: per-(q1,q2) scale set
+        by that pair's CC magnitude over Δ (a finite-photon-statistics
+        stand-in; `noise: {apply: true, snr: X}`)."""
+        nopt = opt.get("noise", {})
+        if not bool(nopt.get("apply", False)):
+            return cc
+        snr = float(nopt.get("snr", 100.0))
+        rng = np.random.default_rng(int(nopt.get("seed", 0)))
+        scale = np.abs(cc).std(axis=-1, keepdims=True) / snr
+        noisy = cc + rng.normal(size=cc.shape) * scale
+        # preserve the exact q1<->q2 symmetry of a true CC
+        return 0.5 * (noisy + np.swapaxes(noisy, 0, 1))
 
     def _synthesize_cc_device(self, bl, wavelength, qs, n_phi):
         """C_n = Σ_l B_l · P̄ⁿ_l(θ1)P̄ⁿ_l(θ2)/(2l+1) as ONE device einsum
