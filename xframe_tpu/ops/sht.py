@@ -189,6 +189,23 @@ class SphericalHarmonicTransform:
         full = jnp.concatenate([fm[..., L:], zeros, fm[..., :L]], axis=-1)
         return jnp.fft.ifft(full, axis=-1) * self.n_phi
 
+    def inverse_real(self, c):
+        """Real part of the synthesis, computed via a hermitian fold + irfft:
+        Re(Σ_m f_m e^{imφ}) ≡ irfft of the hermitian-averaged half-spectrum —
+        identical to `inverse(c).real` at half the inverse-FFT cost (used for
+        the projected intensity in the MTIP loop)."""
+        fm = self._synthesis_core(c, slice(None))
+        L = self.l_max
+        pos = fm[..., L:]                             # m = 0..L
+        neg = fm[..., :L][..., ::-1]                  # m = -1..-L
+        half = 0.5 * (pos.at[..., 1:].add(jnp.conj(neg)))
+        half = half.at[..., 0].set(pos[..., 0].real + 0j)
+        n_half = self.n_phi // 2 + 1
+        padw = n_half - (L + 1)
+        zeros = jnp.zeros(half.shape[:-1] + (padw,), dtype=half.dtype)
+        spec = jnp.concatenate([half, zeros], axis=-1)
+        return jnp.fft.irfft(spec * self.n_phi, self.n_phi, axis=-1)
+
 
 class CircularHarmonicTransform:
     """2D circular harmonic transform (reference mathLibrary.py:469-496).

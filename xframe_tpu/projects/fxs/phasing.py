@@ -181,7 +181,9 @@ class MTIP:
         analyse = getattr(self.sht, 'forward_real', self.sht.forward)
         Ilm = analyse(intensity)
         Ilm_proj = self.rc(Ilm)
-        I_new = self.sht.inverse(Ilm_proj).real
+        synth_real = getattr(self.sht, 'inverse_real', None)
+        I_new = synth_real(Ilm_proj) if synth_real \
+            else self.sht.inverse(Ilm_proj).real
         psi_p = project_to_modified_intensity(psi, intensity, I_new)
         rho_p = self.ft.inverse(psi_p)
         if ft_stab:
@@ -328,7 +330,9 @@ class MTIP:
         Ilm = analyse(intensity)
         W = self.rc.approximate_unknowns(Ilm)
         Ilm_proj = self.rc.project_coefficients(Ilm, W)
-        I_new = self.sht.inverse(Ilm_proj).real
+        synth_real = getattr(self.sht, 'inverse_real', None)
+        I_new = synth_real(Ilm_proj) if synth_real \
+            else self.sht.inverse(Ilm_proj).real
         psi_p = project_to_modified_intensity(psi, intensity, I_new)
         return psi_p, W
 
