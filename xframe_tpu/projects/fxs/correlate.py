@@ -280,15 +280,34 @@ class PanelCorrelator:
         counts = np.bincount(flat, minlength=self._n_bins)[:-1]
         self._bin_counts = counts.reshape(self.n_q, self.n_phi)
 
+        # CSR-style inverse map: per polar bin, the (padded) pixel-index
+        # list. Binning then becomes a dense gather + sum — far better on TPU
+        # than a scatter/segment_sum (which lowers to sorts). Padding slots
+        # point at a zero sentinel appended to each flattened frame.
+        order = np.argsort(flat, kind="stable")
+        sorted_bins = flat[order]
+        starts = np.searchsorted(sorted_bins, np.arange(self._n_bins))
+        ends = np.searchsorted(sorted_bins, np.arange(self._n_bins) + 1)
+        max_count = int(np.max(ends[:-1] - starts[:-1])) if self.n_q else 1
+        n_px = flat.size
+        gather = np.full((self.n_q * self.n_phi, max_count), n_px,
+                         dtype=np.int32)  # n_px = sentinel slot
+        for b in range(self.n_q * self.n_phi):
+            lo, hi = starts[b], ends[b]
+            gather[b, : hi - lo] = order[lo:hi]
+        self._gather_idx = gather
+        self._max_count = max_count
+
         self._process = jax.jit(self._process_batch)
 
     def _bin_frames(self, frames):
-        """(B, ...) → polar sums (B, n_q, n_phi)."""
+        """(B, ...) → polar sums (B, n_q, n_phi) via padded dense gather."""
         B = frames.shape[0]
         flatframes = frames.reshape(B, -1)
-        sums = jax.vmap(lambda f: jax.ops.segment_sum(
-            f, self._flat_idx, num_segments=self._n_bins))(flatframes)
-        return sums[:, :-1].reshape(B, self.n_q, self.n_phi)
+        zero = jnp.zeros((B, 1), dtype=flatframes.dtype)
+        padded = jnp.concatenate([flatframes, zero], axis=1)
+        gathered = padded[:, self._gather_idx]        # (B, n_bins, max_count)
+        return gathered.sum(axis=-1).reshape(B, self.n_q, self.n_phi)
 
     def _process_batch(self, frames, good):
         polar_sum = self._bin_frames(frames)
