@@ -246,3 +246,28 @@ def test_checkpointing_runner_resumes(problem, tmp_path):
     assert np.allclose(errors_r, errors_ref, rtol=5e-2, atol=1e-5)
     assert np.allclose(np.asarray(states_r.best_err),
                        np.asarray(states_ref.best_err), rtol=5e-2)
+
+
+def test_sw_center_recentering(problem):
+    """SW_center re-centers an off-center density (SW alone does not)."""
+    from xframe_tpu.library.shapes import (spherical_grid,
+                                           spherical_to_cartesian)
+    mtip, ft = problem["mtip"], problem["ft"]
+    grid_r = spherical_grid(ft.rs, ft.sht.theta, ft.sht.phi)
+    grid_q = spherical_grid(ft.qs, ft.sht.theta, ft.sht.phi)
+    mtip.enable_centering(spherical_to_cartesian(grid_r),
+                          spherical_to_cartesian(grid_q))
+    from xframe_tpu.library.shapes import ball_density
+    radius = problem["radius"]
+    rho_off = jnp.asarray(ball_density(grid_r, radius / 3,
+                                       center=(radius / 2, 1.3, 0.6)),
+                          dtype=jnp.complex64)
+    state = mtip.initial_state(rho_off)
+    seg = Segment("SW_center", sigma=mtip.sw.default_sigma, threshold=0.1)
+    out = jax.jit(lambda st: mtip._shrink_wrap(st, seg))(state)
+    r_cart = spherical_to_cartesian(grid_r)
+    w_off = np.abs(np.asarray(rho_off))
+    w_new = np.abs(np.asarray(out.rho))
+    com_off = np.einsum("rtpc,rtp->c", r_cart, w_off) / w_off.sum()
+    com_new = np.einsum("rtpc,rtp->c", r_cart, w_new) / w_new.sum()
+    assert np.linalg.norm(com_new) < 0.25 * np.linalg.norm(com_off)

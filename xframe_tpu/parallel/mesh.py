@@ -89,7 +89,7 @@ def split_schedule_chunks(schedule):
     chunks, current = [], []
     for seg in schedule:
         current.append(seg)
-        if seg.method == "SW":
+        if seg.method in ("SW", "SW_center"):
             chunks.append(current)
             current = []
     if current:
@@ -100,8 +100,8 @@ def split_schedule_chunks(schedule):
 def _chunk_structure_args(chunk):
     structure, args = [], []
     for seg in chunk:
-        if seg.method == "SW":
-            structure.append(("SW",))
+        if seg.method in ("SW", "SW_center"):
+            structure.append((seg.method,))
             args.append((np.float32(seg.sigma), np.float32(seg.threshold)))
         else:
             structure.append((seg.method, int(seg.n), bool(seg.ft_stab)))

@@ -89,7 +89,7 @@ def build_schedule(main_loop_opt, hio_beta_opt, sw_sigmas_opt, sw_thresholds_opt
                 if method in ('SW', 'SW_center'):
                     for _ in range(repeats):
                         segments.append(Segment(
-                            method='SW',
+                            method=method,
                             sigma=ramp_val(sigma_ramp, sw_step, default_sigma),
                             threshold=ramp_val(th_ramp, sw_step, 0.1)))
                         sw_step += 1
@@ -142,6 +142,8 @@ class MTIP:
         self.initial_support = np.asarray(initial_support)
         self.enforce_limit = float(enforce_initial_support_limit)
         self.fix_global_phase = bool(fix_global_phase)
+        self._r_cart = None
+        self._q_cart = None
 
     # ------------------------------------------------------------- iteration
     def _real_error(self, rho_p, rho_proj):
@@ -159,6 +161,27 @@ class MTIP:
         num = jnp.sum((d * d.conj()).real)
         den = jnp.sum((psi * psi.conj()).real)
         return jnp.where(den > 0, num / den, jnp.inf)
+
+    def enable_centering(self, r_cart, q_cart):
+        """Provide cartesian grid tables enabling the SW_center variant
+        (shrink-wrap + center-of-mass shift, reference SW_center sketch
+        reconstruct.py:598-619). Tables stay host numpy (jit constants)."""
+        np_real = np.float32 if self.rdtype == jnp.float32 else np.float64
+        self._r_cart = np.asarray(r_cart, dtype=np_real)
+        self._q_cart = np.asarray(q_cart, dtype=np_real)
+
+    def _center_density(self, rho):
+        """|ρ| center of mass → reciprocal phase-ramp shift to the origin."""
+        w = jnp.abs(rho) * self._w_full_weights()
+        com = jnp.einsum("...c,...->c",
+                         jnp.asarray(self._r_cart), w) / jnp.sum(w)
+        psi = self.ft.forward(rho)
+        phase = jnp.exp(1j * jnp.einsum(
+            "...c,c->...", jnp.asarray(self._q_cart), com).astype(psi.dtype))
+        return self.ft.inverse(psi * phase)
+
+    def _w_full_weights(self):
+        return self._w_err  # supported-region weights suffice for the c.o.m.
 
     def _anchor_global_phase(self, rho):
         """Rotate out the global phase (gauge): φ = ½·arg Σ w ρ², sign chosen
@@ -236,13 +259,17 @@ class MTIP:
             sigma = jnp.asarray(seg.sigma, dtype=self.rdtype)
         if threshold is None:
             threshold = seg.threshold
+        rho = state.rho
+        if seg is not None and seg.method == 'SW_center' \
+                and self._r_cart is not None:
+            rho = self._center_density(rho)
         blurred = self.ft.inverse(
-            self.ft.forward(jnp.abs(state.rho).astype(self.cdtype))
+            self.ft.forward(jnp.abs(rho).astype(self.cdtype))
             * self.sw.gaussian_values(sigma))
         new_support = self.sw.new_support(blurred, threshold)
         enforce = state.last_err > self.enforce_limit
         support = jnp.where(enforce, new_support & self.initial_support, new_support)
-        return PhasingState(state.rho, support, state.best_rho, state.best_mask,
+        return PhasingState(rho, support, state.best_rho, state.best_mask,
                             state.best_err, state.last_err)
 
     # ------------------------------------------------------------------ run
@@ -271,7 +298,7 @@ class MTIP:
         → (state, errors (n_iter, 2))."""
         err_chunks = []
         for seg in schedule:
-            if seg.method == 'SW':
+            if seg.method in ('SW', 'SW_center'):
                 state = self._shrink_wrap(state, seg)
             else:
                 state, errs = self._run_segment(state, seg)
@@ -287,9 +314,10 @@ class MTIP:
         the same structure share one jit compilation."""
         err_chunks = []
         for seg_s, a in zip(structure, args):
-            if seg_s[0] == 'SW':
+            if seg_s[0] in ('SW', 'SW_center'):
                 state = self._shrink_wrap(
-                    state, None, sigma=jnp.asarray(a[0], dtype=self.rdtype),
+                    state, Segment(seg_s[0]),
+                    sigma=jnp.asarray(a[0], dtype=self.rdtype),
                     threshold=jnp.asarray(a[1], dtype=self.rdtype))
             else:
                 method, n, ft_stab = seg_s

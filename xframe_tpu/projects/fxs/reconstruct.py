@@ -242,6 +242,11 @@ class ProjectWorker(ProjectWorkerInterface):
                     initial_support,
                     enforce_initial_support_limit=enforce_limit,
                     real_dtype=real_dtype)
+        # SW_center support: cartesian grid tables for the c.o.m. shift
+        from xframe_tpu.library.shapes import spherical_to_cartesian
+        grid_q = spherical_grid(ft.qs, ft.sht.theta, ft.sht.phi)
+        mtip.enable_centering(spherical_to_cartesian(grid),
+                              spherical_to_cartesian(grid_q))
 
         # initial-density machinery (reference reconstruct.py:1115-1210)
         total_intensity = float(np.trapezoid(avg_intensity * ft.qs ** 2, ft.qs)
