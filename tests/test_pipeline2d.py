@@ -130,3 +130,43 @@ def test_so2_gauge_pin():
     state, errors = jax.jit(lambda r: mtip.run(r, sched))(rho0)
     e = np.asarray(errors)[:, 0]
     assert np.isfinite(e).all() and e[-1] < e[0]
+
+
+def test_average_multiple_files(home):
+    """Average across MULTIPLE reconstruction files (reference
+    reconstruction_files list semantics)."""
+    import xframe_tpu as xf
+    # a second reconstruction run into the same structure
+    xf.select_project("fxs", "reconstruct", overrides={
+        "structure_name": "pytest2d",
+        "dimensions": 2,
+        "particle_radius": 60,
+        "grid": {"n_radial_points": 32, "max_order": 10, "n_phi": 64},
+        "multi_start": {"n_reconstructions": 2, "seed": 9},
+        "main_loop": {"sub_loops": {
+            "order": ["main"],
+            "main": {"iterations": 1, "order": ["HIO", "SW", "ER"],
+                     "methods": {"HIO": {"iterations": 10},
+                                 "SW": {"iterations": 1},
+                                 "ER": {"iterations": 5}}},
+        }},
+        "projections": {"real": {
+            "shrink_wrap": {"sigmas": [False], "thresholds": [0.09]},
+            "HIO": {"beta": [[0.5, 0.4, -1 / 50, 100]]},
+        }},
+    })
+    xf.run()
+    base = os.path.join(home, "data", "fxs", "reconstructions", "pytest2d")
+    files = sorted(
+        os.path.join(base, d, "data.h5") for d in os.listdir(base))
+    assert len(files) >= 2
+    xf.select_project("fxs", "average", overrides={
+        "structure_name": "pytest2d",
+        "reconstruction_files": files[:2],
+        "selection": {"error_limit": 10.0},
+        "l2_error_limit": 10.0,
+    })
+    avg = xf.run()
+    assert len(avg["input"]) == 4  # 2 restarts from each of 2 files
+    files_used = {m["file_index"] for m in avg["input_meta"].values()}
+    assert files_used == {0, 1}

@@ -81,6 +81,9 @@ def main(argv=None):
                         help="create the home folder tree and exit")
     parser.add_argument("-d", "--debug", action="store_true",
                         help="verbose logging")
+    parser.add_argument("--distributed", action="store_true",
+                        help="initialize jax.distributed (multi-host meshes; "
+                             "coordinator/process env per JAX docs)")
     parser.add_argument("--print_home", action="store_true")
     parser.add_argument("--version", action="store_true")
     sub = parser.add_subparsers(dest="project")
@@ -102,6 +105,9 @@ def main(argv=None):
     if getattr(args, "debug", False):
         from xframe_tpu.logger import setup_logging
         setup_logging("DEBUG")
+    if getattr(args, "distributed", False):
+        import jax
+        jax.distributed.initialize()
     if args.version:
         import xframe_tpu
         print(xframe_tpu.__version__)
