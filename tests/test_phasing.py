@@ -271,3 +271,18 @@ def test_sw_center_recentering(problem):
     com_off = np.einsum("rtpc,rtp->c", r_cart, w_off) / w_off.sum()
     com_new = np.einsum("rtpc,rtp->c", r_cart, w_new) / w_new.sum()
     assert np.linalg.norm(com_new) < 0.25 * np.linalg.norm(com_off)
+
+
+def test_pallas_polar_kernel_matches(problem):
+    """The VMEM-resident pallas Newton-Schulz kernel (interpret mode on CPU)
+    must reproduce the jnp polar iteration and drive phasing identically."""
+    from dataclasses import replace
+    rho0 = _initial_density(problem, jax.random.PRNGKey(5))
+    psi = problem["ft"].forward(rho0)
+    Ilm = problem["ft"].sht.forward_real((psi * psi.conj()).real)
+    rc_ns = replace(problem["mtip"].rc, procrustes_method="newton_schulz")
+    rc_pl = replace(problem["mtip"].rc,
+                    procrustes_method="newton_schulz_pallas")
+    W_ns = np.asarray(rc_ns.approximate_unknowns(Ilm))
+    W_pl = np.asarray(rc_pl.approximate_unknowns(Ilm))
+    assert np.abs(W_ns - W_pl).max() < 5e-3

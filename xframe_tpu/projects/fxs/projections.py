@@ -144,6 +144,8 @@ class ReciprocalConstraint:
         the MXU (polar_unitary_newton_schulz)."""
         Ilt = jnp.moveaxis(Ilm, 2, 0)                      # (L+1, n_q, n_m)
         B = self.PD @ Ilt                                  # (L+1, n_m, n_m)
+        if self.procrustes_method == "newton_schulz_pallas":
+            return self._unknowns_pallas(B)
         if self.procrustes_method == "newton_schulz":
             # eye-pad the complement at the block's RMS singular-value scale:
             # any positive multiple of I has polar factor I, and matching the
@@ -170,6 +172,38 @@ class ReciprocalConstraint:
             return polar_unitary_newton_schulz(M, self.ns_iterations)
         u, _, vh = jnp.linalg.svd(B + self.eye_pad, full_matrices=False)
         return u @ vh
+
+    def _unknowns_pallas(self, B):
+        """Newton–Schulz polar via the VMEM-resident pallas kernel
+        (ops.pallas_kernels): cropped l ≤ L-1 blocks zero-padded to exact
+        128-tiles run through the kernel; the single l = L block takes the
+        jnp path."""
+        import jax as _jax
+        from xframe_tpu.ops.pallas_kernels import polar_unitary_pallas
+        L, n_m = self.l_max, 2 * self.l_max + 1
+        sizes = 2 * jnp.arange(L + 1, dtype=B.real.dtype) + 1
+        rms = jnp.sqrt(jnp.sum(jnp.abs(B) ** 2, axis=(-2, -1))
+                       / sizes)[..., None, None]
+        M = B + self.eye_pad * (rms + 1e-20).astype(B.dtype)
+        if not (n_m > 128 and L >= 1):
+            return polar_unitary_newton_schulz(M, self.ns_iterations)
+        crop = M[:L, 1:-1, 1:-1]                           # (L, n_m-2, n_m-2)
+        n_c = n_m - 2
+        pad = ((0, 0), (0, 128 - n_c), (0, 128 - n_c)) if n_c < 128 else None
+        re = jnp.real(crop).astype(jnp.float32)
+        im = jnp.imag(crop).astype(jnp.float32)
+        if pad:
+            re, im = jnp.pad(re, pad), jnp.pad(im, pad)
+        interp = _jax.default_backend() == "cpu"
+        wr, wi = polar_unitary_pallas(re, im, self.ns_iterations,
+                                      interpret=interp)
+        W_small = (wr[:, :n_c, :n_c] + 1j * wi[:, :n_c, :n_c]).astype(B.dtype)
+        W_last = polar_unitary_newton_schulz(M[L:], self.ns_iterations)
+        eye_border = jnp.zeros((L, n_m, n_m), dtype=B.dtype)
+        eye_border = eye_border.at[:, 0, 0].set(1.0)
+        eye_border = eye_border.at[:, n_m - 1, n_m - 1].set(1.0)
+        W = eye_border.at[:, 1:-1, 1:-1].set(W_small)
+        return jnp.concatenate([W, W_last], axis=0)
 
     def project_coefficients(self, Ilm, W):
         """Replace I_l by V_l·W_l on used orders/unmasked q
