@@ -98,9 +98,6 @@ class PolarFourierTransform:
                                             reciprocity_coefficient, 2, mode)
         self.hankel = PolarHankelTransform(weights_dict, self.r_max,
                                            reciprocity_coefficient, real_dtype)
-        # columns of the full FFT that carry |m| <= m_max
-        self._m_cols = np.concatenate(
-            (np.arange(m_max + 1), np.arange(n_phi - m_max, n_phi)))
 
     def _apply(self, hankel_fn, f):
         # FFT-order m selection [0..M, -M..-1] via slices (no gather/scatter)

@@ -81,10 +81,8 @@ class SphericalHarmonicTransform:
         self._P = np.asarray(P, dtype=np_real)                      # synthesis
         self._PW = np.asarray(P * w[None, :, None], dtype=np_real)  # analysis (quadrature)
 
-        # φ-FFT columns carrying m = -L..L, in centered order
         ms = np.arange(-self.l_max, self.l_max + 1)
-        self._m_cols = ms % self.n_phi
-        self.m_orders = ms
+        self.m_orders = ms  # centered m values carried by the layout
         # valid-(l,m) mask: l >= |m|
         ls = np.arange(self.l_max + 1)[None, :]
         self.lm_mask = ls >= np.abs(ms)[:, None]  # (n_m, L+1), host numpy

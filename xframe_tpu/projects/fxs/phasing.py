@@ -33,9 +33,6 @@ from xframe_tpu.projects.fxs.projections import (
     project_to_modified_intensity, hio_update, er_update, raar_update,
 )
 
-METHOD_UPDATES = {'HIO': hio_update, 'ER': er_update, 'RAAR': raar_update}
-
-
 @dataclass
 class Segment:
     """One contiguous run of a single method in the flattened schedule."""
