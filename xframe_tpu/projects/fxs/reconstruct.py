@@ -493,6 +493,24 @@ class ProjectWorker(ProjectWorkerInterface):
         # fidelity diagnostic for the best restart: relative diff between the
         # reconstruction's deg-2 invariants and the data's B_l = V_l V_l†
         # (reference deg2-invariant error metric, fxs_IO_methods.py:312-...)
+        if results and aux.get("dimensions", 3) == 2:
+            best = results["0"]
+            rho_n = best["real_density"] / max(sqrt_s, 1e-30)
+            coeff = to_host(jax.jit(
+                lambda r_re, r_im: mtip.sht.forward((lambda p: (
+                    p * p.conj()).real)(ft.forward(r_re + 1j * r_im))))(
+                np.ascontiguousarray(rho_n.real, dtype=np.float32),
+                np.ascontiguousarray(rho_n.imag, dtype=np.float32)))
+            bm_rec = itools.harmonic_coeff_to_deg2_invariants_2d(coeff)
+            diffs = []
+            for m in range(0, bm_rec.shape[0], 2):
+                v = np.asarray(aux["proj"][m]).reshape(-1)
+                bm_data = np.outer(v, v.conj())
+                scale = np.abs(bm_data).max()
+                if scale > 0:
+                    diffs.append(np.abs(np.abs(bm_rec[m]) - np.abs(bm_data)
+                                        ).mean() / scale)
+            best["error_dict"]["deg2_invariant_relative"] =                 np.asarray(diffs, dtype=np.float32)
         if results and aux.get("dimensions", 3) == 3:
             best = results["0"]
             rho_n = best["real_density"] / max(sqrt_s, 1e-30)  # normalized units
