@@ -38,7 +38,7 @@ def _polar_kernel(iterations, mre_ref, mim_ref, wre_ref, wim_ref):
     mag = jnp.sqrt(Xr * Xr + Xi * Xi)
     norm = jnp.sqrt(jnp.max(jnp.sum(mag, axis=1))
                     * jnp.max(jnp.sum(mag, axis=0))) + 1e-12
-    inv = pl.reciprocal(norm, approx=False)
+    inv = 1.0 / norm
     Xr = Xr * inv
     Xi = Xi * inv
 
