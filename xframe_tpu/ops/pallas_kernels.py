@@ -50,23 +50,25 @@ def _polar_kernel(iterations, mre_ref, mim_ref, wre_ref, wim_ref):
     def cm(ar, ai, br, bi):
         return (_mm(ar, br) - _mm(ai, bi), _mm(ar, bi) + _mm(ai, br))
 
-    def quintic(carry, _):
+    def quintic(_, carry):
         xr, xi = carry
         ar, ai = chm(xr, xi, xr, xi)              # X†X
         a2r, a2i = cm(ar, ai, ar, ai)             # (X†X)²
         br = _CB * ar + _CC * a2r
         bi = _CB * ai + _CC * a2i
         yr, yi = cm(xr, xi, br, bi)               # X·B
-        return (_CA * xr + yr, _CA * xi + yi), None
+        return (_CA * xr + yr, _CA * xi + yi)
 
-    def cubic(carry, _):
+    def cubic(_, carry):
         xr, xi = carry
         ar, ai = chm(xr, xi, xr, xi)
         yr, yi = cm(xr, xi, ar, ai)
-        return (1.5 * xr - 0.5 * yr, 1.5 * xi - 0.5 * yi), None
+        return (1.5 * xr - 0.5 * yr, 1.5 * xi - 0.5 * yi)
 
-    (Xr, Xi), _ = lax.scan(quintic, (Xr, Xi), None, length=iterations)
-    (Xr, Xi), _ = lax.scan(cubic, (Xr, Xi), None, length=4)
+    # fori_loop, not scan: the mosaic lowering only accepts loops whose
+    # carry pattern-matches a fori index
+    Xr, Xi = lax.fori_loop(0, iterations, quintic, (Xr, Xi))
+    Xr, Xi = lax.fori_loop(0, 4, cubic, (Xr, Xi))
     wre_ref[0] = Xr
     wim_ref[0] = Xi
 
