@@ -87,6 +87,12 @@ def main(argv=None):
     parser.add_argument("--print_home", action="store_true")
     parser.add_argument("--version", action="store_true")
     sub = parser.add_subparsers(dest="project")
+    vp = sub.add_parser("view", help="render reconstruction/average h5 "
+                                     "outputs to PNG (headless viewer)")
+    vp.add_argument("file", help="reconstructions/average HDF5 file")
+    vp.add_argument("-o", "--out", default=None, help="output folder "
+                    "(default: next to the input file)")
+    vp.add_argument("-n", "--max-results", type=int, default=4)
     projects = discover_projects()
     for project, workers in projects.items():
         p = sub.add_parser(project)
@@ -118,6 +124,12 @@ def main(argv=None):
     if args.print_home:
         from xframe_tpu.settings import loader as settings_loader
         print(settings_loader.home_dir())
+        return 0
+    if args.project == "view":
+        from xframe_tpu.presenters.viewer import view_file
+        for p in view_file(args.file, out_dir=args.out,
+                           max_results=args.max_results):
+            print(p)
         return 0
     if not args.project or not getattr(args, "worker", None):
         parser.print_help()
