@@ -49,7 +49,12 @@ class SphericalHarmonicTransform:
     """
 
     def __init__(self, l_max: int, n_theta: int | None = None, n_phi: int | None = None,
-                 anti_aliasing_degree: int = 2, real_dtype=jnp.float32):
+                 anti_aliasing_degree: int = 2, real_dtype=jnp.float32,
+                 mxu_dtype=None):
+        """mxu_dtype: optional reduced-precision dtype (jnp.bfloat16) for the
+        Legendre matmul INPUTS; accumulation stays float32
+        (preferred_element_type). ~2× MXU throughput at ~1e-2 relative
+        coefficient error — opt-in for error-tolerant iterations."""
         self.l_max = int(l_max)
         nt_d, np_d = angular_grid_size(self.l_max, anti_aliasing_degree)
         self.n_theta = int(n_theta) if n_theta else nt_d
@@ -63,6 +68,7 @@ class SphericalHarmonicTransform:
         self.n_m = 2 * self.l_max + 1
         self.real_dtype = real_dtype
         self.complex_dtype = jnp.complex64 if real_dtype == jnp.float32 else jnp.complex128
+        self.mxu_dtype = mxu_dtype
 
         # Gauss-Legendre nodes in cosθ; order so θ ascends (x=cosθ descends).
         x, w = gauss_legendre(self.n_theta)
@@ -107,7 +113,31 @@ class SphericalHarmonicTransform:
             self._PW_e = np.ascontiguousarray(self._PW[:, :t2, le])
             self._PW_o = np.ascontiguousarray(self._PW[:, :t2, lo])
 
+        if mxu_dtype is not None:
+            # tables only feed the einsums below — store them at MXU precision
+            for name in ("_P", "_PW", "_P_e", "_P_o", "_PW_e", "_PW_o"):
+                if hasattr(self, name):
+                    setattr(self, name,
+                            np.asarray(getattr(self, name), dtype=mxu_dtype))
+
     # -- pure functions (close over host-numpy constants; safe under jit) --
+
+    def _cx_einsum(self, spec, x, table):
+        """complex field × REAL table einsum as two real-plane matmuls.
+
+        jnp.einsum would promote the table to complex (4 real matmuls, half of
+        them against a zero imaginary plane); splitting keeps it at the 2 the
+        math needs. With mxu_dtype set, inputs are cast down and the MXU
+        accumulates at float32 (preferred_element_type)."""
+        if self.mxu_dtype is not None:
+            re = jnp.einsum(spec, x.real.astype(self.mxu_dtype), table,
+                            preferred_element_type=self.real_dtype)
+            im = jnp.einsum(spec, x.imag.astype(self.mxu_dtype), table,
+                            preferred_element_type=self.real_dtype)
+        else:
+            re = jnp.einsum(spec, x.real, table)
+            im = jnp.einsum(spec, x.imag, table)
+        return jax.lax.complex(re, im)
 
     def _analysis_core(self, fm, m_rows):
         """Legendre analysis of (..., θ, m_subset) Fourier columns.
@@ -116,7 +146,7 @@ class SphericalHarmonicTransform:
         contract over n_theta/2 points with parity-packed tables — half the
         matmul FLOPs of the dense contraction."""
         if not self._use_sym:
-            return jnp.einsum('...tm,mtl->...ml', fm, self._PW[m_rows])
+            return self._cx_einsum('...tm,mtl->...ml', fm, self._PW[m_rows])
         t2 = self.n_theta // 2
         head = fm[..., :t2, :]
         tail = fm[..., ::-1, :][..., :t2, :]
@@ -124,8 +154,8 @@ class SphericalHarmonicTransform:
         m_even = self._m_even[m_rows][:, 0]
         in_e = jnp.where(m_even[None, :], f_plus, f_minus)  # (l+m) even terms
         in_o = jnp.where(m_even[None, :], f_minus, f_plus)
-        c_e = jnp.einsum('...tm,mtl->...ml', in_e, self._PW_e[m_rows])
-        c_o = jnp.einsum('...tm,mtl->...ml', in_o, self._PW_o[m_rows])
+        c_e = self._cx_einsum('...tm,mtl->...ml', in_e, self._PW_e[m_rows])
+        c_o = self._cx_einsum('...tm,mtl->...ml', in_o, self._PW_o[m_rows])
         return self._interleave_l(c_e, c_o)
 
     def _interleave_l(self, c_e, c_o):
@@ -143,9 +173,9 @@ class SphericalHarmonicTransform:
         grid, mirrored to the full grid."""
         c = c.astype(self.complex_dtype)
         if not self._use_sym:
-            return jnp.einsum('...ml,mtl->...tm', c, self._P[m_rows])
-        s_e = jnp.einsum('...ml,mtl->...tm', c[..., 0::2], self._P_e[m_rows])
-        s_o = jnp.einsum('...ml,mtl->...tm', c[..., 1::2], self._P_o[m_rows])
+            return self._cx_einsum('...ml,mtl->...tm', c, self._P[m_rows])
+        s_e = self._cx_einsum('...ml,mtl->...tm', c[..., 0::2], self._P_e[m_rows])
+        s_o = self._cx_einsum('...ml,mtl->...tm', c[..., 1::2], self._P_o[m_rows])
         m_even = self._m_even[m_rows][:, 0]
         even_par = jnp.where(m_even[None, :], s_e, s_o)  # Σ over (l+m) even
         odd_par = jnp.where(m_even[None, :], s_o, s_e)
