@@ -23,7 +23,7 @@ class SphericalFourierTransform:
     def __init__(self, n_radial_points: int, l_max: int, q_max: float = None,
                  mode: str = 'midpoint', reciprocity_coefficient: float = np.pi,
                  n_theta: int = None, n_phi: int = None, real_dtype=jnp.float32,
-                 weights_dict: dict = None):
+                 weights_dict: dict = None, mxu_dtype=None):
         if q_max is None:
             q_max = float(np.pi * n_radial_points / 250.0)
         self.mode = mode
@@ -33,7 +33,8 @@ class SphericalFourierTransform:
         self.q_max = q_max
         self.n_radial_points = n_radial_points
         self.sht = SphericalHarmonicTransform(l_max, n_theta=n_theta, n_phi=n_phi,
-                                              real_dtype=real_dtype)
+                                              real_dtype=real_dtype,
+                                              mxu_dtype=mxu_dtype)
         if weights_dict is None:
             weights_dict = generate_weights(l_max, n_radial_points,
                                             reciprocity_coefficient, 3, mode)
