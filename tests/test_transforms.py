@@ -197,3 +197,26 @@ class TestZernikeMode:
         ana = sigma ** 2 * np.exp(-(sigma ** 2) * ft.qs ** 2 / 2)
         num = np.asarray(psi[:, 0]).real
         assert np.abs(num - ana).max() / ana.max() < 5e-3
+
+
+def test_sht_mxu_dtype_bf16_close():
+    """Opt-in bf16 MXU inputs: same transform at reduced precision
+    (accumulation stays f32 via preferred_element_type)."""
+    import jax
+    import jax.numpy as jnp
+    from xframe_tpu.ops.sht import SphericalHarmonicTransform
+    L = 8
+    t32 = SphericalHarmonicTransform(L)
+    tbf = SphericalHarmonicTransform(L, mxu_dtype=jnp.bfloat16)
+    rng = np.random.default_rng(7)
+    c = rng.normal(size=(2, 2 * L + 1, L + 1)) \
+        + 1j * rng.normal(size=(2, 2 * L + 1, L + 1))
+    c = np.where(t32.lm_mask[None], c, 0).astype(np.complex64)
+    f32 = np.asarray(jax.jit(t32.inverse)(c))
+    fbf = np.asarray(jax.jit(tbf.inverse)(c))
+    rel = np.linalg.norm(fbf - f32) / np.linalg.norm(f32)
+    assert rel < 2e-2, rel
+    c32 = np.asarray(jax.jit(t32.forward)(jnp.asarray(f32)))
+    cbf = np.asarray(jax.jit(tbf.forward)(jnp.asarray(f32)))
+    rel = np.linalg.norm(cbf - c32) / np.linalg.norm(c32)
+    assert rel < 2e-2, rel
