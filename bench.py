@@ -21,7 +21,7 @@ def main():
     from xframe_tpu.projects.fxs.demo import make_demo_problem
     from xframe_tpu.projects.fxs.phasing import Segment
 
-    n_restarts = int(os.environ.get("XF_BENCH_RESTARTS", "4"))
+    n_restarts = int(os.environ.get("XF_BENCH_RESTARTS", "1"))
     n_iter = int(os.environ.get("XF_BENCH_ITERS", "20"))
     method = os.environ.get("XF_BENCH_PROCRUSTES", "newton_schulz")
     ns_iters = int(os.environ.get("XF_BENCH_NS_ITERS", "16"))
