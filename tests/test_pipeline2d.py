@@ -170,3 +170,33 @@ def test_average_multiple_files(home):
     assert len(avg["input"]) == 4  # 2 restarts from each of 2 files
     files_used = {m["file_index"] for m in avg["input_meta"].values()}
     assert files_used == {0, 1}
+
+
+def test_reconstruct_chunked_restarts(home):
+    """multi_start.batch_size: sequential chunks produce the full restart set
+    (3 restarts in chunks of 2 — exercises the padded tail chunk)."""
+    xf.select_project("fxs", "reconstruct", overrides={
+        "structure_name": "pytest2d",
+        "dimensions": 2,
+        "particle_radius": 60,
+        "grid": {"n_radial_points": 32, "max_order": 10, "n_phi": 64},
+        "multi_start": {"n_reconstructions": 3, "seed": 5, "batch_size": 2},
+        "main_loop": {"sub_loops": {
+            "order": ["main"],
+            "main": {"iterations": 1, "order": ["HIO", "SW"],
+                     "methods": {"HIO": {"iterations": 6},
+                                 "SW": {"iterations": 1}}},
+        }},
+        "projections": {"real": {
+            "shrink_wrap": {"sigmas": [False], "thresholds": [0.09]},
+            "HIO": {"beta": [[0.5, 0.4, -1 / 50, 100]]},
+        }},
+    })
+    res = xf.run()
+    results = res["reconstruction_results"]
+    assert len(results) == 3
+    densities = [np.asarray(r["real_density"]) for r in results.values()]
+    for d in densities:
+        assert d.shape == (32, 64) and np.isfinite(d).all()
+    # chunks were seeded independently: restarts are not duplicates
+    assert not np.allclose(densities[0], densities[2])
