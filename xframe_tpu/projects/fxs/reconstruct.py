@@ -97,6 +97,7 @@ class ProjectWorker(ProjectWorkerInterface):
         seed = opt.multi_start.get("seed")
         if not seed:
             seed = int.from_bytes(os.urandom(4), "little")
+        seed = int(seed) & 0x7FFFFFFF  # traced as int32 by initial_density_batch
 
         batch = int(opt.multi_start.get("batch_size", 0) or 0)
         mesh = self._make_mesh(batch if 0 < batch < n_restarts
@@ -296,8 +297,10 @@ class ProjectWorker(ProjectWorkerInterface):
 
         from functools import partial
 
-        @partial(jax.jit, static_argnums=(0, 1))
+        @partial(jax.jit, static_argnums=(1,))
         def initial_density_batch(seed, n):
+            # seed is TRACED (int32): new seeds reuse one compilation — chunked
+            # restarts would otherwise pay a tunnel recompile per chunk
             # key made INSIDE jit (eager integer ops unimplemented on axon)
             return jax.vmap(_guess)(jax.random.split(jax.random.PRNGKey(seed), n))
 
@@ -434,8 +437,10 @@ class ProjectWorker(ProjectWorkerInterface):
 
         from functools import partial
 
-        @partial(jax.jit, static_argnums=(0, 1))
+        @partial(jax.jit, static_argnums=(1,))
         def initial_density_batch(seed, n):
+            # seed is TRACED (int32): new seeds reuse one compilation — chunked
+            # restarts would otherwise pay a tunnel recompile per chunk
             return jax.vmap(_guess)(jax.random.split(jax.random.PRNGKey(seed), n))
 
         aux = dict(grid=grid, initial_support=initial_support,
