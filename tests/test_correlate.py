@@ -117,3 +117,45 @@ def test_native_frame_reader(tmp_path):
     got = np.concatenate(list(loader))
     assert np.array_equal(got, np.stack(frames))
     assert _load() is not None, "native library failed to build"
+
+
+def test_correlator_background_and_fc_cap():
+    """filters.background_file subtraction and fc_n_max CC low-pass."""
+    ny = nx = 64
+    oy = ox = 31.5
+    frames = np.stack([_blob_frame(ny, nx, oy, ox, s) for s in range(3)])
+    bg = np.full((ny, nx), 0.05, dtype=np.float32)
+    kw = dict(pixel_size_um=200.0, sample_distance_mm=800.0,
+              wavelength=1.23984, n_phi=64, n_q=16)
+    ref = Correlator((ny, nx), (oy, ox), **kw)
+    sub = Correlator((ny, nx), (oy, ox), background=bg, **kw)
+    out_ref = ref.correlate_frames(iter([frames + bg]))
+    out_sub = sub.correlate_frames(iter([frames + bg]))
+    out_direct = ref.correlate_frames(iter([frames]))
+    # subtracting the background equals never having added it
+    assert np.allclose(out_sub["cross_correlation"],
+                       out_direct["cross_correlation"], rtol=1e-3,
+                       atol=1e-5 * np.abs(out_direct["cross_correlation"]).max())
+    assert not np.allclose(out_ref["cross_correlation"],
+                           out_direct["cross_correlation"], rtol=1e-3)
+
+    capped = Correlator((ny, nx), (oy, ox), fc_n_max=4, **kw)
+    cc = capped.correlate_frames(iter([frames]))["cross_correlation"]
+    spec = np.fft.rfft(cc, axis=-1)
+    assert np.abs(spec[..., 5:]).max() < 1e-6 * np.abs(spec).max()
+
+
+def test_correlator_waxs_only():
+    """compute without 'ccf': CC accumulation skipped, WAXS still correct."""
+    ny = nx = 64
+    frames = np.stack([_blob_frame(ny, nx, 31.5, 31.5, s) for s in range(3)])
+    kw = dict(pixel_size_um=200.0, sample_distance_mm=800.0,
+              wavelength=1.23984, n_phi=64, n_q=16)
+    waxs_only = Correlator((ny, nx), (31.5, 31.5), with_ccf=False, **kw)
+    full = Correlator((ny, nx), (31.5, 31.5), **kw)
+    a = waxs_only.correlate_frames(iter([frames]))
+    b = full.correlate_frames(iter([frames]))
+    assert a["cross_correlation"] is None
+    assert np.allclose(a["average_intensity"], b["average_intensity"],
+                       rtol=1e-5)
+    assert a["num_images_good"] == 3

@@ -212,3 +212,59 @@ def test_noisy_simulation_still_extracts(home):
     # PSD enforced despite noise
     lam = np.linalg.eigvalsh((bl_n[2] + bl_n[2].conj().T) / 2)
     assert lam.min() > -1e-6 * max(lam.max(), 1e-30)
+
+
+def test_extract_from_shapes(home):
+    """extraction_mode='shapes': ground-truth invariants straight from an
+    analytic density (reference extract_bl_from_shapes semantics)."""
+    import xframe_tpu as xf
+    xf.select_project("fxs", "extract", overrides={
+        "structure_name": "shapes_gt",
+        "dimensions": 3,
+        "max_order": 8,
+        "extraction_mode": "shapes",
+        "shapes_source": {
+            "grid": {"n_radial_points": 24, "max_q": 0.5},
+            "shapes": {"types": ["sphere", "sphere"],
+                       "centers": [[0, 0, 0], [30, 1.2, 0.5]],
+                       "sizes": [30, 18], "densities": [1.0, 0.6],
+                       "random_orientation": [False, False]},
+        },
+    })
+    inv = xf.run()
+    bl = np.asarray(inv["deg_2_invariant"]["I1I1"])
+    assert bl.shape == (9, 24, 24)
+    assert np.abs(bl[1::2]).max() == 0          # Friedel: odd orders vanish
+    assert np.abs(bl[0]).max() > 0 and np.abs(bl[2]).max() > 0
+    # B_l are PSD up to fp noise
+    for l in range(0, 9, 2):
+        lam = np.linalg.eigvalsh((bl[l] + bl[l].conj().T) / 2)
+        assert lam.min() > -1e-6 * max(lam.max(), 1e-30)
+    proj = inv["data_projection_matrices"]["I1I1"]
+    assert len(proj) == 9
+    assert np.asarray(proj[2]).shape == (24, 5)  # rank cap 2l+1
+
+
+def test_extract_rank_cap_off(home, ccd):
+    """rank_cap=False keeps all non-negative modes (diagnostic mode)."""
+    import xframe_tpu as xf
+    xf.select_project("fxs", "extract", overrides={
+        "structure_name": "pytest", "max_order": 6,
+        "projection_matrices": {"rank_cap": False},
+    })
+    inv = xf.run()
+    proj = inv["data_projection_matrices"]["I1I1"]
+    n_q = len(np.asarray(inv["data_radial_points"]))
+    assert np.asarray(proj[2]).shape == (n_q, n_q)
+
+
+def test_extract_datasets_to_process_missing(home, ccd):
+    """Asking only for a dataset the file lacks is an explicit error."""
+    import pytest
+    import xframe_tpu as xf
+    xf.select_project("fxs", "extract", overrides={
+        "structure_name": "pytest", "max_order": 6,
+        "cross_correlation": {"datasets_to_process": ["I2I1"]},
+    })
+    with pytest.raises(ValueError, match="datasets_to_process"):
+        xf.run()

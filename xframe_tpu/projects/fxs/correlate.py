@@ -25,13 +25,28 @@ from xframe_tpu.projects.fxs._database_ import ProjectDB
 from xframe_tpu.settings import loader as settings_loader
 
 
+def _low_pass_cc(cc, fc_n_max):
+    """Zero CC harmonics above fc_n_max (the reference keeps FCs only up to
+    this order, settings fc_n_max)."""
+    if not fc_n_max or fc_n_max >= cc.shape[-1] // 2:
+        return cc
+    f = np.fft.rfft(cc, axis=-1)
+    f[..., int(fc_n_max) + 1:] = 0
+    return np.fft.irfft(f, cc.shape[-1], axis=-1)
+
+
 class Correlator:
     """Device-side batch correlator closed over the detector geometry."""
 
     def __init__(self, image_shape, detector_origin, pixel_size_um,
                  sample_distance_mm, wavelength, n_phi=1024, n_q=None,
                  interpolation_order=1, mask_below=None, mask_above=None,
-                 polarization=False, solid_angle=False):
+                 polarization=False, solid_angle=False, background=None,
+                 fc_n_max=None, with_ccf=True):
+        """background: per-pixel frame subtracted before filtering
+        (filters.background_file); fc_n_max: low-pass the final CC to this
+        harmonic order; with_ccf=False skips the CC accumulation entirely
+        (settings `compute` without 'ccf': WAXS/is_good-only runs)."""
         ny, nx = image_shape
         oy, ox = float(detector_origin[0]), float(detector_origin[1])
         r_max_pix = min(oy, ox, ny - 1 - oy, nx - 1 - ox)
@@ -66,6 +81,10 @@ class Correlator:
         self._corrections = corr.astype(np.float32)
         self.mask_below = mask_below
         self.mask_above = mask_above
+        self._background = None if background is None else \
+            np.asarray(background, dtype=np.float32)
+        self.fc_n_max = None if not fc_n_max else int(fc_n_max)
+        self.with_ccf = bool(with_ccf)
 
         self._process = jax.jit(self._process_batch)
 
@@ -77,6 +96,8 @@ class Correlator:
     def _process_batch(self, frames, good):
         """frames (B, ny, nx) f32; good (B,) f32 0/1 →
         accumulated (cc_f, cc_m, waxs_sum, count_sum, n_good)."""
+        if self._background is not None:
+            frames = frames - self._background
         valid = jnp.isfinite(frames)
         if self.mask_below is not None:
             valid &= frames > self.mask_below
@@ -89,11 +110,14 @@ class Correlator:
         polar = polar * self._corrections * pmask
 
         g = good[:, None, None]
-        f = jnp.fft.rfft(polar * g, axis=-1)                    # (B, n_q, n+1)
-        m = jnp.fft.rfft(pmask.astype(jnp.float32) * g, axis=-1)
-        # Σ_frames Î(q1)* Î(q2): batched outer product over q — MXU einsum
-        cc_f = jnp.einsum("bqn,bpn->qpn", f.conj(), f)
-        cc_m = jnp.einsum("bqn,bpn->qpn", m.conj(), m)
+        if self.with_ccf:
+            f = jnp.fft.rfft(polar * g, axis=-1)                # (B, n_q, n+1)
+            m = jnp.fft.rfft(pmask.astype(jnp.float32) * g, axis=-1)
+            # Σ_frames Î(q1)* Î(q2): batched outer product over q — MXU einsum
+            cc_f = jnp.einsum("bqn,bpn->qpn", f.conj(), f)
+            cc_m = jnp.einsum("bqn,bpn->qpn", m.conj(), m)
+        else:
+            cc_f = cc_m = jnp.zeros((), dtype=jnp.complex64)
         waxs = jnp.sum(polar * g, axis=0)
         count = jnp.sum(pmask * g[..., 0][:, :, None], axis=0)
         return cc_f, cc_m, waxs, count, jnp.sum(good)
@@ -115,10 +139,13 @@ class Correlator:
             else:
                 acc = [jax.jit(jnp.add)(a, o) for a, o in zip(acc, out)]
         cc_f, cc_m, waxs, count, n_good = [to_host(a) for a in acc]
-        # mask-CCF normalization (cross_correlation.py:56-62): per-Δ counts
-        ccf = np.fft.irfft(cc_f, self.n_phi, axis=-1)
-        ccm = np.fft.irfft(cc_m, self.n_phi, axis=-1)
-        cc = np.where(ccm > 0.5, ccf / np.where(ccm > 0.5, ccm, 1.0), 0.0)
+        cc = None
+        if self.with_ccf:
+            # mask-CCF normalization (cross_correlation.py:56-62): per-Δ counts
+            ccf = np.fft.irfft(cc_f, self.n_phi, axis=-1)
+            ccm = np.fft.irfft(cc_m, self.n_phi, axis=-1)
+            cc = np.where(ccm > 0.5, ccf / np.where(ccm > 0.5, ccm, 1.0), 0.0)
+            cc = _low_pass_cc(cc, self.fc_n_max)
         avg_intensity = np.where(count > 0, waxs / np.maximum(count, 1), 0.0)
         return {
             "cross_correlation": cc,
@@ -156,7 +183,8 @@ class ProjectWorker(ProjectWorkerInterface):
         corr = PanelCorrelator(
             exp.get_pixel_grid_reciprocal()[list(mods)],
             n_q=int(opt.polar_grid.get("n_q", 0) or 128),
-            n_phi=int(opt.polar_grid.n_phi))
+            n_phi=int(opt.polar_grid.n_phi),
+            fc_n_max=int(opt.get("fc_n_max", 0) or 0) or None)
         n_max = opt.get("max_n_patterns", "all")
         stop = None if (isinstance(n_max, str) and n_max == "all") else int(n_max)
         sel = DataSelection(frame_range=(0, stop), modules=mods,
@@ -186,6 +214,12 @@ class ProjectWorker(ProjectWorkerInterface):
         opt = self.settings
         ny, nx = [int(v) for v in opt.image_dimensions]
         fopt = opt.get("filters", {})
+        compute = [str(c) for c in opt.get("compute",
+                                           ["is_good", "waxs_aver",
+                                            "ccf_q1q2"])]
+        with_ccf = any(c.startswith("ccf") for c in compute)
+        background = self._load_background(fopt.get("background_file"),
+                                           (ny, nx))
         corr = Correlator(
             (ny, nx), opt.detector_origin, float(opt.pixel_size),
             float(opt.sample_distance), float(opt.wavelength),
@@ -195,7 +229,10 @@ class ProjectWorker(ProjectWorkerInterface):
             mask_below=fopt.get("mask_below") if fopt.get("mask_below") is not False else None,
             mask_above=fopt.get("mask_above") if fopt.get("mask_above") is not False else None,
             polarization=bool(opt.get("corrections", {}).get("polarization", False)),
-            solid_angle=bool(opt.get("corrections", {}).get("solid_angle", False)))
+            solid_angle=bool(opt.get("corrections", {}).get("solid_angle", False)),
+            background=background,
+            fc_n_max=int(opt.get("fc_n_max", 0) or 0) or None,
+            with_ccf=with_ccf)
 
         paths = self._frame_paths()
         n_max = opt.get("max_n_patterns", "all")
@@ -225,7 +262,8 @@ class ProjectWorker(ProjectWorkerInterface):
             "angular_points": corr.phis,
             "xray_wavelength": corr.wavelength,
             "average_intensity": out["average_intensity"],
-            "cross_correlation": {"I1I1": out["cross_correlation"]},
+            "cross_correlation": {"I1I1": out["cross_correlation"]}
+            if out["cross_correlation"] is not None else {},
             "num_images_processed": len(paths),
             "num_images_good": out["num_images_good"],
         }
@@ -233,6 +271,24 @@ class ProjectWorker(ProjectWorkerInterface):
         print(f"correlate: {len(paths)} frames "
               f"({out['num_images_good']} good); saved to {path}")
         return data
+
+    def _load_background(self, spec, shape):
+        """filters.background_file: per-pixel background frame (.npy, .h5
+        dataset 'background', or raw float32 of the image size)."""
+        if not spec:
+            return None
+        path = str(spec)
+        if path.endswith(".npy"):
+            bg = np.load(path)
+        elif path.endswith((".h5", ".hdf5")):
+            from xframe_tpu.io import hdf5 as hdf5_io
+            d = hdf5_io.load(path)
+            bg = np.asarray(d["background"] if "background" in d
+                            else next(iter(d.values())))
+        else:
+            bg = np.fromfile(path, dtype=np.float32)
+        bg = np.asarray(bg, dtype=np.float32).reshape(shape)
+        return bg
 
     def _frame_paths(self):
         inp = self.settings.get("input", {})
@@ -255,7 +311,7 @@ class PanelCorrelator:
     (any panel layout a detector class provides)."""
 
     def __init__(self, pixel_grid_reciprocal, n_q=128, n_phi=512,
-                 q_range=None, pixel_mask=None):
+                 q_range=None, pixel_mask=None, fc_n_max=None):
         qgrid = np.asarray(pixel_grid_reciprocal)  # (..., 3): (q, θ, φ)
         q = qgrid[..., 0].ravel()
         phi = np.mod(qgrid[..., 2].ravel(), 2 * np.pi)
@@ -297,6 +353,7 @@ class PanelCorrelator:
             gather[b, : hi - lo] = order[lo:hi]
         self._gather_idx = gather
         self._max_count = max_count
+        self.fc_n_max = None if not fc_n_max else int(fc_n_max)
 
         self._process = jax.jit(self._process_batch)
 
@@ -340,6 +397,7 @@ class PanelCorrelator:
         ccf = np.fft.irfft(cc_f, self.n_phi, axis=-1)
         ccm = np.fft.irfft(cc_m, self.n_phi, axis=-1)
         cc = np.where(ccm > 0.5, ccf / np.where(ccm > 0.5, ccm, 1.0), 0.0)
+        cc = _low_pass_cc(cc, self.fc_n_max)
         avg = np.where(count > 0, waxs / np.maximum(count, 1), 0.0)
         return {"cross_correlation": cc,
                 "average_intensity": avg.mean(axis=-1),

@@ -20,12 +20,15 @@ class ProjectWorker(ProjectWorkerInterface):
 
     def run(self):
         opt = self.settings
-        inp = opt.get("input", {})
-        run_no = inp.get("ccd_run") or None
-        ccd = self.db.load_ccd(run=int(run_no) if run_no else None,
-                               path=inp.get("ccd_path") or None)
-        dim = int(ccd.get("dimensions", opt.get("dimensions", 3)))
-        data = self.extract(ccd, dim)
+        if str(opt.get("extraction_mode", "cross_correlation")) == "shapes":
+            data = self.extract_from_shapes()
+        else:
+            inp = opt.get("input", {})
+            run_no = inp.get("ccd_run") or None
+            ccd = self.db.load_ccd(run=int(run_no) if run_no else None,
+                                   path=inp.get("ccd_path") or None)
+            dim = int(ccd.get("dimensions", opt.get("dimensions", 3)))
+            data = self.extract(ccd, dim)
         path, run = self.db.save("invariants", data)
         print(f"extract: saved invariants to {path}")
         return data
@@ -33,13 +36,110 @@ class ProjectWorker(ProjectWorkerInterface):
     # ---------------------------------------------------------------- extract
     def extract(self, ccd, dim):
         opt = self.settings
-        name = "I1I1"
-        ds_opt = opt.cross_correlation.datasets[name]
-        cc = np.asarray(ccd["cross_correlation"][name], dtype=float)
         qs = np.asarray(ccd["radial_points"], dtype=float)
         wavelength = float(ccd["xray_wavelength"])
         avg_intensity = np.asarray(ccd["average_intensity"], dtype=float)
         L = int(opt.max_order)
+
+        # datasets_to_process: every listed CC dataset present in the file is
+        # extracted (reference multi-dataset loop, extract.py:496-532); the
+        # projection matrices come from the primary (first) one.
+        wanted = [str(n) for n in
+                  opt.cross_correlation.get("datasets_to_process", ["I1I1"])]
+        present = [n for n in wanted if n in ccd["cross_correlation"]]
+        if not present:
+            raise ValueError(
+                f"none of datasets_to_process {wanted} found in the ccd file "
+                f"(has {sorted(ccd['cross_correlation'])})")
+        inv_opt = opt.get("invariant_constraints", {})
+        apply_psd = bool(inv_opt.get("positive_semidefinite", {})
+                         .get("apply", True))
+        bls, mask_dict = {}, {}
+        for name in present:
+            bl, mask_dict[name] = self._extract_bl(ccd, name, dim, qs,
+                                                   wavelength,
+                                                   avg_intensity, L)
+            if apply_psd:
+                bl = itools.nearest_positive_semidefinite_matrix(bl)
+            bls[name] = bl
+        primary = present[0]
+        out = self._invariants_to_output(
+            bls[primary], dim, qs, wavelength, avg_intensity,
+            np.asarray(ccd["angular_points"]))
+        out["deg_2_invariant"] = {n: bls[n] for n in present}
+        out["deg_2_invariant_masks"] = {n: mask_dict[n] for n in present}
+        return out
+
+    # --------------------------------------------------- shapes ground truth
+    def extract_from_shapes(self):
+        """extraction_mode='shapes': B_l straight from an analytic shape
+        density — ground-truth invariants for validating reconstructions,
+        no cross-correlation involved (reference extract_bl_from_shapes,
+        extract.py:170-243)."""
+        import jax
+        import jax.numpy as jnp
+        from xframe_tpu.library.hostio import to_host
+        from xframe_tpu.library.shapes import spherical_grid, polar_grid
+        from xframe_tpu.projects.fxs.simulate_ccd import \
+            build_density_from_shapes
+        opt = self.settings
+        dim = int(opt.get("dimensions", 3))
+        sh = opt.shapes_source
+        N = int(sh.grid.n_radial_points)
+        L = int(opt.max_order)
+        q_max = float(sh.grid.max_q)
+        mode = str(sh.fourier_transform.type)
+        rc = float(sh.fourier_transform.reciprocity_coefficient)
+        wavelength = float(sh.xray_wavelength)
+        if dim == 3:
+            from xframe_tpu.ops.fourier import SphericalFourierTransform
+            ft = SphericalFourierTransform(N, L, q_max=q_max, mode=mode,
+                                           reciprocity_coefficient=rc)
+            grid = spherical_grid(ft.rs, ft.sht.theta, ft.sht.phi)
+            density = build_density_from_shapes(grid, sh.shapes)
+
+            @jax.jit
+            def coeff_fn(rho):
+                psi = ft.forward(rho.astype(jnp.complex64))
+                return ft.sht.forward_real((psi * psi.conj()).real)
+
+            coeff = to_host(coeff_fn(np.asarray(density, dtype=np.float32)))
+            bl = np.einsum("qml,pml->lqp", coeff, coeff.conj()).real \
+                .astype(complex)
+            bl[1::2] = 0  # Friedel symmetry of |F|²
+            avg_intensity = coeff[:, L, 0].real / (2 * np.sqrt(np.pi))
+            angular = ft.sht.phi
+        else:
+            from xframe_tpu.ops.fourier import PolarFourierTransform
+            n_phi = int(sh.grid.get("n_phi") or 0) or \
+                2 ** int(np.ceil(np.log2(2 * (L + 1))))
+            ft = PolarFourierTransform(N, L, n_phi, q_max, mode=mode,
+                                       reciprocity_coefficient=rc)
+            grid = polar_grid(ft.rs, 2 * np.pi * np.arange(n_phi) / n_phi)
+            density = build_density_from_shapes(grid, sh.shapes)
+            intensity = to_host(jax.jit(
+                lambda r: (lambda p: (p * p.conj()).real)(
+                    ft.forward(r.astype(jnp.complex64))))(
+                    np.asarray(density, dtype=np.float32))).astype(np.float64)
+            cm = np.fft.fft(intensity, axis=-1)[:, : L + 1] / n_phi
+            bl = itools.harmonic_coeff_to_deg2_invariants_2d(cm)
+            bl[1::2] = 0
+            avg_intensity = np.real(np.fft.fft(intensity, axis=-1)[:, 0]) \
+                / n_phi
+            angular = 2 * np.pi * np.arange(n_phi) / n_phi
+        out = self._invariants_to_output(bl, dim, np.asarray(ft.qs),
+                                         wavelength, avg_intensity, angular)
+        out["deg_2_invariant"] = {"I1I1": bl}
+        out["deg_2_invariant_masks"] = {"I1I1": np.ones(bl.shape, dtype=bool)}
+        return out
+
+    def _extract_bl(self, ccd, name, dim, qs, wavelength, avg_intensity, L):
+        """CC dataset → B_l coefficients (mask, modifications, extraction)."""
+        opt = self.settings
+        datasets = opt.cross_correlation.datasets
+        # unlisted datasets inherit the primary dataset's options
+        ds_opt = datasets.get(name) or datasets.get("I1I1", {})
+        cc = np.asarray(ccd["cross_correlation"][name], dtype=float)
         zero_odd = bool(ds_opt.get("assume_zero_odd_orders", True))
         method = str(ds_opt.get("bl_extraction_method", "back_substitution"))
 
@@ -93,19 +193,21 @@ class ProjectWorker(ProjectWorkerInterface):
             bl = itools.cc_to_deg2_invariant_2d(cc, L)
             if subtracted_avg:
                 bl[0] = np.outer(avg_intensity, avg_intensity)
+        return bl, np.ones(bl.shape, dtype=bool)
 
-        # --- constraints (reference extract.py:332-430)
-        masks = np.ones(bl.shape, dtype=bool)
-        inv_opt = opt.get("invariant_constraints", {})
-        if inv_opt.get("positive_semidefinite", {}).get("apply", True):
-            bl = itools.nearest_positive_semidefinite_matrix(bl)
-
+    def _invariants_to_output(self, bl, dim, qs, wavelength, avg_intensity,
+                              angular_points):
+        """Shared tail: projection matrices → prephasing → output schema.
+        Callers pass PSD-enforced (or by-construction PSD) invariants."""
+        opt = self.settings
         q_limits = self._q_id_limits(bl.shape[0], len(qs))
 
         # --- projection matrices (reference extract.py:433-466)
         if dim == 3:
+            rank_cap = bool(opt.get("projection_matrices", {})
+                            .get("rank_cap", True))
             proj, eigs = itools.deg2_invariant_to_projection_matrices(
-                bl, q_id_limits=q_limits)
+                bl, q_id_limits=q_limits, rank_cap=rank_cap)
         else:
             vecs, eigs = itools.deg2_invariant_to_projection_vectors_2d(bl)
             proj = [v[:, None] for v in vecs]
@@ -128,9 +230,7 @@ class ProjectWorker(ProjectWorkerInterface):
             "max_order": bl.shape[0] - 1,
             "average_intensity": avg_intensity,
             "data_radial_points": qs,
-            "data_angular_points": np.asarray(ccd["angular_points"]),
-            "deg_2_invariant": {"I1I1": bl},
-            "deg_2_invariant_masks": {"I1I1": masks},
+            "data_angular_points": np.asarray(angular_points),
             "data_projection_matrices": {"I1I1": proj},
             "data_projection_matrices_q_id_limits": np.asarray(q_limits),
             "data_low_resolution_intensity_coefficients": low_res,

@@ -176,12 +176,14 @@ def nearest_positive_semidefinite_matrix(A: np.ndarray,
     return (v * lam[..., None, :]) @ np.swapaxes(v, -1, -2).conj()
 
 
-def deg2_invariant_to_projection_matrices(bl: np.ndarray, q_id_limits=None):
+def deg2_invariant_to_projection_matrices(bl: np.ndarray, q_id_limits=None,
+                                          rank_cap=True):
     """Per-l eigendecomposition of B_l → V_l with B_l ≈ V_l V_l†.
 
     V_l has shape (n_q, min(n_q, 2l+1)); eigenvalues sorted descending, rank
-    capped at 2l+1, negatives clipped to 0
-    (reference deg2_invariant_to_projection_matrices_3d, :1178-1210).
+    capped at 2l+1 (rank_cap=False keeps all n_q non-negative modes — for
+    diagnostics only; the physical rank of B_l is 2l+1), negatives clipped
+    to 0 (reference deg2_invariant_to_projection_matrices_3d, :1178-1210).
     Returns (list_of_V_l, eigenvalue_list)."""
     n_orders, n_q, _ = bl.shape
     proj, eigs = [], []
@@ -192,7 +194,8 @@ def deg2_invariant_to_projection_matrices(bl: np.ndarray, q_id_limits=None):
             lo, hi = 0, n_q
         sub = bl[l, lo:hi, lo:hi]
         sub = (sub + sub.conj().T) / 2
-        NN = min(n_q, 2 * l + 1)
+        cap = 2 * l + 1 if rank_cap else n_q
+        NN = min(n_q, cap)
         if np.allclose(sub, 0):
             proj.append(np.zeros((n_q, NN), dtype=complex))
             eigs.append(np.zeros(NN))
@@ -200,7 +203,7 @@ def deg2_invariant_to_projection_matrices(bl: np.ndarray, q_id_limits=None):
         lam, vec = np.linalg.eigh(sub)
         order = np.argsort(lam)[::-1]
         lam, vec = lam[order].real, vec[:, order]
-        N = min(hi - lo, 2 * l + 1)
+        N = min(hi - lo, cap)
         lam, vec = lam[:N].copy(), vec[:, :N]
         neg = lam < 0
         lam[neg] = 0
