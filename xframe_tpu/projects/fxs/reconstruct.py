@@ -284,6 +284,8 @@ class ProjectWorker(ProjectWorkerInterface):
             bump = get_test_function(support=[-radius, radius],
                                      slope=slope)(ft.rs)
         snr = float(gopt.get("random", {}).get("SNR", 2.0))
+        if str(gopt.get("amplitude_function", "random")) != "random":
+            snr = float("inf")  # uniform amplitude: deterministic envelope
         np_real = np.float32 if real_dtype == jnp.float32 else np.float64
         bump_host = np.asarray(bump, dtype=np_real)
         w_full = np.asarray(integ._w)
@@ -424,6 +426,8 @@ class ProjectWorker(ProjectWorkerInterface):
             bump = get_test_function(support=[-radius, radius],
                                      slope=slope)(ft.rs)
         snr = float(gopt.get("random", {}).get("SNR", 2.0))
+        if str(gopt.get("amplitude_function", "random")) != "random":
+            snr = float("inf")  # uniform amplitude: deterministic envelope
         np_real = np.float32 if real_dtype == jnp.float32 else np.float64
         bump_host = np.asarray(bump, dtype=np_real)
         w_full = np.asarray(integ._w)
