@@ -80,3 +80,25 @@ def test_cli_discovery_lists_user_project(home):
     r = _cli(home, "--help")
     assert r.returncode in (0, 1)
     assert "hello" in r.stdout
+
+
+def test_cli_view_subcommand(home, tmp_path):
+    """`xframe-tpu view <file.h5>` renders PNGs through the CLI dispatch."""
+    from xframe_tpu.io import hdf5 as hdf5_io
+    from xframe_tpu.main import main
+    n_r, n_p = 8, 12
+    data = {
+        "configuration": {"internal_grid": {
+            "real_grid": np.linspace(0.1, 1.0, n_r),
+            "phis": np.linspace(0, 2 * np.pi, n_p, endpoint=False)}},
+        "reconstruction_results": {"0": {
+            "real_density": np.random.default_rng(0).random((n_r, n_p)),
+            "support_mask": np.ones((n_r, n_p), dtype=bool),
+            "error_dict": {"main": np.geomspace(1, 1e-2, 10)}}},
+    }
+    p = str(tmp_path / "d.h5")
+    hdf5_io.save(p, data)
+    out = str(tmp_path / "views")
+    assert main(["view", p, "-o", out, "-n", "1"]) == 0
+    pngs = [f for f in os.listdir(out) if f.endswith(".png")]
+    assert len(pngs) == 1
