@@ -200,3 +200,29 @@ def test_reconstruct_chunked_restarts(home):
         assert d.shape == (32, 64) and np.isfinite(d).all()
     # chunks were seeded independently: restarts are not duplicates
     assert not np.allclose(densities[0], densities[2])
+
+
+def test_extract_from_shapes_2d(home):
+    """extraction_mode='shapes' in 2D: rank-1 B_m ground truth."""
+    xf.select_project("fxs", "extract", overrides={
+        "structure_name": "shapes2d",
+        "dimensions": 2,
+        "max_order": 10,
+        "extraction_mode": "shapes",
+        "shapes_source": {
+            "grid": {"n_radial_points": 32, "max_q": 0.5, "n_phi": 64},
+            "shapes": {"types": ["sphere", "sphere"],
+                       "centers": [[0, 0], [30, 1.0]],
+                       "sizes": [18, 12], "densities": [1.0, 0.7],
+                       "random_orientation": [False, False]}},
+    })
+    inv = xf.run()
+    bm = np.asarray(inv["deg_2_invariant"]["I1I1"])
+    assert bm.shape == (11, 32, 32)
+    assert np.abs(bm[1::2]).max() == 0  # Friedel
+    proj = inv["data_projection_matrices"]["I1I1"]
+    assert len(proj) == 11
+    # rank-1 factors: B_m ≈ v v†
+    v = np.asarray(proj[2])[:, 0]
+    rel = np.linalg.norm(bm[2] - np.outer(v, v.conj())) / np.linalg.norm(bm[2])
+    assert rel < 1e-3
