@@ -60,3 +60,27 @@ def test_checkpointing_runner_sharded(problem, schedule, tmp_path):
     states, errors = runner(rho0s)
     assert np.allclose(np.asarray(errors), np.asarray(ref_errors),
                        rtol=2e-2, atol=1e-5)
+
+
+def test_checkpointing_runner_resume(problem, schedule, tmp_path):
+    """Interrupt after one chunk, resume with a FRESH runner from the
+    snapshot; the completed run matches an uninterrupted one."""
+    rho0s = problem.initial_density_batch(5, 4)
+    ck = str(tmp_path / "resume.h5")
+    ref_states, ref_errors = CheckpointingRunner(
+        problem.mtip, schedule, None, checkpoint_path=None)(rho0s,
+                                                            resume=False)
+    first = CheckpointingRunner(problem.mtip, schedule, None,
+                                checkpoint_path=ck)
+    assert len(first.chunks) >= 2, "schedule must split into >=2 chunks"
+    first(rho0s, resume=False, max_chunks=1)
+    import os
+    assert os.path.exists(ck)
+    second = CheckpointingRunner(problem.mtip, schedule, None,
+                                 checkpoint_path=ck)
+    states, errors = second(rho0s, resume=True)
+    assert np.asarray(errors).shape == np.asarray(ref_errors).shape
+    assert np.allclose(np.asarray(errors), np.asarray(ref_errors),
+                       rtol=2e-2, atol=1e-5)
+    assert np.allclose(np.asarray(states.best_err),
+                       np.asarray(ref_states.best_err), rtol=2e-2, atol=1e-5)
