@@ -273,6 +273,32 @@ def test_sw_center_recentering(problem):
     assert np.linalg.norm(com_new) < 0.25 * np.linalg.norm(com_off)
 
 
+def test_sw_center_through_multi_start_runner(problem):
+    """SW_center segments must survive the jitted MTIP.run path that
+    MultiStartRunner (the default reconstruct worker path) compiles —
+    regression for the r1 dispatch bug where run() only matched 'SW' and
+    crashed on betas=None."""
+    from xframe_tpu.parallel.mesh import MultiStartRunner
+    from xframe_tpu.library.shapes import spherical_to_cartesian
+    mtip, ft = problem["mtip"], problem["ft"]
+    grid_r = spherical_grid(ft.rs, ft.sht.theta, ft.sht.phi)
+    grid_q = spherical_grid(ft.qs, ft.sht.theta, ft.sht.phi)
+    mtip.enable_centering(spherical_to_cartesian(grid_r),
+                          spherical_to_cartesian(grid_q))
+    schedule = [
+        Segment('HIO', 6, betas=np.full(6, 0.5), ft_stab=True),
+        Segment('SW_center', sigma=mtip.sw.default_sigma, threshold=0.09),
+        Segment('ER', 4, betas=np.zeros(4), ft_stab=True),
+    ]
+    keys = jax.random.split(jax.random.PRNGKey(11), 2)
+    rho0s = jnp.stack([_initial_density(problem, k) for k in keys])
+    states, errors = MultiStartRunner(mtip, schedule, mesh=None)(rho0s)
+    errors = np.asarray(errors)
+    assert errors.shape == (2, 10, 2)
+    assert np.isfinite(errors).all()
+    assert (errors[:, -1, 0] < errors[:, 0, 0]).all()
+
+
 def test_pallas_polar_kernel_matches(problem):
     """The VMEM-resident pallas Newton-Schulz kernel (interpret mode on CPU)
     must reproduce the jnp polar iteration and drive phasing identically."""

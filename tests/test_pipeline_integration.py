@@ -98,8 +98,8 @@ def reconstructions(invariants, home):
                      "methods": {"HIO": {"iterations": 15},
                                  "SW": {"iterations": 1},
                                  "ER": {"iterations": 10}}},
-            "refinement": {"iterations": 1, "order": ["SW", "ER"],
-                           "methods": {"SW": {"iterations": 1},
+            "refinement": {"iterations": 1, "order": ["SW_center", "ER"],
+                           "methods": {"SW_center": {"iterations": 1},
                                        "ER": {"iterations": 15}}},
         }},
         "projections": {"real": {

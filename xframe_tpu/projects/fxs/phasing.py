@@ -336,7 +336,7 @@ class MTIP:
                              best_err=inf, last_err=inf)
         err_chunks = []
         for seg in schedule:
-            if seg.method == 'SW':
+            if seg.method in ('SW', 'SW_center'):
                 state = self._shrink_wrap(state, seg)
             else:
                 state, errs = self._run_segment(state, seg)
