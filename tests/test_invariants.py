@@ -81,6 +81,44 @@ class TestBlCC:
         assert np.abs(b_bs - b_ls).max() / scale < 1e-6
 
 
+    def test_legendre_dlt_agrees_on_flat_ewald(self, bl_setup):
+        """'legendre' mode assumes flat Ewald circles (θ=π/2); at tiny
+        wavelength the Ewald curvature vanishes, so it must agree with
+        back_substitution (reference fxs_invariant_tools.py:764-810)."""
+        bl, ft = bl_setup["bl"], bl_setup["ft"]
+        L = 12
+        wl_flat = 1e-4  # arcsin(qλ/4π) ≈ 0 → θ ≈ π/2 on both circles
+        bl_even = bl[: L + 1].copy()
+        bl_even[1::2] = 0
+        cc = itools.deg2_invariant_to_cc_3d(bl_even, wl_flat, ft.qs, n_phi=128)
+        b_bs = itools.cc_to_deg2_invariant_3d(cc, wl_flat, ft.qs, L,
+                                              assume_zero_odd_orders=True,
+                                              mode="back_substitution")
+        b_dlt = itools.cc_to_deg2_invariant_3d(cc, wl_flat, ft.qs, L,
+                                               assume_zero_odd_orders=True,
+                                               mode="legendre")
+        scale = np.abs(bl_even).max()
+        assert np.abs(b_dlt - b_bs).max() / scale < 1e-6
+        assert np.abs(b_dlt - bl_even).max() / scale < 1e-6
+
+    def test_legendre_dlt_exact_polynomial(self):
+        """The two-matmul DLT is exact: a CC synthesized directly as
+        Σ_l b_l P_l(cosΔ)/(4π) must come back to machine precision."""
+        rng = np.random.default_rng(0)
+        L, n_phi, n_q = 10, 64, 3
+        b = np.zeros((L + 1, n_q, n_q))
+        b[::2] = rng.normal(size=(L // 2 + 1, n_q, n_q))
+        b = (b + np.swapaxes(b, 1, 2)) / 2
+        phis = 2 * np.pi * np.arange(n_phi) / n_phi
+        from xframe_tpu.library.legendre import legendre_poly_table
+        P = legendre_poly_table(L, np.cos(phis))            # (n_phi, L+1)
+        cc = np.einsum("lab,pl->abp", b, P) / (4 * np.pi)
+        b2 = itools.cc_to_deg2_invariant_3d(cc, 1.0, np.linspace(0.1, 1, n_q),
+                                            L, assume_zero_odd_orders=True,
+                                            mode="legendre")
+        assert np.abs(b2 - b).max() < 1e-10 * np.abs(b).max()
+
+
 class TestProjectionMatrices:
     def test_factorization_recovers_psd_bl(self, bl_setup):
         bl = bl_setup["bl"]

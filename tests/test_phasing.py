@@ -299,6 +299,47 @@ def test_sw_center_through_multi_start_runner(problem):
     assert (errors[:, -1, 0] < errors[:, 0, 0]).all()
 
 
+def test_fixed_volume_shrink_wrap(problem):
+    """mode='fixed_volume': the new support's integrated volume must hit the
+    target fraction of the initial-support volume (reference
+    fxs_Projections.py:260-283 via golden-section; here exact quantile),
+    both standalone and through a full jitted schedule."""
+    from xframe_tpu.projects.fxs.projections import ShrinkWrap
+    mtip, ft, integ = problem["mtip"], problem["ft"], problem["integ"]
+    init_sup = np.asarray(mtip.initial_support)
+    w = np.asarray(integ._w)
+    frac = 0.37
+    sw_fv = ShrinkWrap.build(ft.qs, mode="fixed_volume", volume_fraction=frac,
+                             integration_weights=w, initial_support=init_sup)
+
+    # standalone: blur of a ball density
+    grid = problem["grid"]
+    rho = jnp.asarray(ball_density(grid, problem["radius"] / 2),
+                      dtype=jnp.complex64)
+    blurred = ft.inverse(ft.forward(jnp.abs(rho).astype(jnp.complex64))
+                         * sw_fv.gaussian_values(sw_fv.default_sigma))
+    mask = np.asarray(jax.jit(sw_fv.new_support_fixed_volume)(blurred))
+    vol0 = (w * init_sup).sum()
+    vol = (w * mask).sum()
+    assert abs(vol / vol0 - frac) < 0.02, vol / vol0
+    assert not (mask & ~init_sup.astype(bool)).any()
+
+    # through the jitted run path: every SW event lands on the target volume
+    mtip_fv = MTIP(problem["ft"], mtip.rc, mtip.real, sw_fv, mtip._w_err,
+                   init_sup, enforce_initial_support_limit=mtip.enforce_limit)
+    schedule = [
+        Segment('HIO', 8, betas=np.full(8, 0.5), ft_stab=True),
+        Segment('SW', sigma=mtip.sw.default_sigma, threshold=0.09),
+        Segment('ER', 4, betas=np.zeros(4), ft_stab=True),
+    ]
+    rho0 = _initial_density(problem, jax.random.PRNGKey(2))
+    state, errors = jax.jit(lambda r: mtip_fv.run(r, schedule))(rho0)
+    support = np.asarray(state.support)
+    vol_run = (w * support).sum()
+    assert abs(vol_run / vol0 - frac) < 0.02, vol_run / vol0
+    assert np.isfinite(np.asarray(errors)).all()
+
+
 def test_pallas_polar_kernel_matches(problem):
     """The VMEM-resident pallas Newton-Schulz kernel (interpret mode on CPU)
     must reproduce the jnp polar iteration and drive phasing identically."""

@@ -180,6 +180,43 @@ def test_roundtrip_reload(average_results, home):
     assert "average" in avg
 
 
+def test_reconstruct_fixed_volume_shrink_wrap(invariants, home):
+    """Settings-driven fixed_volume shrink-wrap: the archived support mask's
+    volume fraction (grid-weighted) matches the requested target."""
+    xf.select_project("fxs", "reconstruct", overrides={
+        "structure_name": "pytest",
+        "dimensions": 3,
+        "particle_radius": 50,
+        "grid": {"n_radial_points": N_REC, "max_order": L_REC},
+        "multi_start": {"n_reconstructions": 1, "seed": 3},
+        "main_loop": {"sub_loops": {
+            "order": ["main"],
+            "main": {"iterations": 1, "order": ["HIO", "SW", "ER"],
+                     "methods": {"HIO": {"iterations": 6},
+                                 "SW": {"iterations": 1},
+                                 "ER": {"iterations": 4}}},
+        }},
+        "projections": {"real": {
+            "shrink_wrap": {"mode": "fixed_volume",
+                            "fixed_volume": {"volume": 0.4},
+                            "sigmas": [False], "thresholds": [0.1]},
+            "HIO": {"beta": [[0.5, 0.4, -1 / 50, 100]]},
+        }},
+    })
+    out = xf.run()
+    res = out["reconstruction_results"]["0"]
+    support = np.asarray(res["last_support_mask"]).astype(bool)
+    init = np.asarray(res["initial_support"]).astype(bool)
+    grid_r = out["configuration"]["internal_grid"]["real_grid"]
+    from xframe_tpu.ops.integrate import SphericalIntegrator
+    n_q, n_theta, n_phi = support.shape
+    integ = SphericalIntegrator(np.asarray(grid_r), n_theta, n_phi)
+    w = np.asarray(integ._w)
+    vol = (w * support).sum()
+    vol0 = (w * init).sum()
+    assert abs(vol / vol0 - 0.4) < 0.03, vol / vol0
+
+
 def test_noisy_simulation_still_extracts(home):
     """Noise on the synthetic CC propagates sanely through extraction: the
     extracted B_l stay finite, PSD, and close to the noise-free ones."""

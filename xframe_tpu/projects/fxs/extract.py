@@ -184,7 +184,7 @@ class ProjectWorker(ProjectWorkerInterface):
         if dim == 3:
             bl = itools.cc_to_deg2_invariant_3d(
                 cc, wavelength, qs, L, assume_zero_odd_orders=zero_odd,
-                mode={"legendre": "back_substitution"}.get(method, method))
+                mode=method)
             if subtracted_avg:
                 # re-insert B_0 from the averaged intensity:
                 # B_0 = I_00 I_00* = 4π a(q1) a(q2)

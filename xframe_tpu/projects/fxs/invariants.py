@@ -111,6 +111,8 @@ def cc_to_deg2_invariant_3d(cc: np.ndarray, xray_wavelength: float,
     if mode == "lstsq":
         return _cc_to_bl_lstsq(cc, xray_wavelength, qs, l_max,
                                assume_zero_odd_orders)
+    if mode == "legendre":
+        return _cc_to_bl_legendre(cc, l_max, assume_zero_odd_orders)
     raise ValueError(f"unknown B_l extraction mode {mode!r}")
 
 
@@ -131,6 +133,38 @@ def _cc_to_bl_back_substitution(cc, xray_wavelength, qs, l_max,
         col = pp_matrix_single_l(tables, l)[..., ::stride]  # (q1,q2,n<=l strided)
         bl[l] = ccn[..., -1] / col[..., -1]
         ccn = ccn[..., :-1] - bl[l][..., None] * col[..., :-1]
+    return bl
+
+
+def _cc_to_bl_legendre(cc, l_max, assume_zero_odd_orders):
+    """Flat-Ewald 'legendre' extraction (reference fxs_invariant_tools.py:
+    764-810, which calls flt's iterative fast DLT per (q1,q2) in worker
+    processes): CC(q1,q2,Δ) = (1/4π) Σ_l B_l(q1,q2) P_l(cosΔ) when both
+    Ewald circles are flat (θ1 = θ2 = π/2), so B_l = 4π × the Legendre
+    coefficient of CC in x = cosΔ.
+
+    The DLT here is EXACT in two dense matmuls instead of an iterative
+    transform: the π-periodized CC is a cosine polynomial of degree N/2 in Δ,
+    hence (cos nΔ = T_n(cosΔ)) a plain polynomial of degree N/2 in x.
+    Trig-evaluate it at K Gauss-Legendre nodes and integrate with GL weights
+    — exact once 2K−1 ≥ N/2 + l_max."""
+    cc = enforce_pi_periodicity(np.asarray(cc, dtype=float))
+    n_phi = cc.shape[-1]
+    # cosine coefficients of the (real, even) CC over Δ
+    r = np.fft.rfft(cc, axis=-1).real / n_phi              # (q1, q2, N/2+1)
+    g = np.concatenate([r[..., :1], 2 * r[..., 1:-1], r[..., -1:]], axis=-1)
+    K = n_phi // 2 + l_max + 1
+    x, w = np.polynomial.legendre.leggauss(K)
+    A = np.arccos(x)
+    E = np.cos(np.outer(A, np.arange(g.shape[-1])))        # (K, N/2+1)
+    f = g @ E.T                                            # CC at GL nodes
+    stride = 2 if assume_zero_odd_orders else 1
+    orders = np.arange(0, l_max + 1, stride)
+    P = legendre_poly_table(l_max, x)[:, orders]           # (K, n_orders)
+    a = np.einsum("abk,kl->lab", f * w, P) \
+        * ((2 * orders + 1) / 2)[:, None, None]
+    bl = np.zeros((l_max + 1,) + cc.shape[:2], dtype=complex)
+    bl[orders] = 4 * np.pi * a
     return bl
 
 

@@ -363,24 +363,70 @@ class ShrinkWrap:
 
     blur via FT: multiply ψ=FT(|ρ|) by the analytic spherical FT of a Gaussian
     (mathLibrary.py gaussian_fourier_transformed_spherical), inverse-FT, then
-    threshold between min and max of the (clipped) convolution."""
+    either threshold between min and max of the (clipped) convolution
+    (mode='threshold') or pick the threshold hitting a target support volume
+    (mode='fixed_volume', fxs_Projections.py:260-283). The reference searches
+    the threshold by golden-section over repeated mask integrations; on TPU
+    the exact answer is one descending sort + weighted cumsum: the support is
+    the set of highest-blur points whose integration weights sum to the
+    target volume."""
     q_radii: Any              # broadcastable to grid, |q| per point
     default_sigma: float
+    mode: str = "threshold"   # 'threshold' | 'fixed_volume'
+    volume_fraction: float = 0.5   # target volume / initial-support volume
+    vol_weights: Any = None   # host integration weights, zeroed outside the
+    #                           initial support (fixed_volume mode only)
+    initial_support: Any = None
 
     @classmethod
-    def build(cls, qs, grid_rank=3, real_dtype=jnp.float32):
+    def build(cls, qs, grid_rank=3, real_dtype=jnp.float32, mode="threshold",
+              volume_fraction=0.5, integration_weights=None,
+              initial_support=None):
         np_real = np.float32 if real_dtype == jnp.float32 else np.float64
         q = np.asarray(qs, dtype=np_real).reshape((-1,) + (1,) * (grid_rank - 1))
-        return cls(q_radii=q, default_sigma=float(np.pi / qs.max()))
+        if mode == "fixed_volume":
+            if integration_weights is None or initial_support is None:
+                raise ValueError("fixed_volume shrink-wrap needs "
+                                 "integration_weights and initial_support")
+            w = np.asarray(integration_weights, dtype=np_real) \
+                * np.asarray(initial_support)
+        else:
+            w = None
+        return cls(q_radii=q, default_sigma=float(np.pi / qs.max()),
+                   mode=str(mode), volume_fraction=float(volume_fraction),
+                   vol_weights=w,
+                   initial_support=None if initial_support is None
+                   else np.asarray(initial_support))
 
     def gaussian_values(self, sigma):
         a = 1.0 / (2.0 * sigma ** 2)
         return jnp.sqrt(jnp.pi / a) * jnp.exp(-np.pi ** 2 * self.q_radii ** 2 / a)
 
     def new_support(self, conv, threshold):
+        if self.mode == "fixed_volume":
+            return self.new_support_fixed_volume(conv)
         c = jnp.maximum(conv.real, 0.0)
         cmax, cmin = jnp.max(c), jnp.min(c)
         return c >= cmin + threshold * (cmax - cmin)
+
+    def new_support_fixed_volume(self, conv):
+        """Support = highest-blur points (inside the initial support) whose
+        integrated volume reaches volume_fraction × initial-support volume.
+        Exact quantile by descending sort + weighted cumsum — jit-friendly,
+        no iterative search (reference fxs_Projections.py:260-283 uses
+        scipy golden-section per SW event)."""
+        c = conv.real.ravel()
+        w = jnp.asarray(self.vol_weights).ravel()
+        target = self.volume_fraction * w.sum()
+        order = jnp.argsort(-c)
+        cum = jnp.cumsum(w[order])
+        pos = jnp.clip(jnp.searchsorted(cum, target), 0, c.size - 1)
+        # rank-based membership (scatter), not a value comparison: degenerate
+        # blur values (symmetric densities) would otherwise pull whole
+        # iso-surfaces across the threshold and overshoot the target volume
+        keep = jnp.zeros(c.size, dtype=bool).at[order].set(
+            jnp.arange(c.size) <= pos)
+        return keep.reshape(conv.shape) & jnp.asarray(self.initial_support)
 
 
 # -------------------------------------------------------------------- updates

@@ -258,10 +258,17 @@ class ProjectWorker(ProjectWorkerInterface):
         enforce_limit = float(enforce_opt.get("if_error_bigger_than", np.inf)) \
             if enforce_opt.get("apply", False) else np.inf
 
-        sw = ShrinkWrap.build(ft.qs, real_dtype=real_dtype)
         integ = SphericalIntegrator(ft.rs, ft.sht.n_theta, ft.sht.n_phi,
                                     real_dtype=real_dtype)
         w_err = np.asarray(integ._w) * initial_support
+        swopt = opt.projections.real.shrink_wrap
+        sw = ShrinkWrap.build(
+            ft.qs, real_dtype=real_dtype,
+            mode=str(swopt.get("mode", "threshold")),
+            volume_fraction=float(swopt.get("fixed_volume", {})
+                                  .get("volume", 0.5)),
+            integration_weights=np.asarray(integ._w),
+            initial_support=initial_support)
         mtip = MTIP(ft, rc_constraint, real_constraint, sw, w_err,
                     initial_support,
                     enforce_initial_support_limit=enforce_limit,
@@ -406,9 +413,16 @@ class ProjectWorker(ProjectWorkerInterface):
         enforce_limit = float(enforce_opt.get("if_error_bigger_than", np.inf)) \
             if enforce_opt.get("apply", False) else np.inf
 
-        sw = ShrinkWrap.build(ft.qs, grid_rank=2, real_dtype=real_dtype)
         integ = PolarIntegrator(ft.rs, n_phi, real_dtype=real_dtype)
         w_err = np.asarray(integ._w) * initial_support
+        swopt = opt.projections.real.shrink_wrap
+        sw = ShrinkWrap.build(
+            ft.qs, grid_rank=2, real_dtype=real_dtype,
+            mode=str(swopt.get("mode", "threshold")),
+            volume_fraction=float(swopt.get("fixed_volume", {})
+                                  .get("volume", 0.5)),
+            integration_weights=np.asarray(integ._w),
+            initial_support=initial_support)
         cht = RealCircularHarmonics(n_phi, M)
         mtip = MTIP(ft, rc_constraint, real_constraint, sw, w_err,
                     initial_support,
@@ -513,6 +527,7 @@ class ProjectWorker(ProjectWorkerInterface):
                 "last_real_density": to_host(states.rho[i]) * sqrt_s,
                 "reciprocal_density": to_host(psi_p) * sqrt_s,
                 "support_mask": to_host(states.best_mask[i]),
+                "last_support_mask": to_host(states.support[i]),
                 "initial_density": to_host(rho0s[i]) * sqrt_s
                 if rho0s is not None else None,
                 "initial_support": to_host(aux["initial_support"]),
