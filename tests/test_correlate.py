@@ -96,27 +96,64 @@ def test_native_frame_reader(tmp_path):
         f.tofile(p)
         paths.append(str(p))
         frames.append(f)
-    batch, n_ok = read_frame_batch(paths, shape)
-    assert n_ok == 9
+    batch, ok = read_frame_batch(paths, shape)
+    assert ok.all() and ok.shape == (9,)
     assert np.array_equal(batch, np.stack(frames))
-    # short file → zero-filled, not counted
+    # short file → zero-filled AND flagged bad per frame
     (tmp_path / "short.raw").write_bytes(b"\x00" * 17)
-    batch2, n_ok2 = read_frame_batch(paths[:2] + [str(tmp_path / "short.raw")],
-                                     shape)
-    assert n_ok2 == 2
+    batch2, ok2 = read_frame_batch(paths[:2] + [str(tmp_path / "short.raw")],
+                                   shape)
+    assert list(ok2) == [True, True, False]
     assert np.array_equal(batch2[:2], np.stack(frames[:2]))
     assert (batch2[2] == 0).all()
+    # missing file → zero-filled (never uninitialized memory), flagged bad
+    batch_m, ok_m = read_frame_batch(
+        [paths[0], str(tmp_path / "does_not_exist.raw")], shape)
+    assert list(ok_m) == [True, False]
+    assert (batch_m[1] == 0).all()
     # uint16 conversion path
     u = (rng.uniform(0, 1000, shape)).astype(np.uint16)
     u.tofile(tmp_path / "u16.raw")
     b3, ok3 = read_frame_batch([str(tmp_path / "u16.raw")], shape,
                                dtype=np.uint16)
-    assert ok3 == 1 and np.array_equal(b3[0], u.astype(np.float32))
-    # prefetching loader covers all frames in order
+    assert ok3.all() and np.array_equal(b3[0], u.astype(np.float32))
+    # prefetching loader covers all frames in order, with per-frame ok masks
     loader = PrefetchingFrameLoader(paths, shape, batch_size=4)
-    got = np.concatenate(list(loader))
+    items = list(loader)
+    got = np.concatenate([b for b, _ in items])
     assert np.array_equal(got, np.stack(frames))
+    assert all(o.all() for _, o in items)
     assert _load() is not None, "native library failed to build"
+
+
+def test_unreadable_frames_excluded_from_correlation(tmp_path, monkeypatch):
+    """A missing frame file must not bias the accumulated CC: the worker
+    counts it bad and its (zero-filled) frame carries zero weight."""
+    monkeypatch.setenv("XFRAME_TPU_HOME", str(tmp_path))
+    rng = np.random.default_rng(2)
+    ny = nx = 32
+    folder = os.path.join(str(tmp_path), "data", "fxs", "input_files")
+    os.makedirs(folder, exist_ok=True)
+    names = []
+    for i in range(6):
+        f = rng.uniform(1, 2, (ny, nx)).astype(np.float32)
+        name = f"f{i}.raw"
+        f.tofile(os.path.join(folder, name))
+        names.append(name)
+    os.remove(os.path.join(folder, names[3]))  # vanishes after listing
+    with open(os.path.join(folder, "patterns_list.txt"), "w") as fh:
+        fh.write("\n".join(names))
+    import xframe_tpu as xf
+    xf.select_project("fxs", "correlate", overrides={
+        "structure_name": "badframe_test",
+        "image_dimensions": [ny, nx],
+        "detector_origin": [15.5, 15.5],
+        "polar_grid": {"n_q": 8, "n_phi": 16},
+        "batch_size": 3,
+    })
+    ccd = xf.run()
+    assert ccd["num_images_good"] == 5
+    assert np.isfinite(ccd["cross_correlation"]["I1I1"]).all()
 
 
 def test_correlator_background_and_fc_cap():

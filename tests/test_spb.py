@@ -89,6 +89,161 @@ def test_streaming_and_calibration(run_folder):
     assert chunks[0]["data"].max() < 18.01
 
 
+def _write_module_file(path, mod, data, trains=None, pulses=None, cells=None):
+    with h5py.File(path, "w") as f:
+        grp = f"INSTRUMENT/SPB_DET_AGIPD1M-1/DET/{mod}CH0:xtdf/image"
+        f.create_dataset(f"{grp}/data", data=data)
+        n = len(data)
+        if trains is not None:
+            f.create_dataset(f"{grp}/trainId",
+                             data=np.asarray(trains, dtype=np.uint64))
+        if pulses is not None:
+            f.create_dataset(f"{grp}/pulseId",
+                             data=np.asarray(pulses, dtype=np.uint64))
+        if cells is not None:
+            f.create_dataset(f"{grp}/cellId",
+                             data=np.asarray(cells, dtype=np.uint16))
+        del n
+
+
+@pytest.fixture()
+def multiseq_run(tmp_path):
+    """2 sequence files per module (12 + 8 frames), 4 pulses/train, with bad
+    frames: one trainId==0 and one cellId==65535 in the second file."""
+    rng = np.random.default_rng(1)
+    n_pulses = 4
+    trains = np.repeat([100, 101, 102, 103, 104], n_pulses)  # 20 frames
+    pulses = np.tile(np.arange(n_pulses), 5)
+    cells = np.tile(np.arange(n_pulses), 5).astype(np.uint16)
+    trains = trains.copy()
+    trains[14] = 0              # bad: no AGIPD input
+    cells = cells.copy()
+    cells[17] = 65535           # bad: sentinel cell id
+    for mod in range(4):
+        # frame value encodes the global frame index for order verification
+        data = (np.arange(20, dtype=np.float32)[:, None, None]
+                + np.zeros((20, 512, 128), np.float32))
+        _write_module_file(tmp_path / f"RAW-R2-AGIPD{mod:02d}-S00000.h5",
+                           mod, data[:12], trains[:12], pulses[:12], cells[:12])
+        _write_module_file(tmp_path / f"RAW-R2-AGIPD{mod:02d}-S00001.h5",
+                           mod, data[12:], trains[12:], pulses[12:], cells[12:])
+    del rng
+    return str(tmp_path)
+
+
+def test_multi_sequence_streaming_and_ids(multiseq_run):
+    exp = ExperimentWorker(multiseq_run)
+    assert exp.n_frames() == 20
+    idx = exp.index
+    assert idx.n_pulses == 4
+    # bad frames flagged: trainId==0 at 14, cellId sentinel at 17
+    assert not idx.frame_mask[14]
+    assert not idx.frame_mask[17]
+    assert idx.frame_mask.sum() == 18
+    # stream across the file boundary (frames 8..16 span both files)
+    sel = DataSelection(frame_range=(8, 16), modules=(0, 1, 2, 3),
+                        batch_size=5)
+    chunks = list(exp.get_data(sel))
+    assert [len(c["data"]) for c in chunks] == [5, 3]
+    got = np.concatenate([c["data"][:, 0, 0, 0] for c in chunks])
+    assert np.allclose(got, np.arange(8, 16))  # file seam is invisible
+    ids = np.concatenate([c["train_ids"] for c in chunks])
+    assert ids[0] == 102 and ids[14 - 8] == 0  # frame 14 carries trainId 0
+    good = np.concatenate([c["good"] for c in chunks])
+    assert not good[14 - 8]
+    assert good.sum() == 7
+
+
+def test_multi_sequence_mismatched_modules_raises(tmp_path):
+    _write_module_file(tmp_path / "RAW-R3-AGIPD00-S00000.h5", 0,
+                       np.zeros((5, 512, 128), np.float32))
+    _write_module_file(tmp_path / "RAW-R3-AGIPD01-S00000.h5", 1,
+                       np.zeros((4, 512, 128), np.float32))
+    with pytest.raises(ValueError, match="disagree"):
+        ExperimentWorker(str(tmp_path))
+
+
+def test_repeated_train_filtering(tmp_path):
+    """Repeated trainIds keep only the first n_pulses frames (reference
+    _database_.py:569-573)."""
+    n_pulses = 2
+    trains = np.asarray([10, 10, 11, 11, 11, 12, 12], dtype=np.uint64)
+    pulses = np.asarray([0, 1, 0, 1, 0, 0, 1], dtype=np.uint64)
+    cells = np.zeros(7, dtype=np.uint16)
+    _write_module_file(tmp_path / "RAW-R4-AGIPD00-S00000.h5", 0,
+                       np.zeros((7, 512, 128), np.float32),
+                       trains, pulses, cells)
+    exp = ExperimentWorker(str(tmp_path))
+    assert exp.index.n_pulses == n_pulses
+    # train 11 appears 3 times -> third occurrence masked
+    assert list(exp.index.frame_mask) == [True, True, True, True, False,
+                                          True, True]
+
+
+def test_per_cell_calibration_recovers_flat_field(multiseq_run):
+    """Cell-varying offsets/gains indexed by cellId flatten the data
+    (reference per-memory-cell constants, calibrators.py)."""
+    n_cells = 4
+    # offset[c] = c (the cell id), gain[c] = 1/(1+c)
+    offset = np.zeros((16, n_cells, 512, 128), np.float32)
+    gain = np.ones((16, n_cells, 512, 128), np.float32)
+    for c in range(n_cells):
+        offset[:, c] = c
+        gain[:, c] = 1.0 / (1 + c)
+    exp = ExperimentWorker(multiseq_run,
+                           calibration={"offset": offset, "gain": gain})
+    cells = exp.index.cell_ids
+    sel = DataSelection(frame_range=(0, 12), modules=(0, 1), batch_size=12,
+                        good_cells_only=False)
+    chunk = next(exp.get_data(sel))
+    raw = np.arange(12, dtype=np.float32)
+    expect = (raw - cells[:12]) / (1 + cells[:12])
+    assert np.allclose(chunk["data"][:, 0, 0, 0], expect, atol=1e-6)
+
+
+def test_adaptive_gain_calibration(tmp_path):
+    """3-gain-stage calibration: digital plane selects the stage per pixel;
+    (analog - offset[stage, cell]) * gain[stage, cell]; bad pixels zeroed
+    (reference calibrators.py:137-214)."""
+    n, ss, fs = 6, 8, 4
+    n_cells = 2
+    cells = np.asarray([0, 1, 0, 1, 0, 1], dtype=np.uint16)
+    trains = np.asarray([5, 5, 6, 6, 7, 7], dtype=np.uint64)
+    pulses = np.tile([0, 1], 3).astype(np.uint64)
+    rng = np.random.default_rng(0)
+    analog = rng.uniform(100, 200, (n, ss, fs)).astype(np.float32)
+    # digital plane: thresholds at 1000/2000 -> stage pattern per frame
+    digital = np.full((n, ss, fs), 500.0, np.float32)     # high gain
+    digital[:, :, 1] = 1500.0                             # medium
+    digital[:, :, 2] = 2500.0                             # low
+    data = np.stack([analog, digital], axis=1)            # (n, 2, ss, fs)
+    _write_module_file(tmp_path / "RAW-R5-AGIPD00-S00000.h5", 0, data,
+                       trains, pulses, cells)
+
+    gl = np.zeros((3, n_cells, 16, ss, fs), np.float32)
+    gl[1] = 1000.0
+    gl[2] = 2000.0
+    off = np.zeros((3, n_cells, 16, ss, fs), np.float32)
+    off[0], off[1], off[2] = 10.0, 20.0, 30.0
+    off[:, 1] += 5.0                                      # cell-dependent
+    gn = np.ones((3, n_cells, 16, ss, fs), np.float32)
+    gn[1], gn[2] = 2.0, 4.0
+    bad = np.zeros((3, n_cells, 16, ss, fs), np.float32)
+    bad[:, :, :, 0, 3] = 1                                # one dead pixel
+    cal = {"gain_levels": gl, "analog_offset": off, "relative_gain": gn,
+           "badpixel": bad}
+    exp = ExperimentWorker(str(tmp_path), calibration=cal)
+    chunk = next(exp.get_data(DataSelection(frame_range=(0, 6), modules=(0,),
+                                            batch_size=6)))
+    out = chunk["data"]                                   # (6, 1, ss, fs)
+    for i, c in enumerate(cells):
+        dc = 5.0 * c
+        assert np.allclose(out[i, 0, 1, 0], analog[i, 1, 0] - 10 - dc)
+        assert np.allclose(out[i, 0, 1, 1], (analog[i, 1, 1] - 20 - dc) * 2)
+        assert np.allclose(out[i, 0, 1, 2], (analog[i, 1, 2] - 30 - dc) * 4)
+    assert (out[:, 0, 0, 3] == 0).all()                   # dead pixel zeroed
+
+
 def test_panel_correlator_with_agipd(run_folder, tmp_path, monkeypatch):
     """Experiment-sourced correlation: AGIPD geometry binning end-to-end
     through the correlate worker."""

@@ -1,13 +1,20 @@
 """SPB experiment layer: chunked AGIPD data streaming from EuXFEL-layout HDF5.
 
 Rebuilt from the reference's SPB ExperimentWorker (experiments/SPB/
-experiment.py:64-436 + _database_.py VDS machinery): run folders contain one
-HDF5 file per module (`RAW-…-AGIPD{mod:02}-….h5` naming) with datasets under
-`INSTRUMENT/…/image/{data,cellId,trainId}`. This build streams frame chunks
-as numpy batches (host IO), applies gain/offset calibration + filters, and
-exposes the geometry through detectors.agipd.AGIPD — no virtual datasets or
-per-chunk worker processes needed, since the downstream correlator consumes
-whole batches on device.
+experiment.py:64-436) + its VDS machinery (_database_.py:361-700): EuXFEL run
+folders contain one or MORE sequence files per module
+(`RAW-…-AGIPD{mod:02}-S{seq:05}.h5`) with datasets under
+`INSTRUMENT/…/image/{data,trainId,cellId,pulseId}`. The reference stitches
+the sequence files into HDF5 virtual datasets in worker processes; here a
+host-side FrameIndex provides the same global frame addressing (reads span
+file boundaries transparently) without materializing VDS files, and the
+downstream correlator consumes whole calibrated batches on device.
+
+Bad-frame filtering follows the reference VDS rules (_database_.py:366,
+:560-590): trainId == 0, trainId outside the run's global range (bit flips),
+repeated trainIds beyond the pulses-per-train count, and pulseId/cellId
+sentinel 65535. Calibration supports flat, per-memory-cell, and adaptive
+3-gain-stage constants (calibrators/calibrators.py:137-214, :573-580).
 """
 from __future__ import annotations
 
@@ -20,6 +27,8 @@ import numpy as np
 from xframe_tpu.interfaces import ExperimentWorkerInterface
 from xframe_tpu.experiments.SPB.detectors.agipd import AGIPD
 
+BAD_ID = 65535  # EuXFEL sentinel for missing pulse/cell ids (uint16 max)
+
 
 @dataclass
 class DataSelection:
@@ -27,7 +36,8 @@ class DataSelection:
     frame_range: tuple = (0, None)          # (start, stop) over the run
     modules: tuple = tuple(range(16))
     batch_size: int = 32
-    good_cells_only: bool = True
+    good_cells_only: bool = True            # drop frames failing the id rules
+    cells: tuple | None = None              # explicit cellId selection
 
 
 @dataclass
@@ -37,22 +47,40 @@ class Filters:
     lit_pixel_fraction_min: float = 0.0
 
 
+@dataclass
+class FrameIndex:
+    """Global frame addressing over per-module sequence-file lists plus the
+    train/pulse/cell bookkeeping the reference carries in its VDS files."""
+    n_frames: int
+    file_counts: dict            # module -> np.ndarray of per-file frame counts
+    file_starts: dict            # module -> cumulative start offsets (len+1)
+    train_ids: np.ndarray        # (n_frames,) uint64
+    pulse_ids: np.ndarray        # (n_frames,) uint64
+    cell_ids: np.ndarray         # (n_frames,) uint16
+    frame_mask: np.ndarray       # (n_frames,) bool — good frames
+    n_pulses: int = 0
+
+
 class ExperimentWorker(ExperimentWorkerInterface):
     """Streams calibrated AGIPD frames from a run folder."""
 
     def __init__(self, run_folder, geometry_file=None, detector_distance=0.217,
                  wavelength=1.23984, data_path_glob="*AGIPD{module:02d}*.h5",
                  image_key="image/data", calibration=None,
-                 filters: Filters | None = None):
+                 filters: Filters | None = None, good_cells=None):
         self.run_folder = run_folder
         self.wavelength = float(wavelength)
         self.detector = AGIPD(geometry_file=geometry_file,
                               detector_distance=detector_distance)
         self.data_path_glob = data_path_glob
         self.image_key = image_key
-        self.calibration = calibration  # dict {offset: (16,...), gain: (16,...)}
+        self.calibration = calibration
         self.filters = filters or Filters()
+        self.good_cells = None if good_cells is None \
+            else np.asarray(good_cells)
         self._module_files = self._discover_files()
+        self._key_cache = {}
+        self.index = self._build_index()
 
     # ----------------------------------------------------------------- files
     def _discover_files(self):
@@ -71,6 +99,9 @@ class ExperimentWorker(ExperimentWorkerInterface):
 
     def _find_dataset(self, h5file, key):
         """Locate `…/image/data`-style keys anywhere under INSTRUMENT."""
+        cache_key = (h5file.filename, key)
+        if cache_key in self._key_cache:
+            return self._key_cache[cache_key]
         hits = []
 
         def visit(name, obj):
@@ -81,58 +112,238 @@ class ExperimentWorker(ExperimentWorkerInterface):
         h5file.visititems(visit)
         if not hits:
             raise KeyError(f"no dataset ending in {key!r} in {h5file.filename}")
+        self._key_cache[cache_key] = hits[0]
         return hits[0]
 
-    def n_frames(self):
-        import h5py
-        mod = min(self._module_files)
-        n = 0
-        for path in self._module_files[mod]:
-            with h5py.File(path, "r") as f:
-                n += f[self._find_dataset(f, self.image_key)].shape[0]
-        return n
+    def _id_key(self, name):
+        """image/data -> image/trainId etc. (same group as the image data)."""
+        base = self.image_key.rsplit("/", 1)[0]
+        return f"{base}/{name}"
 
-    # ------------------------------------------------------------------ data
+    def _read_ids(self, f, name, n):
+        """Read an id dataset if present; raw data stores ids with an extra
+        trailing dim (reference _database_.py:549-554 ravel)."""
+        import h5py  # noqa: F401
+        try:
+            path = self._find_dataset(f, self._id_key(name))
+        except KeyError:
+            return None
+        ids = np.asarray(f[path]).ravel()
+        if len(ids) != n:
+            return None
+        return ids
+
+    # ----------------------------------------------------------------- index
+    def _build_index(self) -> FrameIndex:
+        """Scan all sequence files once: per-module frame counts (must agree
+        across modules, reference _database_.py:465-476), global
+        train/pulse/cell ids from the lowest module, bad-frame mask."""
+        import h5py
+        file_counts, file_starts = {}, {}
+        ref_mod = min(self._module_files)
+        trains, pulses, cells = [], [], []
+        for mod, paths in self._module_files.items():
+            counts = []
+            for path in paths:
+                with h5py.File(path, "r") as f:
+                    dset = f[self._find_dataset(f, self.image_key)]
+                    n = dset.shape[0]
+                    counts.append(n)
+                    if mod == ref_mod:
+                        t = self._read_ids(f, "trainId", n)
+                        p = self._read_ids(f, "pulseId", n)
+                        c = self._read_ids(f, "cellId", n)
+                        trains.append(t if t is not None
+                                      else np.zeros(n, dtype=np.uint64))
+                        pulses.append(p if p is not None
+                                      else np.zeros(n, dtype=np.uint64))
+                        cells.append(c if c is not None
+                                     else np.zeros(n, dtype=np.uint16))
+            file_counts[mod] = np.asarray(counts, dtype=int)
+            file_starts[mod] = np.concatenate([[0], np.cumsum(counts)])
+        totals = {m: int(c.sum()) for m, c in file_counts.items()}
+        if len(set(totals.values())) > 1:
+            raise ValueError(
+                f"modules disagree on total frame count: {totals} — "
+                f"incomplete run folder (reference asserts the same, "
+                f"_database_.py:472)")
+        n_frames = totals[ref_mod]
+        train_ids = np.concatenate(trains) if trains else \
+            np.zeros(n_frames, dtype=np.uint64)
+        pulse_ids = np.concatenate(pulses) if pulses else \
+            np.zeros(n_frames, dtype=np.uint64)
+        cell_ids = np.concatenate(cells) if cells else \
+            np.zeros(n_frames, dtype=np.uint16)
+        mask, n_pulses = self._frame_mask(train_ids, pulse_ids, cell_ids)
+        return FrameIndex(n_frames=n_frames, file_counts=file_counts,
+                          file_starts=file_starts, train_ids=train_ids,
+                          pulse_ids=pulse_ids, cell_ids=cell_ids,
+                          frame_mask=mask, n_pulses=n_pulses)
+
+    def _frame_mask(self, train_ids, pulse_ids, cell_ids):
+        """Reference VDS bad-frame rules (_database_.py:366, :560-590)."""
+        has_ids = bool(train_ids.any())
+        mask = np.ones(len(train_ids), dtype=bool)
+        n_pulses = 0
+        if has_ids:
+            positive = train_ids > 0
+            mask &= positive
+            if positive.any():
+                # pulses per train = median multiplicity of unique pulse ids
+                # (reference get_general_vds_data :439-441)
+                _, counts = np.unique(pulse_ids[positive], return_counts=True)
+                n_trains = int(np.median(counts))
+                _, pcounts = np.unique(train_ids[positive], return_counts=True)
+                n_pulses = int(np.median(pcounts))
+                first = int(train_ids[positive].min())
+                last = first + n_trains - 1
+                mask &= (train_ids >= first) & (train_ids <= last)
+                # repeated trainIds: keep only the first n_pulses occurrences
+                uniq, counts = np.unique(train_ids, return_counts=True)
+                if (counts > n_pulses).any():
+                    occurrence = np.zeros(len(train_ids), dtype=int)
+                    for u in uniq[counts > n_pulses]:
+                        idx = np.nonzero(train_ids == u)[0]
+                        occurrence[idx] = np.arange(len(idx))
+                    mask &= occurrence < n_pulses
+        mask &= pulse_ids != np.uint64(BAD_ID)
+        mask &= cell_ids != np.uint16(BAD_ID)
+        if self.good_cells is not None:
+            mask &= np.isin(cell_ids, self.good_cells)
+        return mask, n_pulses
+
+    def n_frames(self):
+        return self.index.n_frames
+
+    # --------------------------------------------------------------- reading
+    def _read_range(self, mod, handles, lo, hi):
+        """Read global frames [lo, hi) of a module across sequence files."""
+        starts = self.index.file_starts[mod]
+        pieces = []
+        f0 = int(np.searchsorted(starts, lo, side="right")) - 1
+        pos = lo
+        for fi in range(f0, len(starts) - 1):
+            if pos >= hi:
+                break
+            a = pos - starts[fi]
+            b = min(hi, starts[fi + 1]) - starts[fi]
+            if b <= a:
+                continue
+            pieces.append(np.asarray(handles[mod][fi][a:b], dtype=np.float32))
+            pos = starts[fi] + b
+        if len(pieces) == 1:
+            return pieces[0]
+        return np.concatenate(pieces, axis=0)
+
     def get_data(self, selection: DataSelection | None = None):
         """Generator of dicts {'data': (B, n_mod, ss, fs) float32,
-        'frame_ids': (B,), 'good': (B,) bool} (reference get_data :341)."""
+        'frame_ids', 'train_ids', 'pulse_ids', 'cell_ids': (B,),
+        'good': (B,) bool} (reference get_data :341)."""
         import h5py
         sel = selection or DataSelection()
         total = self.n_frames()
         start, stop = sel.frame_range
         stop = total if stop is None else min(stop, total)
         mods = list(sel.modules)
+        idx = self.index
 
-        handles = {}
+        files, handles = [], {}
         try:
             for mod in mods:
-                path = self._module_files[mod][0]
-                f = h5py.File(path, "r")
-                handles[mod] = (f, f[self._find_dataset(f, self.image_key)])
+                handles[mod] = []
+                for path in self._module_files[mod]:
+                    f = h5py.File(path, "r")
+                    files.append(f)
+                    handles[mod].append(f[self._find_dataset(f, self.image_key)])
             for lo in range(start, stop, sel.batch_size):
                 hi = min(lo + sel.batch_size, stop)
-                batch = np.stack([
-                    np.asarray(handles[mod][1][lo:hi], dtype=np.float32)
-                    for mod in mods], axis=1)
-                batch = self._calibrate(batch, mods)
-                good = self._good_mask(batch)
+                batch = np.stack([self._read_range(mod, handles, lo, hi)
+                                  for mod in mods], axis=1)
+                cells = idx.cell_ids[lo:hi]
+                batch, cal_good = self._calibrate(batch, mods, cells)
+                good = self._good_mask(batch) & cal_good
+                if sel.good_cells_only:
+                    good = good & idx.frame_mask[lo:hi]
+                if sel.cells is not None:
+                    good = good & np.isin(cells, np.asarray(sel.cells))
                 yield {"data": batch, "frame_ids": np.arange(lo, hi),
-                       "good": good}
+                       "train_ids": idx.train_ids[lo:hi],
+                       "pulse_ids": idx.pulse_ids[lo:hi],
+                       "cell_ids": cells, "good": good}
         finally:
-            for f, _ in handles.values():
+            for f in files:
                 f.close()
 
-    def _calibrate(self, batch, mods):
-        """offset subtraction + gain scaling (reference calibrators)."""
+    # ----------------------------------------------------------- calibration
+    def _calibrate(self, batch, mods, cells):
+        """Dispatch: flat / per-memory-cell / adaptive 3-gain-stage constants.
+        Returns (calibrated batch, per-frame good mask)."""
+        good = np.ones(len(batch), dtype=bool)
         if not self.calibration:
-            return batch
-        off = self.calibration.get("offset")
-        gain = self.calibration.get("gain")
+            return batch, good
+        cal = self.calibration
+        if "analog_offset" in cal:
+            return self._calibrate_adaptive(batch, mods, cells)
+        cells = np.asarray(cells, dtype=int)
+        off = cal.get("offset")
+        gain = cal.get("gain")
         if off is not None:
-            batch = batch - np.asarray(off, dtype=np.float32)[None][:, mods]
+            off = np.asarray(off, dtype=np.float32)
+            if off.ndim == 4:   # per-cell (16, n_cells, ss, fs)
+                batch = batch - np.swapaxes(off[mods][:, cells], 0, 1)
+            else:               # flat (16, ss, fs)
+                batch = batch - off[None][:, mods]
         if gain is not None:
-            batch = batch * np.asarray(gain, dtype=np.float32)[None][:, mods]
-        return batch
+            gain = np.asarray(gain, dtype=np.float32)
+            if gain.ndim == 4:
+                batch = batch * np.swapaxes(gain[mods][:, cells], 0, 1)
+            else:
+                batch = batch * gain[None][:, mods]
+        return batch, good
+
+    def _calibrate_adaptive(self, batch, mods, cells):
+        """Adaptive-gain AGIPD calibration (reference
+        calibrators.py:137-214): raw frames carry (analog, digital) planes;
+        per pixel the gain stage ∈ {high, medium, low} is chosen by
+        thresholding the digital signal against DigitalGainLevel, then
+        data = (analog − AnalogOffset[stage, cell, mod]) × RelativeGain[...].
+        Constants are indexed [stage(3), cell, module, ss, fs]
+        (reference :165-167, :573-580)."""
+        cal = self.calibration
+        cells = np.asarray(cells, dtype=int)
+        if batch.ndim != 5 or batch.shape[2] != 2:
+            raise ValueError(
+                "adaptive calibration expects raw batches shaped "
+                f"(B, n_mod, 2, ss, fs), got {batch.shape}")
+        analog = batch[:, :, 0]
+        digital = batch[:, :, 1]
+
+        def sel(name):
+            # (3, n_cells, 16, ss, fs) -> (3, B, M, ss, fs)
+            c = np.asarray(cal[name], dtype=np.float32)
+            return c[:, cells][:, :, mods]
+
+        thr = sel("gain_levels")
+        low = digital > thr[2]
+        high = digital < thr[1]
+        stage = np.where(low, 2, np.where(high, 0, 1))  # (B, M, ss, fs)
+        take = lambda c: np.take_along_axis(c, stage[None], axis=0)[0]  # noqa: E731
+        data = (analog - take(sel("analog_offset"))) \
+            * take(sel("relative_gain"))
+        if "badpixel" in cal:
+            bad = take(sel("badpixel")) != 0
+            data = np.where(bad, 0.0, data)
+        thresh = cal.get("photon_threshold")
+        if thresh is not None:
+            # 1 photon = 45 ADU (reference :189-199)
+            g = take(sel("relative_gain"))
+            if isinstance(thresh, (list, tuple)):
+                below = (data < thresh[0] * 45 * g) | (data > thresh[1] * 45 * g)
+            else:
+                below = data < float(thresh) * 45 * g
+            data = np.where(below, 0.0, data)
+        good = cells != BAD_ID
+        return data.astype(np.float32), good
 
     def _good_mask(self, batch):
         flt = self.filters

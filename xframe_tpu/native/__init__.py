@@ -47,6 +47,7 @@ def _load():
                 ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
                 ctypes.POINTER(ctypes.c_float), ctypes.c_long,
                 ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint8),
             ]
             _lib = lib
         except OSError:
@@ -58,33 +59,36 @@ def read_frame_batch(paths, frame_shape, dtype=np.float32, n_threads=8,
                      out=None):
     """Read len(paths) raw frames into a (B, *frame_shape) float32 array with
     a C++ thread pool; numpy fallback if the native library is unavailable.
-    → (batch, n_ok)."""
+    → (batch, ok) where ok is a (B,) bool mask of successfully read frames
+    (failed/short reads are zero-filled AND flagged, so callers exclude them
+    from accumulation instead of averaging in zeros)."""
     frame_elems = int(np.prod(frame_shape))
     batch = out if out is not None else \
         np.empty((len(paths),) + tuple(frame_shape), dtype=np.float32)
+    ok = np.zeros(len(paths), dtype=np.uint8)
     lib = _load()
     dtype = np.dtype(dtype)
     if lib is not None and dtype in _DTYPE_CODES:
         arr = (ctypes.c_char_p * len(paths))(
             *[os.fsencode(p) for p in paths])
-        n_ok = lib.read_frames(
+        lib.read_frames(
             arr, len(paths),
             batch.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            frame_elems, _DTYPE_CODES[dtype], int(n_threads))
-        return batch, int(n_ok)
+            frame_elems, _DTYPE_CODES[dtype], int(n_threads),
+            ok.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        return batch, ok.astype(bool)
     # fallback: sequential numpy reads
-    n_ok = 0
     for i, p in enumerate(paths):
         try:
             data = np.fromfile(p, dtype=dtype, count=frame_elems)
             if len(data) == frame_elems:
                 batch[i] = data.reshape(frame_shape).astype(np.float32)
-                n_ok += 1
+                ok[i] = 1
             else:
                 batch[i] = 0
         except OSError:
             batch[i] = 0
-    return batch, n_ok
+    return batch, ok.astype(bool)
 
 
 class PrefetchingFrameLoader:
@@ -100,6 +104,7 @@ class PrefetchingFrameLoader:
         self.n_threads = int(n_threads)
 
     def __iter__(self):
+        """Yields (batch, ok) pairs; ok flags frames that actually loaded."""
         import concurrent.futures as cf
         chunks = [self.paths[i: i + self.batch_size]
                   for i in range(0, len(self.paths), self.batch_size)]
@@ -108,9 +113,9 @@ class PrefetchingFrameLoader:
                                   self.frame_shape, self.dtype,
                                   self.n_threads) if chunks else None
             for i in range(len(chunks)):
-                batch, _ = pending.result()
+                batch, ok = pending.result()
                 pending = pool.submit(
                     read_frame_batch, chunks[i + 1], self.frame_shape,
                     self.dtype, self.n_threads) \
                     if i + 1 < len(chunks) else None
-                yield batch
+                yield batch, ok

@@ -8,9 +8,13 @@
 //
 // C ABI (used via ctypes from xframe_tpu.native):
 //   int read_frames(const char** paths, int n_paths, float* out,
-//                   long frame_elems, int dtype_code, int n_threads);
+//                   long frame_elems, int dtype_code, int n_threads,
+//                   unsigned char* ok_out);
 // dtype_code: 0 = float32, 1 = float64, 2 = int32, 3 = uint16, 4 = int16
-// Returns number of successfully read frames (short/failed reads zero-fill).
+// Returns number of successfully read frames. EVERY failure path (missing
+// file, short read) zero-fills its output slot — the batch buffer may be
+// uninitialized memory — and reports per-frame success in ok_out (nullable)
+// so callers can exclude failed frames from accumulation.
 
 #include <atomic>
 #include <cstdint>
@@ -24,7 +28,10 @@ namespace {
 template <typename T>
 bool read_one(const char* path, float* dst, long frame_elems) {
     FILE* f = std::fopen(path, "rb");
-    if (!f) return false;
+    if (!f) {
+        std::memset(dst, 0, sizeof(float) * frame_elems);
+        return false;
+    }
     std::vector<T> buf(static_cast<size_t>(frame_elems));
     size_t got = std::fread(buf.data(), sizeof(T),
                             static_cast<size_t>(frame_elems), f);
@@ -43,7 +50,10 @@ bool read_dispatch(const char* path, float* dst, long frame_elems,
     switch (dtype_code) {
         case 0: {  // float32: read directly into the output slot
             FILE* f = std::fopen(path, "rb");
-            if (!f) return false;
+            if (!f) {
+                std::memset(dst, 0, sizeof(float) * frame_elems);
+                return false;
+            }
             size_t got = std::fread(dst, sizeof(float),
                                     static_cast<size_t>(frame_elems), f);
             std::fclose(f);
@@ -58,14 +68,17 @@ bool read_dispatch(const char* path, float* dst, long frame_elems,
         case 2: return read_one<int32_t>(path, dst, frame_elems);
         case 3: return read_one<uint16_t>(path, dst, frame_elems);
         case 4: return read_one<int16_t>(path, dst, frame_elems);
-        default: return false;
+        default:
+            std::memset(dst, 0, sizeof(float) * frame_elems);
+            return false;
     }
 }
 
 }  // namespace
 
 extern "C" int read_frames(const char** paths, int n_paths, float* out,
-                           long frame_elems, int dtype_code, int n_threads) {
+                           long frame_elems, int dtype_code, int n_threads,
+                           unsigned char* ok_out) {
     if (n_threads < 1) n_threads = 1;
     std::atomic<int> next(0);
     std::atomic<int> ok(0);
@@ -73,9 +86,11 @@ extern "C" int read_frames(const char** paths, int n_paths, float* out,
         while (true) {
             int i = next.fetch_add(1);
             if (i >= n_paths) break;
-            if (read_dispatch(paths[i], out + static_cast<long>(i) * frame_elems,
-                              frame_elems, dtype_code))
-                ok.fetch_add(1);
+            bool good = read_dispatch(
+                paths[i], out + static_cast<long>(i) * frame_elems,
+                frame_elems, dtype_code);
+            if (ok_out) ok_out[i] = good ? 1 : 0;
+            if (good) ok.fetch_add(1);
         }
     };
     std::vector<std::thread> pool;

@@ -35,6 +35,18 @@ def _low_pass_cc(cc, fc_n_max):
     return np.fft.irfft(f, cc.shape[-1], axis=-1)
 
 
+def _split_batch_item(item):
+    """(batch, good) from a frame-stream item: plain batches get an all-good
+    mask; (batch, mask) pairs (native loader read-ok flags, experiment
+    good-frame bookkeeping) pass their mask through."""
+    if isinstance(item, tuple):
+        batch, good = item
+        return (np.asarray(batch, dtype=np.float32),
+                np.asarray(good, dtype=np.float32))
+    batch = np.asarray(item, dtype=np.float32)
+    return batch, np.ones(len(batch), dtype=np.float32)
+
+
 class Correlator:
     """Device-side batch correlator closed over the detector geometry."""
 
@@ -126,12 +138,14 @@ class Correlator:
     def correlate_frames(self, frame_iter, batch_size=64, is_good=None):
         """Accumulate the mask-corrected CC over a stream of frames.
 
-        frame_iter yields (B, ny, nx) float32 numpy batches."""
+        frame_iter yields (B, ny, nx) float32 numpy batches, or
+        (batch, good_mask) pairs (e.g. the native PrefetchingFrameLoader
+        flagging unreadable files); is_good filters compose on top."""
         acc = None
-        for batch in frame_iter:
-            batch = np.asarray(batch, dtype=np.float32)
-            good = np.ones(len(batch), dtype=np.float32) if is_good is None \
-                else np.asarray(is_good(batch), dtype=np.float32)
+        for item in frame_iter:
+            batch, good = _split_batch_item(item)
+            if is_good is not None:
+                good = good * np.asarray(is_good(batch), dtype=np.float32)
             out = self._process(batch, good)
             out = [o for o in out]
             if acc is None:
@@ -192,7 +206,7 @@ class ProjectWorker(ProjectWorkerInterface):
 
         def frames():
             for chunk in exp.get_data(sel):
-                yield chunk["data"]
+                yield chunk["data"], chunk["good"]
 
         out = corr.correlate_frames(frames())
         data = {
@@ -386,10 +400,10 @@ class PanelCorrelator:
     def correlate_frames(self, frame_iter, is_good=None):
         acc = None
         add = jax.jit(jnp.add)
-        for batch in frame_iter:
-            batch = np.asarray(batch, dtype=np.float32)
-            good = np.ones(len(batch), dtype=np.float32) if is_good is None \
-                else np.asarray(is_good(batch), dtype=np.float32)
+        for item in frame_iter:
+            batch, good = _split_batch_item(item)
+            if is_good is not None:
+                good = good * np.asarray(is_good(batch), dtype=np.float32)
             out = list(self._process(batch, good))
             acc = out if acc is None else [add(a, o)
                                            for a, o in zip(acc, out)]
