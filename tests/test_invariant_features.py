@@ -22,6 +22,38 @@ def _negativity(proj, sht):
     return float(np.abs(I[I < 0]).sum() / np.abs(I).sum())
 
 
+def test_in_loop_particle_estimate_matches_bruteforce():
+    """ReciprocalConstraint.particle_number_estimate's one-histogram trick
+    must reproduce the reference's explicit (K × grid) negative-fraction scan
+    (fxs_Projections.py:1115-1196) exactly, including the projected output."""
+    import jax
+    from xframe_tpu.projects.fxs.projections import ReciprocalConstraint
+    rng = np.random.default_rng(3)
+    n_q, L = 12, 4
+    qs = np.linspace(0.05, 0.5, n_q)
+    avg = np.abs(rng.normal(2.0, 0.5, n_q))
+    proj = [rng.normal(size=(n_q, min(2 * l + 1, n_q)))
+            + 1j * rng.normal(size=(n_q, min(2 * l + 1, n_q)))
+            for l in range(L + 1)]
+    rc = ReciprocalConstraint.build(
+        proj, qs, L, average_intensity=avg, schmidt_scaling=False,
+        pn_scan_space=(1.0, 16.0, 48), pn_project=True)
+    assert rc.pn_enabled
+    I = rng.normal(0.3, 1.0, (n_q, 6, 10)).astype(np.float32)
+    n_hat, I_out = jax.jit(rc.particle_number_estimate)(jnp.asarray(I))
+
+    # brute force (reference semantics)
+    a = avg[:, None, None] / 1.0  # pn_a = avg (I00·Y00 with I00 = avg·2√π)
+    sq = np.linspace(1.0, 4.0, 48)
+    s = 1.0 / sq - 1.0
+    neg = np.array([(I + si * a < 0).mean() for si in s])
+    grad = (neg[1:] - neg[:-1]) / (sq[1:] - sq[:-1])
+    idx = int(np.argmax(grad))
+    assert np.isclose(float(n_hat), sq[idx] ** 2, rtol=1e-5)
+    expect = np.maximum(I + s[idx] * a, 0.0)
+    assert np.allclose(np.asarray(I_out), expect, atol=1e-5)
+
+
 def test_enforce_sht_constraint_reduces_negativity(problem):
     """Scramble each V_l by a random unitary (destroys intensity positivity —
     exactly the situation prephasing addresses), then check the constraint

@@ -145,7 +145,7 @@ def average_results(reconstructions, home):
         "selection": {"method": "least_error", "error_limit": 1.0,
                       "n_reconstructions": "all"},
         "l2_error_limit": 2.0,
-        "resolution_metrics": {"PRTF": True, "FSC": True},
+        "resolution_metrics": {"PRTF": True, "FSC": True, "FQCB": True},
     })
     return xf.run()
 
@@ -162,6 +162,11 @@ def test_average_schema(average_results, home):
     assert (metrics["PRTF"] <= 1.0 + 1e-6).all()
     angles = average_results["rotation_metric"]["angles"]
     assert angles.shape[1] == 3
+    # FQCB: invariant-space fidelity curve of the average vs data
+    fq = metrics["FQCB_from_density"]
+    assert fq.shape == (N_REC,)
+    assert np.isfinite(fq).all() and (fq <= 1.0 + 1e-6).all()
+    assert "FQCB_from_density_std" in metrics
     folder = os.path.join(home, "data", "fxs", "averages", "pytest", "run_1")
     assert os.path.exists(os.path.join(folder, "average_results.h5"))
     assert os.path.exists(os.path.join(folder, "PRTF.png"))
@@ -215,6 +220,97 @@ def test_reconstruct_fixed_volume_shrink_wrap(invariants, home):
     vol = (w * support).sum()
     vol0 = (w * init).sum()
     assert abs(vol / vol0 - 0.4) < 0.03, vol / vol0
+
+
+def test_extract_multi_dataset_unitary_and_fqc(ccd, home):
+    """I1I1 + I2I2 + I2I1 datasets: I2I2 projection matrices, the I2I1
+    unknown unitary, the FQC curve, and the particle-number estimate are
+    all settings-reachable and land in the invariants file."""
+    from xframe_tpu.io import hdf5 as hdf5_io
+    rng = np.random.default_rng(0)
+    cc = np.asarray(ccd["cross_correlation"]["I1I1"])
+    path = os.path.join(home, "data", "fxs", "ccd", "pytest_multi", "run_1")
+    os.makedirs(path, exist_ok=True)
+    noise = 1e-6 * np.abs(cc).max() * rng.normal(size=cc.shape)
+    hdf5_io.save(os.path.join(path, "ccd.h5"), {
+        "dimensions": 3,
+        "radial_points": ccd["radial_points"],
+        "angular_points": ccd["angular_points"],
+        "xray_wavelength": ccd["xray_wavelength"],
+        "average_intensity": ccd["average_intensity"],
+        "cross_correlation": {"I1I1": cc, "I2I2": cc + noise, "I2I1": cc},
+        "num_images_processed": 1, "num_images_good": 1,
+    })
+    xf.select_project("fxs", "extract", overrides={
+        "structure_name": "pytest_multi",
+        "dimensions": 3,
+        "max_order": L_SIM,
+        "cross_correlation": {"datasets_to_process": ["I1I1", "I2I2", "I2I1"]},
+        "resolution_metrics": {"FQC": {"apply": True,
+                                       "datasets": ["I1I1", "I2I2"]}},
+        "number_of_particles": {"estimate": {"apply": True,
+                                             "search_space": [0.25, 6.0, 96]}},
+    })
+    out = xf.run()
+    pm = out["data_projection_matrices"]
+    assert set(pm) >= {"I1I1", "I2I2", "I2I1"}
+    # identical datasets → the unknown unitary reconstructs B_21 exactly
+    W = pm["I2I1"]
+    b21 = out["deg_2_invariant"]["I2I1"]
+    for l in [0, 2, 4]:
+        recon = np.asarray(pm["I2I2"][l]) @ np.asarray(W[l]) \
+            @ np.asarray(pm["I1I1"][l]).conj().T
+        rel = np.abs(recon - b21[l]).max() / np.abs(b21[l]).max()
+        assert rel < 5e-2, (l, rel)
+    # FQC of two near-identical CCs ≈ 1 where the CC carries signal (the
+    # injected noise floor dominates the decayed high-q shells, as it would
+    # for real data — that is exactly what FQC measures)
+    fq = out["fqc"]["curve"]
+    assert fq.shape == (N_SIM,)
+    assert np.isfinite(fq).all() and (fq <= 1.0 + 1e-9).all()
+    assert fq[1: N_SIM // 4].min() > 0.99
+    # particle-number estimate present and inside the scan space
+    assert 0.25 <= out["number_of_particles"] <= 6.0
+    # everything survives the HDF5 round-trip
+    from xframe_tpu.projects.fxs._database_ import ProjectDB
+    from xframe_tpu.settings.tools import DictNamespace
+    db = ProjectDB(DictNamespace({"structure_name": "pytest_multi"}))
+    inv = db.load_invariants()
+    assert "I2I1" in inv["data_projection_matrices"]
+    assert "fqc" in inv
+
+
+def test_reconstruct_particle_estimation_history(invariants, home):
+    """projections.reciprocal.number_of_particles.estimate: per-iteration
+    n̂ history lands in the archived results."""
+    xf.select_project("fxs", "reconstruct", overrides={
+        "structure_name": "pytest",
+        "dimensions": 3,
+        "particle_radius": 50,
+        "grid": {"n_radial_points": N_REC, "max_order": L_REC},
+        "multi_start": {"n_reconstructions": 1, "seed": 5},
+        "main_loop": {"sub_loops": {
+            "order": ["main"],
+            "main": {"iterations": 1, "order": ["HIO", "SW", "ER"],
+                     "methods": {"HIO": {"iterations": 6},
+                                 "SW": {"iterations": 1},
+                                 "ER": {"iterations": 4}}},
+        }},
+        "projections": {
+            "real": {"shrink_wrap": {"sigmas": [False], "thresholds": [0.1]},
+                     "HIO": {"beta": [[0.5, 0.4, -1 / 50, 100]]}},
+            "reciprocal": {"number_of_particles": {
+                "initial": 1,
+                "estimate": {"apply": True, "scan_space": [1.0, 9.0, 32]}}},
+        },
+    })
+    out = xf.run()
+    res = out["reconstruction_results"]["0"]
+    hist = np.asarray(res["n_particles_history"])
+    assert hist.shape == (10,)
+    assert np.isfinite(hist).all()
+    assert ((hist >= 1.0) & (hist <= 9.0)).all()
+    assert res["n_particles"] == hist[-1]
 
 
 def test_noisy_simulation_still_extracts(home):

@@ -29,7 +29,8 @@ class ProjectWorker(ProjectWorkerInterface):
         densities, errors, meta = self._select(recs)
         if len(densities) == 0:
             raise RuntimeError("no reconstructions pass the selection filter")
-        result = self.average(densities, errors, cfg, meta)
+        result = self.average(densities, errors, cfg, meta,
+                              proj_matrices=recs[0].get("projection_matrices"))
         path, run = self.db.save("average_results", result)
         print(f"average: aligned {len(result['aligned'])} of {len(densities)} "
               f"reconstructions; saved to {path}")
@@ -73,7 +74,7 @@ class ProjectWorker(ProjectWorkerInterface):
                 [meta[i] for i in order])
 
     # -------------------------------------------------------------- averaging
-    def average(self, densities, errors, cfg, meta):
+    def average(self, densities, errors, cfg, meta, proj_matrices=None):
         opt = self.settings
         grid_cfg = cfg["internal_grid"]
         rs = np.asarray(grid_cfg["real_grid"])
@@ -177,6 +178,32 @@ class ProjectWorker(ProjectWorkerInterface):
                                            axes=axes))
             n_shell = max(len(thetas), 1) * len(phis) * np.ones(len(qs))
             metrics["FSC_half_bit"] = rm.half_bit_threshold(n_shell)
+        if bool(opt.get("resolution_metrics", {}).get("FQCB", False)) \
+                and proj_matrices is not None:
+            # invariant-space fidelity: B from the averaged density vs the
+            # data's B = V V† (reference average.py:266-295 FQCB block)
+            from xframe_tpu.projects.fxs import invariants as itools
+            import jax
+            intensity = np.abs(psi_avg) ** 2
+            if dim == 3:
+                coeff = to_host(jax.jit(ft.sht.forward)(
+                    to_device_complex(intensity.astype(complex))))
+                b_rec = itools.harmonic_coeff_to_deg2_invariants_3d(coeff)
+                b_target = itools.projection_matrices_to_deg2_invariant_3d(
+                    proj_matrices)
+            else:
+                cm = np.fft.fft(intensity, axis=-1)[:, : L + 1] / len(phis)
+                b_rec = itools.harmonic_coeff_to_deg2_invariants_2d(cm)
+                vecs = [np.atleast_2d(np.asarray(v)).reshape(len(qs), -1)
+                        for v in proj_matrices]
+                b_target = np.stack([v @ v.conj().T for v in vecs])
+            f_q, f_std, f_2d = rm.fqcb(b_rec, b_target, skip_odd_orders=True)
+            metrics["FQCB_from_density"] = f_q
+            metrics["FQCB_from_density_std"] = f_std
+            f_qz, f_stdz, _ = rm.fqcb(b_rec, b_target, skip_odd_orders=True,
+                                      include_zero_order=True)
+            metrics["FQCB_from_density_with_zero_order"] = f_qz
+            metrics["FQCB_from_density_with_zero_order_std"] = f_stdz
 
         norm_avg = avg / max(np.abs(avg).max(), 1e-30)
         return {

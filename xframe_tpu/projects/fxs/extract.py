@@ -59,15 +59,51 @@ class ProjectWorker(ProjectWorkerInterface):
             bl, mask_dict[name] = self._extract_bl(ccd, name, dim, qs,
                                                    wavelength,
                                                    avg_intensity, L)
-            if apply_psd:
+            # mixed invariants (I2I1 = V2 U V1†) are not Hermitian-PSD; only
+            # the same-dataset B_l are (reference applies the PSD constraint
+            # per auto-correlation dataset, extract.py:332-430)
+            if apply_psd and name != "I2I1":
                 bl = itools.nearest_positive_semidefinite_matrix(bl)
             bls[name] = bl
         primary = present[0]
-        out = self._invariants_to_output(
+        out, proj1, eig1 = self._invariants_to_output(
             bls[primary], dim, qs, wavelength, avg_intensity,
             np.asarray(ccd["angular_points"]))
         out["deg_2_invariant"] = {n: bls[n] for n in present}
         out["deg_2_invariant_masks"] = {n: mask_dict[n] for n in present}
+
+        # --- secondary datasets: I2I2 projection matrices, I2I1 unknown
+        # unitary between the two datasets' unknowns (reference
+        # extract.py:452-466 → fxs_invariant_tools.py:1297-1436)
+        if dim == 3 and "I2I2" in bls and primary != "I2I2":
+            rank_cap = bool(opt.get("projection_matrices", {})
+                            .get("rank_cap", True))
+            proj2, eig2 = itools.deg2_invariant_to_projection_matrices(
+                bls["I2I2"], rank_cap=rank_cap)
+            out["data_projection_matrices"]["I2I2"] = proj2
+            if "I2I1" in bls:
+                method = str(opt.get("unknown_transform", {})
+                             .get("method", "procrustes"))
+                W, w_err = itools.calc_unknown_unitary_transform(
+                    proj1, eig1, proj2, eig2, bls["I2I1"], qs, method=method)
+                out["data_projection_matrices"]["I2I1"] = W
+                out["data_projection_matrix_error_estimates"] = {"I2I1": w_err}
+
+        # --- FQC between two CC datasets (classical per-q coherence,
+        # reference resolution_metrics.py:112-144)
+        fqc_opt = opt.get("resolution_metrics", {}).get("FQC", {})
+        if bool(fqc_opt.get("apply", False)):
+            pair = [str(n) for n in fqc_opt.get("datasets", present[:2])]
+            if len(pair) >= 2 and all(p in ccd["cross_correlation"]
+                                      for p in pair[:2]):
+                from xframe_tpu.projects.fxs import resolution_metrics as rm
+                f_q, f_2d = rm.fqc(
+                    np.asarray(ccd["cross_correlation"][pair[0]], dtype=float),
+                    np.asarray(ccd["cross_correlation"][pair[1]], dtype=float),
+                    skip_odd_orders=bool(fqc_opt.get("skip_odd_orders", True)),
+                    max_order=L)
+                out["fqc"] = {"datasets": "_".join(pair[:2]),
+                              "curve": f_q, "q1q2": f_2d}
         return out
 
     # --------------------------------------------------- shapes ground truth
@@ -127,7 +163,7 @@ class ProjectWorker(ProjectWorkerInterface):
             avg_intensity = np.real(np.fft.fft(intensity, axis=-1)[:, 0]) \
                 / n_phi
             angular = 2 * np.pi * np.arange(n_phi) / n_phi
-        out = self._invariants_to_output(bl, dim, np.asarray(ft.qs),
+        out, _, _ = self._invariants_to_output(bl, dim, np.asarray(ft.qs),
                                          wavelength, avg_intensity, angular)
         out["deg_2_invariant"] = {"I1I1": bl}
         out["deg_2_invariant_masks"] = {"I1I1": np.ones(bl.shape, dtype=bool)}
@@ -223,8 +259,24 @@ class ProjectWorker(ProjectWorkerInterface):
             print(f"extract: prephasing "
                   f"{'converged' if converged else 'ran its iteration budget'}")
 
+        # --- particle number: assumed value or estimated from the projection
+        # matrices' negative-intensity onset (reference extract settings
+        # n_particles + fxs_invariant_tools.py:1583-1860)
+        pn_opt = opt.get("number_of_particles", {})
+        n_particles = float(pn_opt.get("value", 1))
+        if dim == 3 and bool(pn_opt.get("estimate", {}).get("apply", False)):
+            eopt = pn_opt.get("estimate", {})
+            from xframe_tpu.ops.sht import SphericalHarmonicTransform
+            sht_pn = SphericalHarmonicTransform(bl.shape[0] - 1)
+            n_particles, _, _, _ = itools.estimate_number_of_particles(
+                proj, sht_pn,
+                search_space=tuple(eopt.get("search_space", [1.0, 10.0, 64])),
+                average_intensity=avg_intensity,
+                method=str(eopt.get("method", "onset")))
+            print(f"extract: estimated number_of_particles = {n_particles:.3g}")
+
         low_res = avg_intensity * 2 * np.sqrt(np.pi)
-        return {
+        out = {
             "dimensions": dim,
             "xray_wavelength": wavelength,
             "max_order": bl.shape[0] - 1,
@@ -234,8 +286,9 @@ class ProjectWorker(ProjectWorkerInterface):
             "data_projection_matrices": {"I1I1": proj},
             "data_projection_matrices_q_id_limits": np.asarray(q_limits),
             "data_low_resolution_intensity_coefficients": low_res,
-            "number_of_particles": 1,
+            "number_of_particles": n_particles,
         }
+        return out, proj, eigs
 
     def _q_id_limits(self, n_orders, n_q):
         ql = self.settings.get("invariant_constraints", {}).get("q_limits", {})

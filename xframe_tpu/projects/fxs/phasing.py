@@ -141,6 +141,9 @@ class MTIP:
         self.fix_global_phase = bool(fix_global_phase)
         self._r_cart = None
         self._q_cart = None
+        # per-iteration particle-number estimation adds a 3rd error column
+        self._pn_enabled = bool(getattr(reciprocal, 'pn_enabled', False))
+        self._err_cols = 3 if self._pn_enabled else 2
 
     # ------------------------------------------------------------- iteration
     def _real_error(self, rho_p, rho_proj):
@@ -190,7 +193,8 @@ class MTIP:
 
     def mtip_iteration(self, rho_in, support, beta, method: str, ft_stab: bool):
         """One HIO/ER/RAAR step (reconstruct.py HIO sketch :576-595).
-        → (rho_new, real error, reciprocal error)."""
+        → (rho_new, real error, reciprocal error, n̂ particle estimate —
+        0 when estimation is disabled)."""
         if self.fix_global_phase:
             rho_in = self._anchor_global_phase(rho_in)
         if ft_stab and hasattr(self.ft, 'forward_and_roundtrip'):
@@ -204,6 +208,10 @@ class MTIP:
         synth_real = getattr(self.sht, 'inverse_real', None)
         I_new = synth_real(Ilm_proj) if synth_real \
             else self.sht.inverse(Ilm_proj).real
+        if getattr(self.rc, 'pn_enabled', False):
+            n_hat, I_new = self.rc.particle_number_estimate(I_new)
+        else:
+            n_hat = jnp.asarray(0.0, dtype=self.rdtype)
         psi_p = project_to_modified_intensity(psi, intensity, I_new)
         rho_p = self.ft.inverse(psi_p)
         if ft_stab:
@@ -220,7 +228,7 @@ class MTIP:
             rho_new = raar_update(rho_in, rho_p, rho_proj, invalid, beta)
         else:
             rho_new = er_update(rho_proj)
-        return rho_new, err, err_rec
+        return rho_new, err, err_rec, n_hat
 
     # -------------------------------------------------------------- segments
     def _run_segment(self, state: PhasingState, seg: Segment, betas=None):
@@ -232,14 +240,15 @@ class MTIP:
 
         def body(carry, beta):
             rho, best_rho, best_mask, best_err, _ = carry
-            rho_new, err, err_rec = self.mtip_iteration(
+            rho_new, err, err_rec, n_hat = self.mtip_iteration(
                 rho, state.support, beta, seg.method, seg.ft_stab)
             better = err < best_err
             best_rho = jnp.where(better, rho_new, best_rho)
             best_mask = jnp.where(better, state.support, best_mask)
             best_err = jnp.minimum(err, best_err)
+            cols = [err, err_rec] + ([n_hat] if self._pn_enabled else [])
             return (rho_new, best_rho, best_mask, best_err, err), \
-                jnp.stack([err, err_rec])
+                jnp.stack(cols)
 
         carry = (state.rho, state.best_rho, state.best_mask, state.best_err,
                  state.last_err)
@@ -301,7 +310,7 @@ class MTIP:
                 state, errs = self._run_segment(state, seg)
                 err_chunks.append(errs)
         errors = jnp.concatenate(err_chunks) if err_chunks \
-            else jnp.zeros((0, 2), dtype=self.rdtype)
+            else jnp.zeros((0, self._err_cols), dtype=self.rdtype)
         return state, errors
 
     def run_chunk(self, state: PhasingState, structure, args):
@@ -323,7 +332,7 @@ class MTIP:
                     state, seg, betas=jnp.asarray(a, dtype=self.rdtype))
                 err_chunks.append(errs)
         errors = jnp.concatenate(err_chunks) if err_chunks \
-            else jnp.zeros((0, 2), dtype=self.rdtype)
+            else jnp.zeros((0, self._err_cols), dtype=self.rdtype)
         return state, errors
 
     def run(self, rho0, schedule):
@@ -341,9 +350,10 @@ class MTIP:
             else:
                 state, errs = self._run_segment(state, seg)
                 err_chunks.append(errs)
-        # (n_iterations, 2): columns = (real "main" error, reciprocal error)
+        # (n_iterations, 2|3): columns = (real "main" error, reciprocal
+        # error[, particle-number estimate when enabled])
         errors = jnp.concatenate(err_chunks) if err_chunks \
-            else jnp.zeros((0, 2))
+            else jnp.zeros((0, self._err_cols))
         return state, errors
 
     def finalize(self, rho):

@@ -77,6 +77,14 @@ class ReciprocalConstraint:
     l_max: int
     procrustes_method: str = "svd"   # 'svd' | 'newton_schulz'
     ns_iterations: int = 16
+    # in-loop particle-number estimation (reference fxs_Projections.py:
+    # 1098-1350, marked broken there; redesigned here as an exact threshold
+    # histogram — see particle_number_estimate)
+    pn_s: Any = None        # (K,) host: scales s_N = 1/√N − 1, aligned w/ pn_Ns
+    pn_Ns: Any = None       # (K,) host: candidate particle numbers (ascending)
+    pn_x: Any = None        # (K,) host: gradient abscissa (√N or N)
+    pn_a: Any = None        # (n_q,) host: isotropic intensity I00·Y00 per shell
+    pn_project: bool = False
 
     @classmethod
     def build(cls, projection_matrices, radial_points, l_max,
@@ -84,7 +92,7 @@ class ReciprocalConstraint:
               use_averaged_intensity=True, average_intensity=None,
               radial_mask=None, n_particles=1.0, schmidt_scaling=True,
               real_dtype=jnp.float32, procrustes_method="svd",
-              ns_iterations=16):
+              ns_iterations=16, pn_scan_space=None, pn_project=False):
         """Host-side assembly from extract-format data.
 
         projection_matrices: list of (n_q, min(2l+1, n_q)) complex V_l
@@ -124,14 +132,28 @@ class ReciprocalConstraint:
         if radial_mask is None:
             radial_mask = np.ones((L + 1, n_q), dtype=bool)
         np_c = np.complex64 if real_dtype == jnp.float32 else np.complex128
-        # host numpy constants (see ops.sht note on axon readback limits)
+        np_r = np.float32 if real_dtype == jnp.float32 else np.float64
+        pn_s = pn_Ns = pn_x = pn_a = None
+        if pn_scan_space is not None:
+            lo, hi, k = pn_scan_space
+            # √N-linear grid (reference 'project' spacing, :1125-1128)
+            sq = np.linspace(np.sqrt(lo), np.sqrt(hi), int(k))
+            pn_Ns = (sq ** 2).astype(np_r)
+            pn_s = (1.0 / sq - 1.0).astype(np_r)   # descending in N
+            pn_x = sq.astype(np_r) if pn_project else pn_Ns
+            # isotropic contribution a(q) = I00(q)·Y00 = I00/(2√π); with the
+            # averaged-intensity column I00 = avg·2√π this is avg itself
+            pn_a = (np.abs(V[0, :, L].real) / (2 * np.sqrt(np.pi))
+                    ).astype(np_r)
         return cls(V_pad=V.astype(np_c), PD=PD.astype(np_c),
                    eye_pad=eye.astype(np_c),
                    use_order=np.asarray(use_order),
                    radial_mask=np.asarray(radial_mask),
                    n_particles=float(n_particles), l_max=L,
                    procrustes_method=procrustes_method,
-                   ns_iterations=int(ns_iterations))
+                   ns_iterations=int(ns_iterations),
+                   pn_s=pn_s, pn_Ns=pn_Ns, pn_x=pn_x, pn_a=pn_a,
+                   pn_project=bool(pn_project))
 
     # -- jittable ops ------------------------------------------------------
     def approximate_unknowns(self, Ilm):
@@ -219,6 +241,43 @@ class ReciprocalConstraint:
 
     def __call__(self, Ilm):
         return self.project_coefficients(Ilm, self.approximate_unknowns(Ilm))
+
+    @property
+    def pn_enabled(self):
+        return self.pn_s is not None
+
+    def particle_number_estimate(self, I):
+        """Estimate the particle number from the projected intensity I on the
+        angular grid and optionally project I to the estimate's scaling
+        (reference particle_number_projection, fxs_Projections.py:1115-1196,
+        which re-scans `scaled_I < 0` over a (K, grid) array per candidate;
+        marked broken in the reference settings).
+
+        TPU-native exact reformulation: a pixel turns negative under scale
+        s exactly when s < −I/a (a = isotropic contribution per shell), so
+        ALL K negative fractions come from one histogram of r = −I/a over
+        the scale grid — no (K × grid) materialization, fully jittable.
+        N̂ = argmax of the negative-fraction gradient (inflection heuristic).
+        → (n_hat scalar, I [projected if pn_project])."""
+        a = jnp.asarray(self.pn_a).reshape((-1,) + (1,) * (I.ndim - 1))
+        s = jnp.asarray(self.pn_s)                  # descending in N
+        Ns = jnp.asarray(self.pn_Ns)
+        x = jnp.asarray(self.pn_x)
+        pos = a > 0
+        r = jnp.where(pos, -I / jnp.where(pos, a, 1.0), -jnp.inf).ravel()
+        s_asc = s[::-1]
+        # neg_asc[k] = frac(r > s_asc[k]) via bucketize + suffix counts
+        bucket = jnp.searchsorted(s_asc, r, side="right")
+        counts = jnp.bincount(bucket, length=s.shape[0] + 1)
+        cum = jnp.cumsum(counts)
+        neg_asc = (r.size - cum[:-1]) / r.size
+        neg = neg_asc[::-1]                         # aligned with Ns ascending
+        grad = (neg[1:] - neg[:-1]) / (x[1:] - x[:-1])
+        idx = jnp.argmax(grad)
+        n_hat = Ns[idx]
+        if self.pn_project:
+            I = jnp.maximum(I + s[idx] * a, 0.0)
+        return n_hat, I
 
 
 class RealCircularHarmonics:

@@ -95,14 +95,17 @@ class ProjectWorker(ProjectWorkerInterface):
         n_restarts = int(opt.multi_start.n_reconstructions)
 
         seed = opt.multi_start.get("seed")
-        if not seed:
+        if seed is None or seed is False:  # explicit seed 0 is a valid seed
             seed = int.from_bytes(os.urandom(4), "little")
         seed = int(seed) & 0x7FFFFFFF  # traced as int32 by initial_density_batch
 
         batch = int(opt.multi_start.get("batch_size", 0) or 0)
-        mesh = self._make_mesh(batch if 0 < batch < n_restarts
-                               else n_restarts)
         ckpt_opt = opt.get("checkpointing", {})
+        # checkpointing snapshots and runs the FULL restart batch (chunking
+        # requires no checkpoint path below), so size the mesh for what
+        # actually executes per program
+        chunked = 0 < batch < n_restarts and not ckpt_opt.get("enable", False)
+        mesh = self._make_mesh(batch if chunked else n_restarts)
         ckpt_path = None
         if ckpt_opt.get("enable", False):
             from xframe_tpu.parallel.mesh import CheckpointingRunner
@@ -222,16 +225,32 @@ class ProjectWorker(ProjectWorkerInterface):
             used_ids = np.asarray(used, dtype=int)
             used_ids = used_ids[used_ids <= L]
         radial_mask = self._radial_mask(ropt, L, ft.qs)
+        # particle number: static initial value ('from_data' pulls the
+        # extract-side estimate from the invariants file) + optional
+        # per-iteration estimation (reference reciprocal.number_of_particles
+        # settings, default_0.01.yaml:132-143)
+        pn_opt = ropt.number_of_particles
+        n0 = pn_opt.get("initial", 1)
+        if isinstance(n0, str) and n0 == "from_data":
+            n0 = float(inv.get("number_of_particles", 1) or 1)
+        pn_est = pn_opt.get("estimate", {})
+        if isinstance(pn_est, bool):
+            pn_est = {"apply": pn_est}
+        pn_apply = bool(pn_est.get("apply", False))
+        pn_scan = tuple(pn_est.get("scan_space", [1.0, 10.0, 64])) \
+            if pn_apply else None
+        pn_project = bool(pn_est.get("project", False))
         rc_constraint = ReciprocalConstraint.build(
             proj, ft.qs, L, used_order_ids=used_ids,
             odd_orders_to_0=bool(ropt.get("assume_zero_odd_orders", True)),
             use_averaged_intensity=bool(ropt.get("use_averaged_intensity", True)),
             average_intensity=avg_intensity, radial_mask=radial_mask,
-            n_particles=float(ropt.number_of_particles.get("initial", 1)),
+            n_particles=float(n0),
             schmidt_scaling=False, real_dtype=real_dtype,
             procrustes_method=str(ropt.get("procrustes_method",
                                            "newton_schulz")),
-            ns_iterations=int(ropt.get("ns_iterations", 16)))
+            ns_iterations=int(ropt.get("ns_iterations", 16)),
+            pn_scan_space=pn_scan, pn_project=pn_project)
 
         # real constraint + initial support
         popt = opt.projections.real.projections
@@ -537,6 +556,13 @@ class ProjectWorker(ProjectWorkerInterface):
                                "final": float(to_host(states.best_err[i]))},
                 "n_particles": float(mtip.rc.n_particles),
             }
+            if errors_h[i].shape[-1] > 2:
+                # per-iteration particle-number estimates (reference records
+                # n_particles history per save_number_of_particles op)
+                hist = errors_h[i][:, 2]
+                results[str(rank)]["n_particles_history"] = hist
+                results[str(rank)]["n_particles"] = float(hist[-1]) \
+                    if len(hist) else float(mtip.rc.n_particles)
         # fidelity diagnostic for the best restart: relative diff between the
         # reconstruction's deg-2 invariants and the data's B_l = V_l V_l†
         # (reference deg2-invariant error metric, fxs_IO_methods.py:312-...)

@@ -59,10 +59,47 @@ def half_bit_threshold(n_shell_samples):
     return (0.2071 + 1.9102 / n) / (1.2071 + 0.9102 / n)
 
 
-def fqc(cc1, cc2):
-    """Fourier quadrant correlation of two CC datasets' harmonic coefficients:
-    FQC_n(q1,q2) = ⟨C1_n C2_n*⟩ / √(|C1_n|²|C2_n|²)."""
+def fqc(cc1, cc2, skip_odd_orders=False, max_order=None):
+    """Fourier quadrant correlation of two cross-correlation datasets
+    (Kurta et al. PRL 119:158102 eq. S17; reference resolution_metrics.py:
+    103-144, which drops the 0th harmonic from the sums):
+
+      FQC(q1,q2) = Σ_n c1_n c2_n* / √(Σ|c1_n|² Σ|c2_n|²),  n ≥ 1
+
+    symmetrized in (q1,q2); the per-q curve is the lower-triangle mean.
+    → (fqc_q (n_q,), fqc_2d (n_q,n_q))."""
     c1 = np.fft.rfft(np.asarray(cc1), axis=-1)
     c2 = np.fft.rfft(np.asarray(cc2), axis=-1)
-    den = np.abs(c1) * np.abs(c2)
-    return np.where(den > 0, (c1 * np.conj(c2)).real / np.where(den > 0, den, 1.0), 0.0)
+    start, step = (2, 2) if skip_odd_orders else (1, 1)
+    stop = None if max_order is None else int(max_order) + 1
+    c1 = ((c1 + np.swapaxes(c1, 0, 1)) / 2)[..., start:stop:step]
+    c2 = ((c2 + np.swapaxes(c2, 0, 1)) / 2)[..., start:stop:step]
+    num = np.sum(c1 * np.conj(c2), axis=-1).real
+    den = np.sqrt(np.sum(np.abs(c1) ** 2, axis=-1)
+                  * np.sum(np.abs(c2) ** 2, axis=-1))
+    cc = np.where(den > 0, num / np.where(den > 0, den, 1.0), 1.0)
+    tril = np.tril(np.ones(cc.shape, dtype=bool))
+    fqc_q = np.array([cc[i, tril[i]].mean() for i in range(cc.shape[0])])
+    return fqc_q, cc
+
+
+def fqcb(b1, b2, skip_odd_orders=False, include_zero_order=False):
+    """FQC over deg-2 invariants: correlate two B_l/B_m stacks (n_orders,
+    n_q, n_q) summed over the order axis (reference FQCB_2D,
+    resolution_metrics.py:146-186; the reference's FQCB_3D is an unfinished
+    NotImplementedError — the same contraction applies, so both dims share
+    this implementation). → (fqcb_q, std_q, fqcb_2d)."""
+    b1, b2 = np.asarray(b1), np.asarray(b2)
+    start = 0 if include_zero_order else (2 if skip_odd_orders else 1)
+    step = 2 if skip_odd_orders else 1
+    stop = min(len(b1), len(b2))
+    s1 = ((b1 + np.swapaxes(b1, -1, -2)) / 2)[start:stop:step]
+    s2 = ((b2 + np.swapaxes(b2, -1, -2)) / 2)[start:stop:step]
+    num = np.sum(s1 * np.conj(s2), axis=0).real
+    den = np.sqrt(np.sum(np.abs(s1) ** 2, axis=0)
+                  * np.sum(np.abs(s2) ** 2, axis=0))
+    bb = np.abs(np.where(den > 0, num / np.where(den > 0, den, 1.0), 1.0))
+    tril = np.tril(np.ones(bb.shape, dtype=bool))
+    fqcb_q = np.array([bb[i, tril[i]].mean() for i in range(bb.shape[0])])
+    std_q = np.array([bb[i, tril[i]].std() for i in range(bb.shape[0])])
+    return fqcb_q, std_q, bb
