@@ -81,6 +81,44 @@ class TestBlCC:
         assert np.abs(b_bs - b_ls).max() / scale < 1e-6
 
 
+    def test_qqsym_and_psd_variants_agree_on_clean_data(self, bl_setup):
+        """On noiseless symmetric PSD data the qqsym and psd back-substitution
+        variants must reproduce the plain solve (they only differ on noisy
+        data, where they regularize); on asymmetric noise qqsym must return
+        a hermitian result."""
+        bl, ft, wl = bl_setup["bl"], bl_setup["ft"], bl_setup["wavelength"]
+        L = 8
+        bl_s = bl[: L + 1].copy()
+        bl_s[1::2] = 0
+        # make strictly PSD (clip tiny negative numerical eigenvalues)
+        bl_s = itools.nearest_positive_semidefinite_matrix(bl_s)
+        cc = itools.deg2_invariant_to_cc_3d(bl_s, wl, ft.qs, n_phi=64)
+        kw = dict(assume_zero_odd_orders=True)
+        b_ref = itools.cc_to_deg2_invariant_3d(cc, wl, ft.qs, L,
+                                               mode="back_substitution", **kw)
+        scale = np.abs(bl_s).max()
+        for mode in ["back_substitution_qqsym", "back_substitution_psd",
+                     "back_substitution_memory_hungry"]:
+            b = itools.cc_to_deg2_invariant_3d(cc, wl, ft.qs, L, mode=mode,
+                                               **kw)
+            assert np.abs(b - b_ref).max() / scale < 1e-6, mode
+
+        # asymmetric noise: qqsym output is hermitian in (q1,q2), psd output
+        # has no negative eigenvalues
+        rng = np.random.default_rng(0)
+        cc_n = cc + 0.01 * np.abs(cc).max() * rng.normal(size=cc.shape)
+        b_q = itools.cc_to_deg2_invariant_3d(cc_n, wl, ft.qs, L,
+                                             mode="back_substitution_qqsym",
+                                             **kw)
+        herm = np.abs(b_q - np.conj(np.swapaxes(b_q, 1, 2))).max()
+        assert herm < 1e-10 * np.abs(b_q).max()
+        b_p = itools.cc_to_deg2_invariant_3d(cc_n, wl, ft.qs, L,
+                                             mode="back_substitution_psd",
+                                             **kw)
+        for l in [0, 2, 4]:
+            lam = np.linalg.eigvalsh((b_p[l] + b_p[l].conj().T) / 2)
+            assert lam.min() > -1e-8 * max(lam.max(), 1e-30), l
+
     def test_legendre_dlt_agrees_on_flat_ewald(self, bl_setup):
         """'legendre' mode assumes flat Ewald circles (θ=π/2); at tiny
         wavelength the Ewald curvature vanishes, so it must agree with

@@ -101,7 +101,28 @@ def test_phasing_converges_and_recovers_invariants(problem):
     for l in [0, 2, 4]:
         scale = np.abs(bl[l][s, s]).max()
         rel = np.abs(bl_rec[l][s, s] - bl[l][s, s]).max() / scale
-        assert rel < 0.35, f"l={l}: invariant mismatch {rel}"
+        assert rel < 0.25, f"l={l}: invariant mismatch {rel}"
+
+    # ground-truth fidelity in REAL space: center both, SO(3)-align the
+    # reconstruction to the true density (inversion-aware), then require a
+    # high normalized real-space correlation — the strongest end-to-end
+    # parity statement (invariants are rotation-blind; this is not)
+    from xframe_tpu.projects.fxs.alignment import Aligner
+    from xframe_tpu.ops.integrate import SphericalIntegrator
+    integ = problem["integ"]
+    w = np.asarray(integ._w)
+    aligner = Aligner(ft, w)
+    rho_t = jnp.asarray(problem["rho_true"], dtype=jnp.complex64)
+    rho_t_c, _ = aligner.center(rho_t)
+    rho_r_c, _ = aligner.center(rho_rec)
+    ref_coeff = aligner.coefficients(rho_t_c)
+    rho_aligned, _, info = aligner.align(rho_r_c, ref_coeff,
+                                         check_point_inversion=True)
+    a = np.abs(np.asarray(rho_aligned))
+    t = np.abs(np.asarray(rho_t_c))
+    corr = float((w * a * t).sum()
+                 / np.sqrt((w * a * a).sum() * (w * t * t).sum()))
+    assert corr > 0.9, f"real-space correlation {corr}"
 
 
 def test_multi_start_vmap(problem):

@@ -105,9 +105,19 @@ def cc_to_deg2_invariant_3d(cc: np.ndarray, xray_wavelength: float,
     back_substitution: lazy triangular solve against the PP matrices
     (reference :578-645); lstsq: per-(q1,q2) least squares vs Legendre
     matrices F_l (reference :452-517)."""
-    if mode == "back_substitution":
+    if mode in ("back_substitution", "back_substitution_memory_hungry"):
+        # the reference's 'memory_hungry' twin materializes the full PP
+        # tensor but computes the identical triangular solve
+        # (fxs_invariant_tools.py:519-578); one vectorized path here
         return _cc_to_bl_back_substitution(cc, xray_wavelength, qs, l_max,
                                            assume_zero_odd_orders)
+    if mode == "back_substitution_qqsym":
+        return _cc_to_bl_back_substitution(cc, xray_wavelength, qs, l_max,
+                                           assume_zero_odd_orders,
+                                           symmetrize=True)
+    if mode == "back_substitution_psd":
+        return _cc_to_bl_back_substitution_psd(cc, xray_wavelength, qs,
+                                               l_max, assume_zero_odd_orders)
     if mode == "lstsq":
         return _cc_to_bl_lstsq(cc, xray_wavelength, qs, l_max,
                                assume_zero_odd_orders)
@@ -117,7 +127,11 @@ def cc_to_deg2_invariant_3d(cc: np.ndarray, xray_wavelength: float,
 
 
 def _cc_to_bl_back_substitution(cc, xray_wavelength, qs, l_max,
-                                assume_zero_odd_orders):
+                                assume_zero_odd_orders, symmetrize=False):
+    """symmetrize=True is the reference's 'back_substitution_qqsym' variant
+    (fxs_invariant_tools.py:647-695): both the C_n matrices and the Ewald
+    PP columns are (q1,q2)-symmetrized before the triangular solve —
+    averaging away the q1↔q2 asymmetry of noisy experimental CCs."""
     thetas = ewald_sphere_theta_pi(xray_wavelength, qs)
     tables = ewald_legendre_tables(thetas, l_max)
     n_phi = cc.shape[-1]
@@ -126,13 +140,45 @@ def _cc_to_bl_back_substitution(cc, xray_wavelength, qs, l_max,
     # harmonic coefficients of the CC over Δ (mathLibrary.py:484-490)
     ccn = np.fft.rfft(cc, axis=-1)[..., : l_max + 1 : stride] / n_phi
     ccn = ccn.astype(complex)
+    if symmetrize:
+        ccn = (ccn + np.swapaxes(ccn, 0, 1).conj()) / 2
 
     bl = np.zeros((l_max + 1,) + cc.shape[:2], dtype=complex)
     # lazy triangular back-substitution from l = L downward (reference :626-633)
     for l in orders[::-1]:
         col = pp_matrix_single_l(tables, l)[..., ::stride]  # (q1,q2,n<=l strided)
+        if symmetrize:
+            col = (col + np.swapaxes(col, 0, 1)) / 2
         bl[l] = ccn[..., -1] / col[..., -1]
         ccn = ccn[..., :-1] - bl[l][..., None] * col[..., :-1]
+    return bl
+
+
+def _cc_to_bl_back_substitution_psd(cc, xray_wavelength, qs, l_max,
+                                    assume_zero_odd_orders):
+    """The reference's 'back_substitution_psd' variant
+    (fxs_invariant_tools.py:711-761 + mathLibrary.psd_back_substitution
+    :1499-1507): the C_n matrices are projected to nearest-PSD up front,
+    and every extracted B_l is PSD-projected BEFORE its contribution is
+    subtracted from the remaining C_n — on noisy data this stops negative
+    eigenvalue leakage from cascading down the triangular solve."""
+    thetas = ewald_sphere_theta_pi(xray_wavelength, qs)
+    tables = ewald_legendre_tables(thetas, l_max)
+    n_phi = cc.shape[-1]
+    # reference runs the psd solve at stride 1 over ALL orders and
+    # subsamples afterwards (:757-760)
+    ccn = np.fft.rfft(cc, axis=-1)[..., : l_max + 1] / n_phi
+    ccn = np.stack([nearest_positive_semidefinite_matrix(ccn[..., n])
+                    for n in range(ccn.shape[-1])], axis=-1).astype(complex)
+
+    bl = np.zeros((l_max + 1,) + cc.shape[:2], dtype=complex)
+    for l in range(l_max, -1, -1):
+        col = pp_matrix_single_l(tables, l)                 # (q1,q2,n<=l)
+        bl[l] = nearest_positive_semidefinite_matrix(ccn[..., -1]
+                                                     / col[..., -1])
+        ccn = ccn[..., :-1] - bl[l][..., None] * col[..., :-1]
+    if assume_zero_odd_orders:
+        bl[1::2] = 0
     return bl
 
 
