@@ -41,12 +41,43 @@ def main():
     dt = time.perf_counter() - t0
 
     sec_per_iter = dt / (n_iter * n_restarts)
-    print(json.dumps({
+    out = {
         "metric": "sec_per_mtip_iteration_tutorial",
         "value": sec_per_iter,
         "unit": "s/iteration/restart (N_q=128, L_max=64, 256x512 angular grid)",
         "vs_baseline": BASELINE_SEC_PER_ITER / sec_per_iter,
-    }))
+    }
+
+    if os.environ.get("XF_BENCH_FULL"):
+        # full tutorial schedule incl. shrink-wrap: 5×(60 HIO + 1 SW + 40 ER)
+        # + (1 SW + 100 ER) = 600 iterations (reference tutorial.yaml:1-69);
+        # reference headline = 285 restarts/hour on EPYC + 2×A6000
+        full = []
+        for _ in range(5):
+            full += [Segment("HIO", 60, betas=np.full(60, 0.5), ft_stab=True),
+                     Segment("SW", sigma=p.mtip.sw.default_sigma,
+                             threshold=0.1),
+                     Segment("ER", 40, betas=np.zeros(40), ft_stab=True)]
+        full += [Segment("SW", sigma=p.mtip.sw.default_sigma, threshold=0.1),
+                 Segment("ER", 100, betas=np.zeros(100), ft_stab=True)]
+        run_full = jax.jit(lambda r: p.mtip.run_batch(r, full))
+        _, errs = run_full(rho0s)           # compile + warmup
+        jax.block_until_ready(errs)
+        t0 = time.perf_counter()
+        _, errs = run_full(rho0s)
+        jax.block_until_ready(errs)
+        dt_full = time.perf_counter() - t0
+        n_full = sum(s.n for s in full if s.method != "SW")
+        out["full_schedule"] = {
+            "iterations": n_full,
+            "restarts": n_restarts,
+            "seconds": dt_full,
+            "restarts_per_hour": n_restarts * 3600.0 / dt_full,
+            "vs_baseline_restarts_per_hour":
+                (n_restarts * 3600.0 / dt_full) / 285.0,
+        }
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -84,3 +84,43 @@ def test_checkpointing_runner_resume(problem, schedule, tmp_path):
                        rtol=2e-2, atol=1e-5)
     assert np.allclose(np.asarray(states.best_err),
                        np.asarray(ref_states.best_err), rtol=2e-2, atol=1e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_theta_mesh_with_weights_as_arguments(problem):
+    """L_max-scaling path (SURVEY.md §5): on grids whose Hankel tables are
+    too large to embed as jit constants (the axon tunnel rejects oversized
+    compile payloads; generally unwise beyond ~100 MB), the tables enter the
+    sharded program as ARGUMENTS (hankel.weight_planes) — replicated over a
+    restarts×theta mesh while the density batch shards over both axes. The
+    result must match the constant-embedded single-device FT roundtrip."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from xframe_tpu.ops.hankel import weight_planes, apply_hankel_planes
+
+    ft = problem.ft
+    sz = ft.hankel.skip_zero
+    (wf_re, wf_im), (wi_re, wi_im) = weight_planes(ft.hankel)
+    rho0s = problem.initial_density_batch(11, 8)
+
+    def roundtrip(w4, rho):
+        f_re, f_im, i_re, i_im = w4
+        c = ft.sht.forward(rho)
+        psi = ft.sht.inverse(apply_hankel_planes(f_re, f_im, c, sz))
+        c2 = ft.sht.forward(psi)
+        return ft.sht.inverse(apply_hankel_planes(i_re, i_im, c2, sz))
+
+    mesh = make_mesh({"restarts": 4, "theta": 2})
+    batch_sh = NamedSharding(mesh, P("restarts", None, "theta", None))
+    repl = NamedSharding(mesh, P())
+    w4 = tuple(jax.device_put(jnp.asarray(w), repl)
+               for w in (wf_re, wf_im, wi_re, wi_im))
+    rho_sh = jax.device_put(rho0s, batch_sh)
+    out = jax.jit(jax.vmap(roundtrip, in_axes=(None, 0)))(w4, rho_sh)
+
+    ref = jax.jit(jax.vmap(lambda r: ft.inverse(ft.forward(r))))(rho0s)
+    out_h, ref_h = np.asarray(out), np.asarray(ref)
+    scale = np.abs(ref_h).max()
+    assert np.abs(out_h - ref_h).max() / scale < 2e-5
+    # the batch really was sharded over both mesh axes
+    assert len(out.sharding.device_set) == 8

@@ -332,3 +332,69 @@ def test_refine_beam_center_recovers_offset():
     frame = np.exp(-(r - 0.02) ** 2 / 2e-6)
     dx, dy = xl.refine_beam_center(frame, centers, search_radius=2e-3, steps=9)
     assert abs(dx - true[0]) <= 6e-4 and abs(dy - true[1]) <= 6e-4
+
+
+def test_filter_pipeline():
+    """FilterSequence composition: ADU pixel masking, per-frame metric
+    filtering, lit-pixel filtering, normalization, Bragg outlier masking
+    (reference expLibrary/filters.py rebuilt vectorized)."""
+    from xframe_tpu.experiments.SPB import exp_library as xl
+    rng = np.random.default_rng(0)
+    B, ny, nx = 6, 16, 16
+    data = rng.uniform(1.0, 2.0, (B, ny, nx)).astype(np.float32)
+    data[1] *= 10            # hot frame (metric filter target)
+    data[2] = 0.01           # dim frame (lit-pixel target)
+    data[3, 4, 7] = 1000.0   # single Bragg-like outlier pixel
+    data[0, 0, 0] = -5.0     # negative ADU pixel
+    chunk = {"data": data.copy(), "mask": np.ones_like(data, dtype=bool),
+             "good": np.ones(B, dtype=bool)}
+
+    seq = xl.FilterSequence([
+        xl.ADUFilter((0.0, None)),
+        xl.MetricFilter("mean", (None, 10.0)),
+        xl.LitPixelsFilter(0.5, (0.5, None)),
+    ])
+    out = seq(chunk)
+    assert not out["mask"][0, 0, 0]          # ADU-masked pixel
+    assert out["mask"][0, 1, 1]
+    assert not out["good"][1]                # hot frame dropped
+    assert not out["good"][2]                # dim frame dropped
+    assert out["good"][[0, 3, 4, 5]].all()
+
+    # normalization: frame means (over valid pixels) become 1
+    norm = xl.NormalizationFilter()
+    out2 = norm({"data": data.copy(), "mask": out["mask"].copy(),
+                 "good": out["good"].copy()})
+    m = out2["mask"]
+    means = [out2["data"][i][m[i]].mean() for i in range(B)]
+    assert np.allclose(means, 1.0, atol=1e-5)
+
+    # Bragg filter: the outlier pixel is masked, its ring statistics intact
+    bins = np.zeros((ny, nx), dtype=np.int64)   # single q-ring
+    bragg = xl.BraggFilter(bins, n_bins=1, max_sigma=5.0, mode="mask")
+    out3 = bragg({"data": data.copy(), "mask": np.ones_like(data, bool),
+                  "good": np.ones(B, bool)})
+    assert not out3["mask"][3, 4, 7]
+    assert out3["data"][3, 4, 7] == 0.0
+    assert out3["mask"][3].sum() == ny * nx - 1
+    # frames without outliers keep all pixels (σ cut at 5)
+    assert out3["mask"][4].all()
+    # discard mode drops the outlier frame instead
+    bragg_d = xl.BraggFilter(bins, n_bins=1, max_sigma=5.0, mode="discard")
+    out4 = bragg_d({"data": data.copy(), "mask": np.ones_like(data, bool),
+                    "good": np.ones(B, bool)})
+    assert not out4["good"][3]
+    assert out4["good"][4]
+
+
+def test_filter_sequence_through_experiment(multiseq_run):
+    """filter_sequence plugs into ExperimentWorker.get_data."""
+    from xframe_tpu.experiments.SPB import exp_library as xl
+    seq = xl.FilterSequence([xl.MetricFilter("mean", (None, 10.0))])
+    exp = ExperimentWorker(multiseq_run, filter_sequence=seq)
+    sel = DataSelection(frame_range=(0, 20), modules=(0, 1), batch_size=20,
+                        good_cells_only=False)
+    chunk = next(exp.get_data(sel))
+    # frame values encode the frame index 0..19: frames >10 mean get dropped
+    assert chunk["good"].sum() == 11
+    assert "mask" in chunk and chunk["mask"].shape == chunk["data"].shape

@@ -76,3 +76,150 @@ def refine_beam_center(mean_frame, pixel_centers, search_radius=2.0e-3,
             if score < best[0]:
                 best = (score, (float(dx), float(dy)))
     return best[1]
+
+
+# ------------------------------------------------------------ filter pipeline
+# Rebuilt from reference expLibrary/filters.py (FilterSequence + Filter
+# subclasses, :27-560): filters compose over chunk dicts
+# {'data': (B, …), 'mask': (B, …) pixel validity, 'good': (B,) frame
+# validity}; each filter may mask pixels, drop frames, or rescale data.
+# The reference fans per-frame loops out over worker processes; these are
+# vectorized numpy over the whole chunk.
+
+class FilterSequence:
+    """Apply a list of filters in order (reference FilterSequence :63-82)."""
+
+    def __init__(self, filters):
+        self.filters = list(filters)
+
+    def __call__(self, chunk):
+        for f in self.filters:
+            chunk = f(chunk)
+        return chunk
+
+
+def _masked_frame_mean(data, mask):
+    n = len(data)
+    d = data.reshape(n, -1)
+    m = mask.reshape(n, -1)
+    counts = np.maximum(m.sum(axis=1), 1)
+    return (d * m).sum(axis=1) / counts
+
+
+class ADUFilter:
+    """Mask pixels outside [low, high] ADU (reference ADUFilter2D :437-458)."""
+
+    def __init__(self, limits):
+        self.low, self.high = limits
+
+    def __call__(self, chunk):
+        data, mask = chunk["data"], chunk["mask"]
+        ok = np.ones_like(mask)
+        if isinstance(self.low, (int, float)):
+            ok &= data >= self.low
+        if isinstance(self.high, (int, float)):
+            ok &= data <= self.high
+        chunk["mask"] = mask & ok
+        return chunk
+
+
+class NormalizationFilter:
+    """Divide each frame by its masked (ROI-)mean intensity (reference
+    NormalizationFilter :381-436); not counted as a frame modification."""
+
+    def __init__(self, roi_mask=None):
+        self.roi_mask = roi_mask
+
+    def __call__(self, chunk):
+        data, mask = chunk["data"], chunk["mask"]
+        m = mask if self.roi_mask is None \
+            else mask & np.asarray(self.roi_mask, dtype=bool)[None]
+        scale = _masked_frame_mean(data, m)
+        scale = np.where((scale == 0) | ~np.isfinite(scale), 1.0, scale)
+        chunk["data"] = data / scale.reshape((-1,) + (1,) * (data.ndim - 1))
+        return chunk
+
+
+class MetricFilter:
+    """Drop frames whose masked metric falls outside [low, high]
+    (reference Filter1D :481-543). metric: 'mean' | 'median' | 'std' | 'sum'
+    or a callable taking the masked per-frame values."""
+
+    _metrics = {"mean": np.mean, "median": np.median, "std": np.std,
+                "sum": np.sum}
+
+    def __init__(self, metric, limits):
+        self.metric = self._metrics[metric] if isinstance(metric, str) \
+            else metric
+        self.low, self.high = limits
+
+    def __call__(self, chunk):
+        data, mask = chunk["data"], chunk["mask"]
+        vals = np.zeros(len(data))
+        for i in range(len(data)):
+            v = data[i][mask[i]]
+            vals[i] = self.metric(v) if v.size else 0.0
+        ok = np.ones(len(data), dtype=bool)
+        if self.low is not None:
+            ok &= vals >= self.low
+        if self.high is not None:
+            ok &= vals <= self.high
+        chunk["good"] = chunk["good"] & ok
+        return chunk
+
+
+class LitPixelsFilter(MetricFilter):
+    """Drop frames by lit-pixel fraction (reference LitPixels :544-...)."""
+
+    def __init__(self, lit_threshold, limits):
+        thr = float(lit_threshold)
+        super().__init__(lambda v: (v > thr).mean(), limits)
+
+
+class BraggFilter:
+    """Per-radial-bin outlier masking: pixels beyond mean + max_sigma·std of
+    their q-ring are masked ('mask' mode, zeroed with fill_value) or their
+    frames dropped ('discard') / kept exclusively ('select') — reference
+    BraggFilter :117-283, vectorized over the chunk via bincount ring stats."""
+
+    def __init__(self, radial_bin_index, n_bins, max_sigma=5.0, mode="mask",
+                 fill_value=0.0):
+        self.bins = np.asarray(radial_bin_index)      # (…pixels), n_bins=trash
+        self.n_bins = int(n_bins)
+        self.max_sigma = float(max_sigma)
+        self.mode = str(mode)
+        self.fill_value = float(fill_value)
+
+    def __call__(self, chunk):
+        data, mask = chunk["data"], chunk["mask"]
+        n = len(data)
+        flat_bins = self.bins.ravel()
+        d = data.reshape(n, -1)
+        m = mask.reshape(n, -1)
+        nb = self.n_bins + 1
+        bragg = np.zeros_like(d, dtype=bool)
+        for i in range(n):
+            w = np.where(m[i], d[i], 0.0)
+            counts = np.maximum(np.bincount(flat_bins, weights=m[i].astype(float),
+                                            minlength=nb)[: self.n_bins], 1)
+            s1 = np.bincount(flat_bins, weights=w, minlength=nb)[: self.n_bins]
+            s2 = np.bincount(flat_bins, weights=w * w,
+                             minlength=nb)[: self.n_bins]
+            mean = s1 / counts
+            std = np.sqrt(np.maximum(s2 / counts - mean ** 2, 0.0))
+            thr = (mean + self.max_sigma * std)[
+                np.clip(flat_bins, 0, self.n_bins - 1)]
+            valid_bin = flat_bins < self.n_bins
+            bragg[i] = m[i] & valid_bin & (np.abs(d[i]) > thr)
+        bragg = bragg.reshape(data.shape)
+        has_bragg = bragg.reshape(n, -1).any(axis=1)
+        if self.mode == "mask":
+            chunk["data"] = np.where(bragg, self.fill_value, data)
+            chunk["mask"] = mask & ~bragg
+        elif self.mode == "discard":
+            chunk["good"] = chunk["good"] & ~has_bragg
+        elif self.mode == "select":
+            chunk["good"] = chunk["good"] & has_bragg
+        else:
+            raise ValueError(f"unknown BraggFilter mode {self.mode!r}")
+        return chunk

@@ -67,7 +67,8 @@ class ExperimentWorker(ExperimentWorkerInterface):
     def __init__(self, run_folder, geometry_file=None, detector_distance=0.217,
                  wavelength=1.23984, data_path_glob="*AGIPD{module:02d}*.h5",
                  image_key="image/data", calibration=None,
-                 filters: Filters | None = None, good_cells=None):
+                 filters: Filters | None = None, good_cells=None,
+                 filter_sequence=None):
         self.run_folder = run_folder
         self.wavelength = float(wavelength)
         self.detector = AGIPD(geometry_file=geometry_file,
@@ -76,6 +77,9 @@ class ExperimentWorker(ExperimentWorkerInterface):
         self.image_key = image_key
         self.calibration = calibration
         self.filters = filters or Filters()
+        # exp_library.FilterSequence: composable pixel/frame filters applied
+        # per chunk (reference FilterSequence, expLibrary/filters.py:63-82)
+        self.filter_sequence = filter_sequence
         self.good_cells = None if good_cells is None \
             else np.asarray(good_cells)
         self._module_files = self._discover_files()
@@ -266,10 +270,16 @@ class ExperimentWorker(ExperimentWorkerInterface):
                     good = good & idx.frame_mask[lo:hi]
                 if sel.cells is not None:
                     good = good & np.isin(cells, np.asarray(sel.cells))
-                yield {"data": batch, "frame_ids": np.arange(lo, hi),
-                       "train_ids": idx.train_ids[lo:hi],
-                       "pulse_ids": idx.pulse_ids[lo:hi],
-                       "cell_ids": cells, "good": good}
+                chunk = {"data": batch,
+                         "mask": np.ones(batch.shape, dtype=bool),
+                         "good": good,
+                         "frame_ids": np.arange(lo, hi),
+                         "train_ids": idx.train_ids[lo:hi],
+                         "pulse_ids": idx.pulse_ids[lo:hi],
+                         "cell_ids": cells}
+                if self.filter_sequence is not None:
+                    chunk = self.filter_sequence(chunk)
+                yield chunk
         finally:
             for f in files:
                 f.close()
