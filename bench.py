@@ -26,9 +26,11 @@ def main():
     method = os.environ.get("XF_BENCH_PROCRUSTES", "newton_schulz")
     ns_iters = int(os.environ.get("XF_BENCH_NS_ITERS", "16"))
     mxu = jnp.bfloat16 if os.environ.get("XF_BENCH_SHT_BF16") else None
+    fused = os.environ.get("XF_BENCH_FUSED_SHT", "1").lower() \
+        not in ("0", "false")
     p = make_demo_problem(128, 64, n_theta=256, n_phi=512,
                           procrustes_method=method, ns_iterations=ns_iters,
-                          mxu_dtype=mxu)
+                          mxu_dtype=mxu, fused_sht=fused)
     schedule = [Segment("HIO", n_iter, betas=np.full(n_iter, 0.5), ft_stab=True)]
     rho0s = p.initial_density_batch(0, n_restarts)
     run = jax.jit(lambda r: p.mtip.run_batch(r, schedule))

@@ -220,3 +220,53 @@ def test_sht_mxu_dtype_bf16_close():
     cbf = np.asarray(jax.jit(tbf.forward)(jnp.asarray(f32)))
     rel = np.linalg.norm(cbf - c32) / np.linalg.norm(c32)
     assert rel < 2e-2, rel
+
+
+class TestFusedSHT:
+    """ops.pallas_sht fused kernels (interpret mode on CPU) vs the jnp SHT."""
+
+    def test_fused_matches_jnp_all_paths(self):
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+        from xframe_tpu.ops.sht import SphericalHarmonicTransform
+        from xframe_tpu.ops.pallas_sht import FusedSHT
+        sht = SphericalHarmonicTransform(10, n_theta=24, n_phi=48)
+        fused = FusedSHT(sht, q_block=4, m_splits=2)
+        rng = np.random.default_rng(0)
+        f = (rng.normal(size=(6, 24, 48))
+             + 1j * rng.normal(size=(6, 24, 48))).astype(np.complex64)
+        c_ref = np.asarray(jax.jit(sht.forward)(jnp.asarray(f)))
+        assert np.abs(np.asarray(jax.jit(fused.forward)(jnp.asarray(f)))
+                      - c_ref).max() < 1e-5 * np.abs(c_ref).max()
+        g_ref = np.asarray(jax.jit(sht.inverse)(jnp.asarray(c_ref)))
+        assert np.abs(np.asarray(jax.jit(fused.inverse)(jnp.asarray(c_ref)))
+                      - g_ref).max() < 1e-5 * np.abs(g_ref).max()
+        fr = np.abs(f).astype(np.float32)
+        cr_ref = np.asarray(jax.jit(sht.forward_real)(jnp.asarray(fr)))
+        assert np.abs(np.asarray(jax.jit(fused.forward_real)(jnp.asarray(fr)))
+                      - cr_ref).max() < 1e-5 * np.abs(cr_ref).max()
+        ir_ref = np.asarray(jax.jit(sht.inverse_real)(jnp.asarray(c_ref)))
+        assert np.abs(np.asarray(jax.jit(fused.inverse_real)(
+            jnp.asarray(c_ref))) - ir_ref).max() < 1e-5 * np.abs(ir_ref).max()
+
+    def test_fused_ft_and_mtip_track_reference(self):
+        import numpy as np
+        import jax
+        from xframe_tpu.projects.fxs.demo import make_demo_problem
+        from xframe_tpu.projects.fxs.phasing import Segment
+        p0 = make_demo_problem(16, 8)
+        p1 = make_demo_problem(16, 8, fused_sht=True)
+        schedule = [Segment("HIO", 4, betas=np.full(4, 0.5), ft_stab=True),
+                    Segment("SW", sigma=p0.mtip.sw.default_sigma,
+                            threshold=0.1),
+                    Segment("ER", 2, betas=np.zeros(2), ft_stab=True)]
+        r0 = p0.initial_density_batch(0, 2)
+        _, e0 = jax.jit(lambda r: p0.mtip.run_batch(r, schedule))(r0)
+        _, e1 = jax.jit(lambda r: p1.mtip.run_batch(r, schedule))(r0)
+        e0, e1 = np.asarray(e0), np.asarray(e1)
+        rel = np.abs(e0 - e1) / (np.abs(e0) + 1e-9)
+        # first iteration agrees to f32 precision; later iterations diverge
+        # only by the usual f32 reduction-order amplification
+        assert rel[:, 0, :2].max() < 1e-4
+        assert rel.max() < 0.05

@@ -23,7 +23,9 @@ class SphericalFourierTransform:
     def __init__(self, n_radial_points: int, l_max: int, q_max: float = None,
                  mode: str = 'midpoint', reciprocity_coefficient: float = np.pi,
                  n_theta: int = None, n_phi: int = None, real_dtype=jnp.float32,
-                 weights_dict: dict = None, mxu_dtype=None):
+                 weights_dict: dict = None, mxu_dtype=None,
+                 fused_sht: bool = False, fused_q_block: int = 16,
+                 fused_m_splits: int = 2):
         if q_max is None:
             q_max = float(np.pi * n_radial_points / 250.0)
         self.mode = mode
@@ -40,6 +42,15 @@ class SphericalFourierTransform:
                                             reciprocity_coefficient, 3, mode)
         self.hankel = SphericalHankelTransform(weights_dict, self.r_max,
                                                reciprocity_coefficient, real_dtype)
+        # optional fused VMEM-resident SHT kernels for the FT's analysis /
+        # synthesis stages (ops.pallas_sht; traffic-bound hot path — see
+        # docs/performance.md); the intensity SHT pair keeps the jnp real
+        # fast paths
+        self._fused = None
+        if fused_sht:
+            from xframe_tpu.ops.pallas_sht import FusedSHT
+            self._fused = FusedSHT(self.sht, q_block=fused_q_block,
+                                   m_splits=fused_m_splits)
 
     @property
     def grid_shape(self):
@@ -53,13 +64,30 @@ class SphericalFourierTransform:
         return (spherical_grid(self.rs, self.sht.theta, self.sht.phi),
                 spherical_grid(self.qs, self.sht.theta, self.sht.phi))
 
+    @property
+    def harmonic(self):
+        """The intensity↔coefficient transform MTIP should use: the fused
+        kernels when enabled (they provide the same forward/inverse +
+        forward_real/inverse_real fast-path surface), else the jnp SHT."""
+        return self._fused if self._fused is not None else self.sht
+
+    @property
+    def _analysis(self):
+        return self._fused.forward if self._fused is not None \
+            else self.sht.forward
+
+    @property
+    def _synthesis(self):
+        return self._fused.inverse if self._fused is not None \
+            else self.sht.inverse
+
     def forward(self, density):
         """ρ(r,θ,φ) → ψ(q,θ,φ)."""
-        return self.sht.inverse(self.hankel.forward(self.sht.forward(density)))
+        return self._synthesis(self.hankel.forward(self._analysis(density)))
 
     def inverse(self, amplitude):
         """ψ(q,θ,φ) → ρ(r,θ,φ)."""
-        return self.sht.inverse(self.hankel.inverse(self.sht.forward(amplitude)))
+        return self._synthesis(self.hankel.inverse(self._analysis(amplitude)))
 
     def forward_coeff(self, coeff):
         """f_lm(r) → F_lm(q) (padded (n_r, 2L+1, L+1) layout)."""
@@ -72,10 +100,10 @@ class SphericalFourierTransform:
         """(FT(ρ), iFT(FT(ρ))) sharing one analysis: SHT∘iSHT is exact on
         band-limited coefficients, so the roundtrip defect needs only the
         Hankel pair + one extra synthesis (used by ft-stabilization)."""
-        c = self.sht.forward(density)
+        c = self._analysis(density)
         cf = self.hankel.forward(c)
-        psi = self.sht.inverse(cf)
-        rt = self.sht.inverse(self.hankel.inverse(cf))
+        psi = self._synthesis(cf)
+        rt = self._synthesis(self.hankel.inverse(cf))
         return psi, rt
 
 

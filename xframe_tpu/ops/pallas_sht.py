@@ -1,0 +1,416 @@
+"""Fused VMEM-resident spherical-harmonic transforms (Pallas TPU kernels).
+
+Why: docs/performance.md — the MTIP iteration is traffic-bound, dominated by
+the grid-sized HBM passes of the SHT stages (FFT + fold + Legendre einsums
+each round-trip the 134 MB grid through HBM). These kernels read the grid
+once per m-half per transform: a q-block of ρ(θ,φ) is DMA'd to VMEM, the
+φ-DFT runs as an MXU matmul restricted to the 2L+1 needed m-bins (the
+standalone DFT-by-matmul was a measured dead end in HBM, but inside VMEM its
+traffic vanishes and 129 ≪ 512 bins make the FLOPs trivial), the Legendre
+contraction follows as a per-m batched matmul against the quadrature table,
+and only the (q, 2L+1, L+1) coefficients return to HBM.
+
+The m axis is split across a second grid dimension so the Legendre tables
+stay under the 16 MB VMEM budget at tutorial scale (the full-m table is
+8.6 MB; one program would exceed scoped VMEM — measured OOM by 2.1 MB).
+Forward m-halves write disjoint output columns; inverse m-halves accumulate
+into the same output block (sequential innermost grid revisiting).
+
+Layouts match ops.sht exactly: centered m (m = j − L ascending), orthonormal
+Y_lm with Condon–Shortley, Gauss–Legendre θ grid, analysis normalization
+(2π/n_φ)·Σ_φ and GL quadrature weights baked into the table.
+
+Complex arithmetic is float32 planes throughout (axon cannot move complex
+arrays; plane form also halves the matmul count vs complex promotion).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _mm(a, b):
+    return lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                           preferred_element_type=jnp.float32)
+
+
+def _bmm(a, b):
+    """Batched matmul: (g, m, k) @ (g, k, n) → (g, m, n)."""
+    return lax.dot_general(a, b, (((2,), (1,)), ((0,), (0,))),
+                           preferred_element_type=jnp.float32)
+
+
+# ------------------------------------------------------------------- analysis
+def _fwd_kernel(n_theta, n_phi, m_blk,
+                are_ref, aim_ref, ere_ref, eim_ref, pw_ref,
+                cre_ref, cim_ref):
+    """One (q-block, m-half): (q_b, θ, φ) → (q_b, m_blk, l) coefficients.
+
+    1. φ-DFT restricted to this m-half's bins: (q_b·θ, φ)×(φ, m_blk) MXU
+       matmuls per plane (E columns ordered m = −L..L, host-padded).
+    2. Legendre quadrature: per-m batched matmul over θ against the
+       quadrature table PW[m, θ, l]."""
+    q_b = are_ref.shape[0]
+    a_re = are_ref[:].reshape(q_b * n_theta, n_phi)
+    a_im = aim_ref[:].reshape(q_b * n_theta, n_phi)
+    # E stored (m, φ): contract over φ (dim 1 of both operands) — m must sit
+    # on the second-to-last axis for mosaic's blocked-dim alignment rules
+    e_re = ere_ref[:]
+    e_im = eim_ref[:]
+    mmT = lambda x, e: lax.dot_general(  # noqa: E731
+        x, e, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    fm_re = mmT(a_re, e_re) - mmT(a_im, e_im)      # (q_b·θ, m_blk)
+    fm_im = mmT(a_re, e_im) + mmT(a_im, e_re)
+    fm_re = fm_re.reshape(q_b, n_theta, m_blk).transpose(2, 0, 1)
+    fm_im = fm_im.reshape(q_b, n_theta, m_blk).transpose(2, 0, 1)
+    pw = pw_ref[:]                                  # (m_blk, θ, l)
+    cre_ref[:] = _bmm(fm_re, pw).transpose(1, 0, 2)  # (q_b, m_blk, l)
+    cim_ref[:] = _bmm(fm_im, pw).transpose(1, 0, 2)
+
+
+def _inv_kernel(n_theta, n_phi, m_blk,
+                cre_ref, cim_ref, p_ref, ire_ref, iim_ref,
+                fre_ref, fim_ref):
+    """One (q-block, m-half): accumulate this m-half's synthesis into
+    f(q_b, θ, φ).
+
+    1. Legendre synthesis: fm[m, q, θ] = c[m, q, l] · P[m, l, θ].
+    2. φ-synthesis DFT over this half's rows of I[m, φ] = e^{+imφ};
+       m-halves sum into the output block (innermost-grid revisiting)."""
+    j = pl.program_id(1)
+    q_b = cre_ref.shape[0]
+    c_re = cre_ref[:].transpose(1, 0, 2)            # (m_blk, q_b, l)
+    c_im = cim_ref[:].transpose(1, 0, 2)
+    p = p_ref[:]                                    # (m_blk, l, θ)
+    fm_re = _bmm(c_re, p).transpose(1, 2, 0)        # (q_b, θ, m_blk)
+    fm_im = _bmm(c_im, p).transpose(1, 2, 0)
+    fm_re = fm_re.reshape(q_b * n_theta, m_blk)
+    fm_im = fm_im.reshape(q_b * n_theta, m_blk)
+    i_re = ire_ref[:]
+    i_im = iim_ref[:]
+    f_re = (_mm(fm_re, i_re) - _mm(fm_im, i_im)).reshape(q_b, n_theta, n_phi)
+    f_im = (_mm(fm_re, i_im) + _mm(fm_im, i_re)).reshape(q_b, n_theta, n_phi)
+
+    @pl.when(j == 0)
+    def _():
+        fre_ref[:] = f_re
+        fim_ref[:] = f_im
+
+    @pl.when(j > 0)
+    def _():
+        fre_ref[:] = fre_ref[:] + f_re
+        fim_ref[:] = fim_ref[:] + f_im
+
+
+class FusedSHT:
+    """Drop-in fused forward/inverse for a SphericalHarmonicTransform.
+
+    Wraps an ops.sht.SphericalHarmonicTransform's tables into Pallas kernels;
+    `forward(f)`/`inverse(c)` keep the host-facing complex dtypes and the
+    centered-m padded layout. Tables enter as jit ARGUMENTS (host numpy →
+    traced), not embedded constants, so the compiled payload stays small on
+    the axon tunnel."""
+
+    def __init__(self, sht, q_block: int = 16, m_splits: int = 1,
+                 interpret: bool | None = None,
+                 vmem_limit_bytes: int = 100 * 1024 * 1024):
+        self.sht = sht
+        self.q_block = int(q_block)
+        self.m_splits = int(m_splits)
+        self.interpret = interpret
+        # the mosaic default scoped-VMEM budget is 16 MB; the physical VMEM
+        # on v5e is far larger — raise the cap so the full-m tables fit
+        # (measured: full-m forward kernel needs ~18 MB at tutorial scale)
+        self._params = pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_limit_bytes))
+        L = sht.l_max
+        n_phi, n_theta, n_m = sht.n_phi, sht.n_theta, sht.n_m
+        # pad m so every split block is divisible by 8 (mosaic requires
+        # blocked second-to-last dims to be 8-aligned); padded rows are zero
+        # in every table so they produce/consume zero coefficients
+        self.m_blk = -(-(-(-n_m // self.m_splits)) // 8) * 8
+        self.n_m_pad = self.m_blk * self.m_splits
+        pad_m = self.n_m_pad - n_m
+        phi = 2 * np.pi * np.arange(n_phi) / n_phi
+        ms = np.arange(-L, L + 1)
+        # analysis DFT stored TRANSPOSED (m, φ): m on the second-to-last axis
+        Et = np.exp(-1j * np.outer(ms, phi)) * (2 * np.pi / n_phi)
+        Et = np.pad(Et, ((0, pad_m), (0, 0)))
+        self._E_re = np.ascontiguousarray(Et.real, dtype=np.float32)
+        self._E_im = np.ascontiguousarray(Et.imag, dtype=np.float32)
+        # synthesis DFT rows: f(φ) = Σ_m fm e^{+imφ} (padded rows multiply
+        # zero coefficients — keep them zero for safety)
+        I = np.exp(1j * np.outer(ms, phi))
+        I = np.pad(I, ((0, pad_m), (0, 0)))
+        self._I_re = np.ascontiguousarray(I.real, dtype=np.float32)
+        self._I_im = np.ascontiguousarray(I.imag, dtype=np.float32)
+        PW = np.pad(np.asarray(sht._PW, dtype=np.float32),
+                    ((0, pad_m), (0, 0), (0, 0)))            # (m_pad, θ, l)
+        P_t = np.pad(np.swapaxes(np.asarray(sht._P, dtype=np.float32), 1, 2),
+                     ((0, pad_m), (0, 0), (0, 0)))           # (m_pad, l, θ)
+        self._PW = np.ascontiguousarray(PW)
+        self._P_t = np.ascontiguousarray(P_t)
+        # positive-m tables (m = 0..L) for the real-field analysis
+        self._mp_blk = -(-(-(-(L + 1) // self.m_splits)) // 8) * 8
+        self._mp_pad = self._mp_blk * self.m_splits
+        pad_p = self._mp_pad - (L + 1)
+        Ep = np.exp(-1j * np.outer(np.arange(L + 1), phi)) * (2 * np.pi / n_phi)
+        Ep = np.pad(Ep, ((0, pad_p), (0, 0)))
+        self._Ep_re = np.ascontiguousarray(Ep.real, dtype=np.float32)
+        self._Ep_im = np.ascontiguousarray(Ep.imag, dtype=np.float32)
+        self._PWp = np.ascontiguousarray(np.pad(
+            np.asarray(sht._PW[L:], dtype=np.float32),
+            ((0, pad_p), (0, 0), (0, 0))))
+        self.n_theta, self.n_phi, self.n_m, self.l_max = (n_theta, n_phi,
+                                                          n_m, L)
+
+    def _interp(self):
+        if self.interpret is not None:
+            return self.interpret
+        return jax.default_backend() == "cpu"
+
+    def _pad_rows(self, *arrs):
+        rows = arrs[0].shape[0]
+        qb = self.q_block
+        if rows % qb:
+            pad = qb - rows % qb
+            arrs = tuple(jnp.concatenate(
+                [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)]) for a in arrs)
+        return arrs, rows
+
+    # ------------------------------------------------------------- forward
+    def _forward_planes(self, f_re, f_im):
+        """(rows, θ, φ) f32 planes → (rows, m, l) f32 planes."""
+        (f_re, f_im), rows = self._pad_rows(f_re, f_im)
+        g = f_re.shape[0] // self.q_block
+        qb, nt, nph = self.q_block, self.n_theta, self.n_phi
+        mb, L = self.m_blk, self.l_max
+        kern = partial(_fwd_kernel, nt, nph, mb)
+        blk_in = pl.BlockSpec((qb, nt, nph), lambda i, j: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+        e_spec = pl.BlockSpec((mb, nph), lambda i, j: (j, 0),
+                              memory_space=pltpu.VMEM)
+        pw_spec = pl.BlockSpec((mb, nt, L + 1), lambda i, j: (j, 0, 0),
+                               memory_space=pltpu.VMEM)
+        blk_out = pl.BlockSpec((qb, mb, L + 1), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM)
+        c_re, c_im = pl.pallas_call(
+            kern,
+            grid=(g, self.m_splits),
+            in_specs=[blk_in, blk_in, e_spec, e_spec, pw_spec],
+            out_specs=[blk_out, blk_out],
+            out_shape=[
+                jax.ShapeDtypeStruct((g * qb, self.n_m_pad, L + 1),
+                                     jnp.float32),
+                jax.ShapeDtypeStruct((g * qb, self.n_m_pad, L + 1),
+                                     jnp.float32)],
+            compiler_params=self._params,
+            interpret=self._interp(),
+        )(f_re, f_im, jnp.asarray(self._E_re), jnp.asarray(self._E_im),
+          jnp.asarray(self._PW))
+        return c_re[:rows, : self.n_m], c_im[:rows, : self.n_m]
+
+    def forward(self, f):
+        """f(..., θ, φ) complex → coefficients (..., 2L+1, L+1)."""
+        lead = f.shape[:-2]
+        rows = int(np.prod(lead)) if lead else 1
+        fr = f.reshape((rows, self.n_theta, self.n_phi))
+        c_re, c_im = self._forward_planes(
+            fr.real.astype(jnp.float32), fr.imag.astype(jnp.float32))
+        c = lax.complex(c_re, c_im).astype(self.sht.complex_dtype)
+        return c.reshape(lead + (self.n_m, self.l_max + 1))
+
+    # ------------------------------------------------------------- inverse
+    def _inverse_planes(self, c_re, c_im):
+        pad_m = self.n_m_pad - self.n_m
+        if pad_m:
+            z = jnp.zeros(c_re.shape[:1] + (pad_m,) + c_re.shape[2:],
+                          c_re.dtype)
+            c_re = jnp.concatenate([c_re, z], axis=1)
+            c_im = jnp.concatenate([c_im, z], axis=1)
+        (c_re, c_im), rows = self._pad_rows(c_re, c_im)
+        g = c_re.shape[0] // self.q_block
+        qb, nt, nph = self.q_block, self.n_theta, self.n_phi
+        mb, L = self.m_blk, self.l_max
+        kern = partial(_inv_kernel, nt, nph, mb)
+        blk_in = pl.BlockSpec((qb, mb, L + 1), lambda i, j: (i, j, 0),
+                              memory_space=pltpu.VMEM)
+        p_spec = pl.BlockSpec((mb, L + 1, nt), lambda i, j: (j, 0, 0),
+                              memory_space=pltpu.VMEM)
+        i_spec = pl.BlockSpec((mb, nph), lambda i, j: (j, 0),
+                              memory_space=pltpu.VMEM)
+        # m is the INNERMOST grid dim: both m-halves revisit the same output
+        # block and accumulate (sequential TPU grid guarantees ordering)
+        blk_out = pl.BlockSpec((qb, nt, nph), lambda i, j: (i, 0, 0),
+                               memory_space=pltpu.VMEM)
+        f_re, f_im = pl.pallas_call(
+            kern,
+            grid=(g, self.m_splits),
+            in_specs=[blk_in, blk_in, p_spec, i_spec, i_spec],
+            out_specs=[blk_out, blk_out],
+            out_shape=[jax.ShapeDtypeStruct((g * qb, nt, nph), jnp.float32),
+                       jax.ShapeDtypeStruct((g * qb, nt, nph), jnp.float32)],
+            compiler_params=self._params,
+            interpret=self._interp(),
+        )(c_re, c_im, jnp.asarray(self._P_t),
+          jnp.asarray(self._I_re), jnp.asarray(self._I_im))
+        return f_re[:rows], f_im[:rows]
+
+    def inverse(self, c):
+        lead = c.shape[:-2]
+        rows = int(np.prod(lead)) if lead else 1
+        cr = c.reshape((rows, self.n_m, self.l_max + 1))
+        f_re, f_im = self._inverse_planes(
+            cr.real.astype(jnp.float32), cr.imag.astype(jnp.float32))
+        f = lax.complex(f_re, f_im).astype(self.sht.complex_dtype)
+        return f.reshape(lead + (self.n_theta, self.n_phi))
+
+
+# ------------------------------------------------------- real-field variants
+def _fwd_real_kernel(n_theta, n_phi, m_blk,
+                     a_ref, ere_ref, eim_ref, pw_ref, cre_ref, cim_ref):
+    """Real-input analysis for the non-negative m rows (hermitian symmetry
+    fills m<0 outside): one real input plane halves the DFT matmuls."""
+    q_b = a_ref.shape[0]
+    a = a_ref[:].reshape(q_b * n_theta, n_phi)
+    mmT = lambda x, e: lax.dot_general(  # noqa: E731
+        x, e, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    fm_re = mmT(a, ere_ref[:])                      # (q_b·θ, m_blk)
+    fm_im = mmT(a, eim_ref[:])
+    fm_re = fm_re.reshape(q_b, n_theta, m_blk).transpose(2, 0, 1)
+    fm_im = fm_im.reshape(q_b, n_theta, m_blk).transpose(2, 0, 1)
+    pw = pw_ref[:]
+    cre_ref[:] = _bmm(fm_re, pw).transpose(1, 0, 2)
+    cim_ref[:] = _bmm(fm_im, pw).transpose(1, 0, 2)
+
+
+def _inv_real_kernel(n_theta, n_phi, m_blk,
+                     cre_ref, cim_ref, p_ref, ire_ref, iim_ref, f_ref):
+    """Real part of the synthesis only: halves the output writes and the
+    final DFT matmuls (Re(fm)·Re(I) − Im(fm)·Im(I))."""
+    q_b = cre_ref.shape[0]
+    c_re = cre_ref[:].transpose(1, 0, 2)
+    c_im = cim_ref[:].transpose(1, 0, 2)
+    p = p_ref[:]
+    fm_re = _bmm(c_re, p).transpose(1, 2, 0).reshape(q_b * n_theta, m_blk)
+    fm_im = _bmm(c_im, p).transpose(1, 2, 0).reshape(q_b * n_theta, m_blk)
+    f = _mm(fm_re, ire_ref[:]) - _mm(fm_im, iim_ref[:])
+    f_ref[:] = f.reshape(q_b, n_theta, n_phi)
+
+
+def _add_real_methods():
+    def forward_real(self, f):
+        """Real-field analysis matching sht.forward_real: kernel computes
+        m ≥ 0 rows; hermitian symmetry c_{l,-m} = (−1)^m conj(c_{l,m}) fills
+        the negative rows on the small coefficient array."""
+        import numpy as _np
+        L = self.l_max
+        lead = f.shape[:-2]
+        rows = int(np.prod(lead)) if lead else 1
+        fr = f.reshape((rows, self.n_theta, self.n_phi)).astype(jnp.float32)
+        (fr,), nrows = self._pad_rows(fr)
+        g = fr.shape[0] // self.q_block
+        qb, nt, nph = self.q_block, self.n_theta, self.n_phi
+        kern = partial(_fwd_real_kernel, nt, nph, self._mp_blk)
+        blk_in = pl.BlockSpec((qb, nt, nph), lambda i, j: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+        e_spec = pl.BlockSpec((self._mp_blk, nph), lambda i, j: (j, 0),
+                              memory_space=pltpu.VMEM)
+        pw_spec = pl.BlockSpec((self._mp_blk, nt, L + 1),
+                               lambda i, j: (j, 0, 0),
+                               memory_space=pltpu.VMEM)
+        blk_out = pl.BlockSpec((qb, self._mp_blk, L + 1),
+                               lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM)
+        c_re, c_im = pl.pallas_call(
+            kern,
+            grid=(g, self.m_splits),
+            in_specs=[blk_in, e_spec, e_spec, pw_spec],
+            out_specs=[blk_out, blk_out],
+            out_shape=[
+                jax.ShapeDtypeStruct((g * qb, self._mp_pad, L + 1),
+                                     jnp.float32),
+                jax.ShapeDtypeStruct((g * qb, self._mp_pad, L + 1),
+                                     jnp.float32)],
+            compiler_params=self._params,
+            interpret=self._interp(),
+        )(fr, jnp.asarray(self._Ep_re), jnp.asarray(self._Ep_im),
+          jnp.asarray(self._PWp))
+        c_pos = lax.complex(c_re[:nrows, : L + 1], c_im[:nrows, : L + 1])
+        signs = ((-1.0) ** _np.arange(1, L + 1))[::-1]
+        c_neg = signs[:, None] * jnp.conj(c_pos[..., 1:, :])[..., ::-1, :]
+        c = jnp.concatenate([c_neg, c_pos], axis=-2)
+        return c.astype(self.sht.complex_dtype).reshape(
+            lead + (self.n_m, L + 1))
+
+    def inverse_real(self, c):
+        """Real part of the synthesis (matches sht.inverse_real output)."""
+        lead = c.shape[:-2]
+        rows = int(np.prod(lead)) if lead else 1
+        cr = c.reshape((rows, self.n_m, self.l_max + 1))
+        c_re = cr.real.astype(jnp.float32)
+        c_im = cr.imag.astype(jnp.float32)
+        pad_m = self.n_m_pad - self.n_m
+        if pad_m:
+            z = jnp.zeros(c_re.shape[:1] + (pad_m,) + c_re.shape[2:],
+                          c_re.dtype)
+            c_re = jnp.concatenate([c_re, z], axis=1)
+            c_im = jnp.concatenate([c_im, z], axis=1)
+        (c_re, c_im), nrows = self._pad_rows(c_re, c_im)
+        g = c_re.shape[0] // self.q_block
+        qb, nt, nph = self.q_block, self.n_theta, self.n_phi
+        mb, L = self.m_blk, self.l_max
+        blk_in = pl.BlockSpec((qb, mb, L + 1), lambda i, j: (i, j, 0),
+                              memory_space=pltpu.VMEM)
+        p_spec = pl.BlockSpec((mb, L + 1, nt), lambda i, j: (j, 0, 0),
+                              memory_space=pltpu.VMEM)
+        i_spec = pl.BlockSpec((mb, nph), lambda i, j: (j, 0),
+                              memory_space=pltpu.VMEM)
+        blk_out = pl.BlockSpec((qb, nt, nph), lambda i, j: (i, 0, 0),
+                               memory_space=pltpu.VMEM)
+
+        def kern_acc(cre_ref, cim_ref, p_ref, ire_ref, iim_ref, f_ref):
+            j = pl.program_id(1)
+            q_b = cre_ref.shape[0]
+            c_re_ = cre_ref[:].transpose(1, 0, 2)
+            c_im_ = cim_ref[:].transpose(1, 0, 2)
+            p = p_ref[:]
+            fm_re = _bmm(c_re_, p).transpose(1, 2, 0).reshape(
+                q_b * nt, mb)
+            fm_im = _bmm(c_im_, p).transpose(1, 2, 0).reshape(
+                q_b * nt, mb)
+            f = (_mm(fm_re, ire_ref[:]) - _mm(fm_im, iim_ref[:])).reshape(
+                q_b, nt, nph)
+
+            @pl.when(j == 0)
+            def _():
+                f_ref[:] = f
+
+            @pl.when(j > 0)
+            def _():
+                f_ref[:] = f_ref[:] + f
+
+        f = pl.pallas_call(
+            kern_acc,
+            grid=(g, self.m_splits),
+            in_specs=[blk_in, blk_in, p_spec, i_spec, i_spec],
+            out_specs=blk_out,
+            out_shape=jax.ShapeDtypeStruct((g * qb, nt, nph), jnp.float32),
+            compiler_params=self._params,
+            interpret=self._interp(),
+        )(c_re, c_im, jnp.asarray(self._P_t),
+          jnp.asarray(self._I_re), jnp.asarray(self._I_im))
+        out = f[:nrows].astype(self.sht.real_dtype)
+        return out.reshape(lead + (self.n_theta, self.n_phi))
+
+    FusedSHT.forward_real = forward_real
+    FusedSHT.inverse_real = inverse_real
+
+
+_add_real_methods()

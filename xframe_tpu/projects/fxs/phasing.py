@@ -126,7 +126,8 @@ class MTIP:
         φ; the reference relies on its absolute limit_imag threshold, which
         only bites at its particular density scales)."""
         self.ft = ft
-        self.sht = harmonic if harmonic is not None else ft.sht
+        self.sht = harmonic if harmonic is not None \
+            else getattr(ft, 'harmonic', ft.sht)
         self.rc = reciprocal
         self.real = real
         self.sw = shrink_wrap

@@ -197,11 +197,22 @@ class ProjectWorker(ProjectWorkerInterface):
             L, N, rc, 3, mode,
             allow_cache=bool(opt.fourier_transform.get("allow_weight_caching",
                                                        True)))
+        # fused VMEM-resident SHT kernels (ops.pallas_sht): ~3× the standard
+        # path on a single TPU chip (docs/performance.md). 'auto' enables
+        # them on a non-CPU backend when no device mesh will shard the θ
+        # axis (the custom call would force GSPMD to replicate operands).
+        fused_cfg = opt.fourier_transform.get("fused_sht", "auto")
+        if isinstance(fused_cfg, str) and fused_cfg == "auto":
+            fused = (jax.default_backend() != "cpu"
+                     and len(jax.devices()) == 1)
+        else:
+            fused = bool(fused_cfg)
         ft = SphericalFourierTransform(N, L, q_max=q_max, mode=mode,
                                        reciprocity_coefficient=rc,
                                        n_theta=n_theta, n_phi=n_phi,
                                        real_dtype=real_dtype,
-                                       weights_dict=weights)
+                                       weights_dict=weights,
+                                       fused_sht=fused)
         grid = spherical_grid(ft.rs, ft.sht.theta, ft.sht.phi)
 
         # reciprocal constraint from the data — normalized so the intensity
