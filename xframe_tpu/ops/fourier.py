@@ -24,7 +24,7 @@ class SphericalFourierTransform:
                  mode: str = 'midpoint', reciprocity_coefficient: float = np.pi,
                  n_theta: int = None, n_phi: int = None, real_dtype=jnp.float32,
                  weights_dict: dict = None, mxu_dtype=None,
-                 fused_sht: bool = False, fused_q_block: int = 16,
+                 fused_sht: bool = False, fused_q_block: int | None = None,
                  fused_m_splits: int = 2):
         if q_max is None:
             q_max = float(np.pi * n_radial_points / 250.0)

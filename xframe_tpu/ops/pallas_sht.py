@@ -117,13 +117,21 @@ class FusedSHT:
     traced), not embedded constants, so the compiled payload stays small on
     the axon tunnel."""
 
-    def __init__(self, sht, q_block: int = 16, m_splits: int = 1,
+    def __init__(self, sht, q_block: int | None = None, m_splits: int = 1,
                  interpret: bool | None = None,
                  vmem_limit_bytes: int = 100 * 1024 * 1024):
         self.sht = sht
-        self.q_block = int(q_block)
         self.m_splits = int(m_splits)
         self.interpret = interpret
+        if q_block is None:
+            # auto-size: grid tiles + double buffering + tables must stay
+            # under the scoped-VMEM cap with headroom. Measured at tutorial
+            # scale (256×512 θφ, L=64): q_block 16 fits ~100 MB, 32 OOMs.
+            tile = sht.n_theta * sht.n_phi * 4 * 2          # re+im planes
+            tables = 2 * sht.n_m * sht.n_theta * (sht.l_max + 1) * 4
+            budget = int(vmem_limit_bytes * 0.55) - tables
+            q_block = max(1, min(16, budget // (2 * tile)))
+        self.q_block = int(q_block)
         # the mosaic default scoped-VMEM budget is 16 MB; the physical VMEM
         # on v5e is far larger — raise the cap so the full-m tables fit
         # (measured: full-m forward kernel needs ~18 MB at tutorial scale)
