@@ -18,6 +18,8 @@ BASELINE_SEC_PER_ITER = 1.2
 def main():
     import jax
     import jax.numpy as jnp
+    from xframe_tpu.library.compile_cache import enable as enable_cache
+    enable_cache()  # single-core container: compiles dominate; persist them
     from xframe_tpu.projects.fxs.demo import make_demo_problem
     from xframe_tpu.projects.fxs.phasing import Segment
 

@@ -8,7 +8,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from xframe_tpu.library.compile_cache import enable as enable_cache
 from xframe_tpu.projects.fxs.demo import make_demo_problem
+
+enable_cache()
 from xframe_tpu.projects.fxs.phasing import Segment
 
 

@@ -124,3 +124,30 @@ def test_theta_mesh_with_weights_as_arguments(problem):
     assert np.abs(out_h - ref_h).max() / scale < 2e-5
     # the batch really was sharded over both mesh axes
     assert len(out.sharding.device_set) == 8
+
+
+def test_fused_pipeline_sharded_matches_unsharded():
+    """The fully-fused Pallas iteration under shard_map over the restart
+    mesh axis reproduces the single-device trajectory (pallas_call is opaque
+    to GSPMD, so MultiStartRunner shards it explicitly)."""
+    import numpy as np
+    import jax
+    from xframe_tpu.parallel.mesh import make_mesh, MultiStartRunner
+    from xframe_tpu.projects.fxs.demo import make_demo_problem
+    from xframe_tpu.projects.fxs.phasing import Segment
+
+    p = make_demo_problem(16, 8, fused_sht=True)
+    assert p.mtip._fi is not None
+    schedule = [Segment("HIO", 3, betas=np.full(3, 0.5), ft_stab=True),
+                Segment("SW", sigma=p.mtip.sw.default_sigma, threshold=0.1),
+                Segment("ER", 2, betas=np.zeros(2), ft_stab=True)]
+    rho0 = p.initial_density_batch(0, 8)
+    mesh = make_mesh({"restarts": 4})
+    runner = MultiStartRunner(p.mtip, schedule, mesh)
+    s_m, e_m = runner(rho0)
+    s_1, e_1 = jax.jit(lambda r: p.mtip.run_batch(r, schedule))(rho0)
+    e_m, e_1 = np.asarray(e_m), np.asarray(e_1)
+    assert np.allclose(e_m, e_1, rtol=2e-3, atol=1e-6), \
+        np.abs(e_m - e_1).max()
+    d_m, d_1 = np.asarray(s_m.rho), np.asarray(s_1.rho)
+    assert np.abs(d_m - d_1).max() < 2e-3 * np.abs(d_1).max()

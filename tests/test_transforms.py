@@ -270,3 +270,137 @@ class TestFusedSHT:
         # only by the usual f32 reduction-order amplification
         assert rel[:, 0, :2].max() < 1e-4
         assert rel.max() < 0.05
+
+
+class TestFusedIteration:
+    """ops.pallas_mtip epilogue kernels (interpret mode) vs stepwise jnp."""
+
+    def _setup(self):
+        import numpy as np
+        from xframe_tpu.ops.sht import SphericalHarmonicTransform
+        from xframe_tpu.ops.pallas_sht import FusedSHT
+        from xframe_tpu.ops.pallas_mtip import FusedIteration
+        sht = SphericalHarmonicTransform(6, n_theta=16, n_phi=32)
+        fused = FusedSHT(sht, q_block=4, m_splits=2)
+        fi = FusedIteration(fused, q_block=4)
+        rng = np.random.default_rng(7)
+        return sht, fused, fi, rng
+
+    def test_forward_real_abs2(self):
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+        sht, fused, fi, rng = self._setup()
+        psi = (rng.normal(size=(8, 16, 32))
+               + 1j * rng.normal(size=(8, 16, 32))).astype(np.complex64)
+        ref = np.asarray(jax.jit(sht.forward_real)(
+            jnp.asarray((psi * psi.conj()).real.astype(np.float32))))
+        got = np.asarray(jax.jit(fused.forward_real_abs2)(jnp.asarray(psi)))
+        assert np.abs(got - ref).max() < 1e-5 * np.abs(ref).max()
+
+    def test_inverse_real_project(self):
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+        from xframe_tpu.projects.fxs.projections import (
+            project_to_modified_intensity)
+        sht, fused, fi, rng = self._setup()
+        c = (rng.normal(size=(8, 13, 7))
+             + 1j * rng.normal(size=(8, 13, 7))).astype(np.complex64)
+        psi = (rng.normal(size=(8, 16, 32))
+               + 1j * rng.normal(size=(8, 16, 32))).astype(np.complex64)
+        I_new = np.asarray(jax.jit(sht.inverse_real)(jnp.asarray(c)))
+        inten = (psi * psi.conj()).real
+        pp_ref = np.asarray(project_to_modified_intensity(
+            jnp.asarray(psi), jnp.asarray(inten), jnp.asarray(I_new)))
+        num_ref = np.sum(np.abs(psi - pp_ref) ** 2)
+        den_ref = np.sum(inten)
+        pp, num, den = jax.jit(fi.inverse_real_project)(
+            jnp.asarray(c), jnp.asarray(psi))
+        assert np.abs(np.asarray(pp) - pp_ref).max() \
+            < 1e-5 * np.abs(pp_ref).max()
+        assert abs(float(num) - num_ref) < 1e-4 * abs(num_ref)
+        assert abs(float(den) - den_ref) < 1e-4 * abs(den_ref)
+
+    def test_synthesize_update_all_methods(self):
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+        from functools import partial
+        from xframe_tpu.projects.fxs.projections import (
+            RealConstraint, hio_update, er_update, raar_update)
+        sht, fused, fi, rng = self._setup()
+        c_rho = (rng.normal(size=(8, 13, 7))
+                 + 1j * rng.normal(size=(8, 13, 7))).astype(np.complex64)
+        c_rt = (rng.normal(size=(8, 13, 7))
+                + 1j * rng.normal(size=(8, 13, 7))).astype(np.complex64)
+        rho_in = (rng.normal(size=(8, 16, 32))
+                  + 1j * rng.normal(size=(8, 16, 32))).astype(np.complex64)
+        support = rng.uniform(size=(8, 16, 32)) > 0.4
+        w = rng.uniform(0.1, 1.0, size=(8, 16, 32)).astype(np.float32)
+        rc = RealConstraint(threshold_low=0.05, limit_imag=0.3)
+        beta = 0.6
+        c_phase = np.exp(0.7j).astype(np.complex64)
+        rho_p = np.asarray(jax.jit(sht.inverse)(jnp.asarray(c_rho)))
+        rt = np.asarray(jax.jit(sht.inverse)(jnp.asarray(c_rt)))
+        for method, ft_stab in [("HIO", True), ("ER", True),
+                                ("RAAR", False), ("HIO", False)]:
+            rp = rho_p.copy()
+            if ft_stab:
+                corr = rho_in - rt
+                corr[0] = 0
+                rp = rp + corr
+            rp = rp * c_phase
+            ri = rho_in * c_phase
+            out, invalid = rc(jnp.asarray(rp), jnp.asarray(support))
+            out, invalid = np.asarray(out), np.asarray(invalid)
+            num_ref = np.sum(w * np.abs(rp - out) ** 2)
+            den_ref = np.sum(w * np.abs(rp) ** 2)
+            if method == "HIO":
+                new_ref = np.asarray(hio_update(
+                    jnp.asarray(ri), jnp.asarray(rp), jnp.asarray(out),
+                    jnp.asarray(invalid), beta))
+            elif method == "RAAR":
+                new_ref = np.asarray(raar_update(
+                    jnp.asarray(ri), jnp.asarray(rp), jnp.asarray(out),
+                    jnp.asarray(invalid), beta))
+            else:
+                new_ref = out
+            z_ref = np.sum(w * new_ref * new_ref)
+            z2_ref = np.sum(w * new_ref)
+            fn = jax.jit(partial(fi.synthesize_update, method=method,
+                                 ft_stab=ft_stab, real_constraint=rc))
+            rho_new, num, den, z, z2 = fn(
+                jnp.asarray(c_rho), jnp.asarray(c_rt) if ft_stab else None,
+                jnp.asarray(rho_in), jnp.asarray(support, dtype=np.float32),
+                jnp.asarray(w), beta, c_phase)
+            scale = np.abs(new_ref).max()
+            assert np.abs(np.asarray(rho_new) - new_ref).max() < 2e-5 * scale, \
+                (method, ft_stab)
+            assert abs(float(num) - num_ref) < 1e-4 * abs(num_ref)
+            assert abs(float(den) - den_ref) < 1e-4 * abs(den_ref)
+            assert abs(complex(z) - z_ref) < 1e-4 * (abs(z_ref) + 1e-6)
+            assert abs(complex(z2) - z2_ref) < 1e-4 * (abs(z2_ref) + 1e-6)
+
+    def test_fused_pipeline_tracks_reference_run(self):
+        import numpy as np
+        import jax
+        from xframe_tpu.projects.fxs.demo import make_demo_problem
+        from xframe_tpu.projects.fxs.phasing import Segment
+        p0 = make_demo_problem(16, 8)
+        p1 = make_demo_problem(16, 8, fused_sht=True)
+        assert p1.mtip._fi is not None  # fully-fused pipeline auto-enabled
+        schedule = [Segment("HIO", 4, betas=np.full(4, 0.5), ft_stab=True),
+                    Segment("SW", sigma=p0.mtip.sw.default_sigma,
+                            threshold=0.1),
+                    Segment("ER", 2, betas=np.zeros(2), ft_stab=True),
+                    Segment("RAAR", 2, betas=np.full(2, 0.7))]
+        r0 = p0.initial_density_batch(0, 2)
+        s0, e0 = jax.jit(lambda r: p0.mtip.run_batch(r, schedule))(r0)
+        s1, e1 = jax.jit(lambda r: p1.mtip.run_batch(r, schedule))(r0)
+        e0, e1 = np.asarray(e0), np.asarray(e1)
+        rel = np.abs(e0 - e1) / (np.abs(e0) + 1e-9)
+        assert rel[:, 0, :2].max() < 1e-4
+        assert rel.max() < 0.05
+        d0, d1 = np.asarray(s0.rho), np.asarray(s1.rho)
+        assert np.abs(d0 - d1).max() < 0.05 * np.abs(d0).max()

@@ -281,6 +281,28 @@ class FusedSHT:
 
 
 # ------------------------------------------------------- real-field variants
+def _fwd_abs2_kernel(n_theta, n_phi, m_blk,
+                     pre_ref, pim_ref, ere_ref, eim_ref, pw_ref,
+                     cre_ref, cim_ref):
+    """Analysis of |ψ|² computed in VMEM from the ψ planes: the intensity
+    grid array never exists in HBM (one 67 MB write + one read per MTIP
+    iteration eliminated — the iteration is traffic-bound,
+    docs/performance.md)."""
+    q_b = pre_ref.shape[0]
+    pr = pre_ref[:].reshape(q_b * n_theta, n_phi)
+    pi = pim_ref[:].reshape(q_b * n_theta, n_phi)
+    a = pr * pr + pi * pi
+    mmT = lambda x, e: lax.dot_general(  # noqa: E731
+        x, e, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    fm_re = mmT(a, ere_ref[:])
+    fm_im = mmT(a, eim_ref[:])
+    fm_re = fm_re.reshape(q_b, n_theta, m_blk).transpose(2, 0, 1)
+    fm_im = fm_im.reshape(q_b, n_theta, m_blk).transpose(2, 0, 1)
+    pw = pw_ref[:]
+    cre_ref[:] = _bmm(fm_re, pw).transpose(1, 0, 2)
+    cim_ref[:] = _bmm(fm_im, pw).transpose(1, 0, 2)
+
+
 def _fwd_real_kernel(n_theta, n_phi, m_blk,
                      a_ref, ere_ref, eim_ref, pw_ref, cre_ref, cim_ref):
     """Real-input analysis for the non-negative m rows (hermitian symmetry
@@ -417,8 +439,56 @@ def _add_real_methods():
         out = f[:nrows].astype(self.sht.real_dtype)
         return out.reshape(lead + (self.n_theta, self.n_phi))
 
+    def forward_real_abs2(self, psi):
+        """Analysis of the intensity |ψ|² straight from the complex field ψ:
+        the squaring happens in VMEM inside the kernel, so the real intensity
+        grid is never materialized in HBM. Output identical to
+        forward_real((ψ·ψ̄).real)."""
+        import numpy as _np
+        L = self.l_max
+        lead = psi.shape[:-2]
+        rows = int(np.prod(lead)) if lead else 1
+        pr = psi.reshape((rows, self.n_theta, self.n_phi))
+        f_re = pr.real.astype(jnp.float32)
+        f_im = pr.imag.astype(jnp.float32)
+        (f_re, f_im), nrows = self._pad_rows(f_re, f_im)
+        g = f_re.shape[0] // self.q_block
+        qb, nt, nph = self.q_block, self.n_theta, self.n_phi
+        kern = partial(_fwd_abs2_kernel, nt, nph, self._mp_blk)
+        blk_in = pl.BlockSpec((qb, nt, nph), lambda i, j: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+        e_spec = pl.BlockSpec((self._mp_blk, nph), lambda i, j: (j, 0),
+                              memory_space=pltpu.VMEM)
+        pw_spec = pl.BlockSpec((self._mp_blk, nt, L + 1),
+                               lambda i, j: (j, 0, 0),
+                               memory_space=pltpu.VMEM)
+        blk_out = pl.BlockSpec((qb, self._mp_blk, L + 1),
+                               lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM)
+        c_re, c_im = pl.pallas_call(
+            kern,
+            grid=(g, self.m_splits),
+            in_specs=[blk_in, blk_in, e_spec, e_spec, pw_spec],
+            out_specs=[blk_out, blk_out],
+            out_shape=[
+                jax.ShapeDtypeStruct((g * qb, self._mp_pad, L + 1),
+                                     jnp.float32),
+                jax.ShapeDtypeStruct((g * qb, self._mp_pad, L + 1),
+                                     jnp.float32)],
+            compiler_params=self._params,
+            interpret=self._interp(),
+        )(f_re, f_im, jnp.asarray(self._Ep_re), jnp.asarray(self._Ep_im),
+          jnp.asarray(self._PWp))
+        c_pos = lax.complex(c_re[:nrows, : L + 1], c_im[:nrows, : L + 1])
+        signs = ((-1.0) ** _np.arange(1, L + 1))[::-1]
+        c_neg = signs[:, None] * jnp.conj(c_pos[..., 1:, :])[..., ::-1, :]
+        c = jnp.concatenate([c_neg, c_pos], axis=-2)
+        return c.astype(self.sht.complex_dtype).reshape(
+            lead + (self.n_m, L + 1))
+
     FusedSHT.forward_real = forward_real
     FusedSHT.inverse_real = inverse_real
+    FusedSHT.forward_real_abs2 = forward_real_abs2
 
 
 _add_real_methods()

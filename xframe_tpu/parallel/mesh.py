@@ -57,7 +57,25 @@ class MultiStartRunner:
         self.mesh = mesh
         fn = jax.vmap(partial(mtip.run, schedule=schedule))
         grid_rank = np.ndim(mtip.initial_support)  # 3 for (r,θ,φ), 2 for (r,φ)
-        if mesh is not None:
+        fused = getattr(mtip, "_fi", None) is not None
+        if mesh is not None and fused:
+            # Pallas kernels are opaque to the GSPMD partitioner: shard the
+            # (embarrassingly parallel) restart axis explicitly with
+            # shard_map — each shard runs its own kernel grids, no
+            # collectives. The θ tensor-parallel axis applies only to the
+            # jnp SHT path (a sharded einsum); with fused kernels use a
+            # restarts-only mesh.
+            spec = P(restart_axis)
+            self.in_sharding = NamedSharding(mesh, spec)
+            try:  # jax >= 0.7: keyword is check_vma
+                fn = jax.shard_map(fn, mesh=mesh, in_specs=(spec,),
+                                   out_specs=spec, check_vma=False)
+            except TypeError:  # older API
+                from jax.experimental.shard_map import shard_map
+                fn = shard_map(fn, mesh=mesh, in_specs=(spec,),
+                               out_specs=spec, check_rep=False)
+            self._jitted = jax.jit(fn)
+        elif mesh is not None:
             theta = theta_axis if (theta_axis in mesh.axis_names
                                    and grid_rank == 3) else None
             spec = P(restart_axis, None, theta, None) if grid_rank == 3 \

@@ -116,7 +116,7 @@ class MTIP:
     def __init__(self, ft, reciprocal, real: RealConstraint,
                  shrink_wrap: ShrinkWrap, integration_weights, initial_support,
                  enforce_initial_support_limit=np.inf, real_dtype=jnp.float32,
-                 harmonic=None, fix_global_phase=True):
+                 harmonic=None, fix_global_phase=True, fused_pipeline=None):
         """harmonic: intensity↔coefficient transform for the data projection;
         defaults to ft.sht (3D). Pass projections.RealCircularHarmonics for
         the 2D polar pipeline.
@@ -145,6 +145,20 @@ class MTIP:
         # per-iteration particle-number estimation adds a 3rd error column
         self._pn_enabled = bool(getattr(reciprocal, 'pn_enabled', False))
         self._err_cols = 3 if self._pn_enabled else 2
+        # fully-fused iteration path (ops.pallas_mtip): intensity squaring,
+        # amplitude projection, ft-stab correction, phase anchor, real
+        # constraint, IO update, and error/anchor reductions all run inside
+        # the Pallas SHT-synthesis kernels — the grid-sized intermediates
+        # (intensity, I_new, ρ_p, rt, the anchored input) never touch HBM
+        self._fi = None
+        fused = getattr(ft, '_fused', None)
+        if fused_pipeline is None:
+            fused_pipeline = fused is not None
+        if (fused_pipeline and fused is not None and self.sht is fused
+                and not self._pn_enabled and hasattr(ft, 'hankel')
+                and isinstance(real, RealConstraint)):
+            from xframe_tpu.ops.pallas_mtip import FusedIteration
+            self._fi = FusedIteration(fused)
 
     # ------------------------------------------------------------- iteration
     def _real_error(self, rho_p, rho_proj):
@@ -231,6 +245,72 @@ class MTIP:
             rho_new = er_update(rho_proj)
         return rho_new, err, err_rec, n_hat
 
+    # ------------------------------------------------------- fused iteration
+    def _anchor_scalar(self, z, z2):
+        """Unit phase factor of _anchor_global_phase from the statistics
+        z = Σwρ², z2 = Σwρ (one fused reduction pass instead of two passes +
+        a grid-sized scale — the factor is applied inside the K4 kernel)."""
+        e = jnp.exp(-0.5j * jnp.angle(z)).astype(self.cdtype)
+        s = jnp.sign((e * z2).real)
+        return e * jnp.where(s < 0, -1.0, 1.0).astype(self.rdtype)
+
+    def _anchor_stats(self, rho):
+        w = jnp.asarray(self._w_err)
+        return jnp.sum(w * rho * rho), jnp.sum(w * rho)
+
+    def _mtip_iteration_fused(self, rho_in, support_f32, beta, method: str,
+                              ft_stab: bool, z, z2):
+        """One fused HIO/ER/RAAR step. rho_in is UN-anchored; the anchor
+        scalar (from last iteration's z/z2 stats) rides through the linear
+        reciprocal chain and is applied inside synthesize_update.
+        → (rho_new, err, err_rec, z', z2')."""
+        if self.fix_global_phase:
+            c_phase = self._anchor_scalar(z, z2)
+        else:
+            c_phase = jnp.asarray(1.0 + 0.0j, dtype=self.cdtype)
+        ft = self.ft
+        c0 = ft._analysis(rho_in)
+        cf = ft.hankel.forward(c0)
+        psi = ft._synthesis(cf)
+        ci = ft.hankel.inverse(cf) if ft_stab else None
+        Ilm = self.sht.forward_real_abs2(psi)
+        Ilm_proj = self.rc(Ilm)
+        psi_p, rnum, rden = self._fi.inverse_real_project(Ilm_proj, psi)
+        c_rho = ft.hankel.inverse(ft._analysis(psi_p))
+        rho_new, num, den, z_n, z2_n = self._fi.synthesize_update(
+            c_rho, ci, rho_in, support_f32, jnp.asarray(self._w_err),
+            beta, c_phase, method=method, ft_stab=ft_stab,
+            real_constraint=self.real, fix_phase=self.fix_global_phase)
+        err = jnp.where(den > 0, num / den, jnp.inf).astype(self.rdtype)
+        err_rec = jnp.where(rden > 0, rnum / rden, jnp.inf).astype(self.rdtype)
+        return rho_new, err, err_rec, z_n, z2_n
+
+    def _run_segment_fused(self, state: PhasingState, seg: Segment, betas):
+        sup_f = state.support.astype(self.rdtype)
+        if self.fix_global_phase:
+            z, z2 = self._anchor_stats(state.rho)
+        else:
+            zero = jnp.zeros((), dtype=self.cdtype)
+            z, z2 = zero, zero
+
+        def body(carry, beta):
+            rho, best_rho, best_mask, best_err, _, z, z2 = carry
+            rho_new, err, err_rec, z_n, z2_n = self._mtip_iteration_fused(
+                rho, sup_f, beta, seg.method, seg.ft_stab, z, z2)
+            better = err < best_err
+            best_rho = jnp.where(better, rho_new, best_rho)
+            best_mask = jnp.where(better, state.support, best_mask)
+            best_err = jnp.minimum(err, best_err)
+            return (rho_new, best_rho, best_mask, best_err, err, z_n, z2_n), \
+                jnp.stack([err, err_rec])
+
+        carry = (state.rho, state.best_rho, state.best_mask, state.best_err,
+                 state.last_err, z, z2)
+        carry, errs = jax.lax.scan(body, carry, betas)
+        rho, best_rho, best_mask, best_err, last_err = carry[:5]
+        return PhasingState(rho, state.support, best_rho, best_mask,
+                            best_err, last_err), errs
+
     # -------------------------------------------------------------- segments
     def _run_segment(self, state: PhasingState, seg: Segment, betas=None):
         """betas may be passed as a traced array (checkpointed chunk runner)
@@ -238,6 +318,8 @@ class MTIP:
         then share one compilation."""
         if betas is None:
             betas = jnp.asarray(seg.betas, dtype=self.rdtype)
+        if self._fi is not None:
+            return self._run_segment_fused(state, seg, betas)
 
         def body(carry, beta):
             rho, best_rho, best_mask, best_err, _ = carry
