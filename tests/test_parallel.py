@@ -151,3 +151,40 @@ def test_fused_pipeline_sharded_matches_unsharded():
         np.abs(e_m - e_1).max()
     d_m, d_1 = np.asarray(s_m.rho), np.asarray(s_1.rho)
     assert np.abs(d_m - d_1).max() < 2e-3 * np.abs(d_1).max()
+
+
+def test_multiprocess_distributed_mesh():
+    """Two OS processes × 4 virtual CPU devices joined by jax.distributed
+    into one 8-device global mesh: the restart-sharded phasing run executes
+    as a single SPMD program spanning both processes (the multi-host path
+    behind the CLI's --distributed flag; the reference's multi-node layer is
+    an empty stub, Multiprocessing.py:32-61)."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = os.path.join(root, "tests", "_distributed_worker.py")
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["JAX_PLATFORMS"] = ""
+    env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [subprocess.Popen(
+        [sys.executable, script, str(i), "2", str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        cwd=root, env=env) for i in range(2)]
+    outs = []
+    try:
+        for pr in procs:
+            out, _ = pr.communicate(timeout=600)
+            outs.append(out)
+    finally:
+        for pr in procs:
+            if pr.poll() is None:
+                pr.kill()
+    for i, (pr, out) in enumerate(zip(procs, outs)):
+        assert pr.returncode == 0, f"process {i} failed:\n{out[-3000:]}"
+        assert f"DIST OK p{i}" in out, out[-3000:]
