@@ -281,7 +281,7 @@ class TestFusedIteration:
         from xframe_tpu.ops.pallas_sht import FusedSHT
         from xframe_tpu.ops.pallas_mtip import FusedIteration
         sht = SphericalHarmonicTransform(6, n_theta=16, n_phi=32)
-        fused = FusedSHT(sht, q_block=4, m_splits=2)
+        fused = FusedSHT(sht, q_block=4, m_splits=1)
         fi = FusedIteration(fused, q_block=4)
         rng = np.random.default_rng(7)
         return sht, fused, fi, rng
@@ -347,9 +347,16 @@ class TestFusedIteration:
                                 ("RAAR", False), ("HIO", False)]:
             rp = rho_p.copy()
             if ft_stab:
+                # the kernel consumes the combined coefficient set
+                # d = (c_rho - c_rt)|_{row0<-c_rho[0]} and adds rho_in on
+                # rows q != 0 (linearity of the per-q synthesis)
+                d = (c_rho - c_rt).copy()
+                d[0] = c_rho[0]
                 corr = rho_in - rt
                 corr[0] = 0
                 rp = rp + corr
+            else:
+                d = c_rho
             rp = rp * c_phase
             ri = rho_in * c_phase
             out, invalid = rc(jnp.asarray(rp), jnp.asarray(support))
@@ -371,8 +378,8 @@ class TestFusedIteration:
             fn = jax.jit(partial(fi.synthesize_update, method=method,
                                  ft_stab=ft_stab, real_constraint=rc))
             rho_new, num, den, z, z2 = fn(
-                jnp.asarray(c_rho), jnp.asarray(c_rt) if ft_stab else None,
-                jnp.asarray(rho_in), jnp.asarray(support, dtype=np.float32),
+                jnp.asarray(d), jnp.asarray(rho_in),
+                jnp.asarray(support, dtype=np.float32),
                 jnp.asarray(w), beta, c_phase)
             scale = np.abs(new_ref).max()
             assert np.abs(np.asarray(rho_new) - new_ref).max() < 2e-5 * scale, \

@@ -25,7 +25,7 @@ class SphericalFourierTransform:
                  n_theta: int = None, n_phi: int = None, real_dtype=jnp.float32,
                  weights_dict: dict = None, mxu_dtype=None,
                  fused_sht: bool = False, fused_q_block: int | None = None,
-                 fused_m_splits: int = 2):
+                 fused_m_splits: int = 1):
         if q_max is None:
             q_max = float(np.pi * n_radial_points / 250.0)
         self.mode = mode

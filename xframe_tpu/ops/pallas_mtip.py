@@ -11,19 +11,26 @@ kernels eliminate them:
     q-block in VMEM and is immediately consumed by the amplitude projection
     ψ ← ψ·√(I_new/|ψ|²) (fxs_Projections.py:874-929) plus the reciprocal
     error partial sums. I_new never exists in HBM.
-  * `synthesize_update`: the inverse-FT synthesis of ρ_p — and, under
-    ft-stabilization, the roundtrip density rt from its own coefficient set —
-    accumulate in VMEM scratch; the epilogue applies the ft-stab correction
-    (reconstruct.py:585-595), the global phase anchor (a *scalar* multiply:
-    the whole reciprocal chain is linear, so the anchor collapses to one
-    factor applied here), the real constraint (fxs_Projections.py:26-155),
-    the HIO/ER/RAAR update (fxs_IO_methods.py:24-68), and emits the real
-    error partials plus the NEXT iteration's phase-anchor statistics
-    Σwρ², Σwρ — ρ_p, rt, and the anchored input never exist in HBM, and the
-    separate anchor reduction pass disappears.
+  * `synthesize_update`: ONE inverse-FT synthesis accumulates in VMEM; the
+    epilogue applies the ft-stab correction (reconstruct.py:585-595), the
+    global phase anchor (a *scalar* multiply: the whole reciprocal chain is
+    linear, so the anchor collapses to one factor applied here), the real
+    constraint (fxs_Projections.py:26-155), the HIO/ER/RAAR update
+    (fxs_IO_methods.py:24-68), and emits the real error partials plus the
+    NEXT iteration's phase-anchor statistics Σwρ², Σwρ — ρ_p, rt, and the
+    anchored input never exist in HBM, and the separate anchor reduction
+    pass disappears.
 
-Complex fields travel as float32 planes (axon cannot move complex arrays).
-Tables/layouts come from an ops.pallas_sht.FusedSHT instance.
+    The ft-stab roundtrip needs NO second synthesis: synthesis is linear and
+    per-q, so ρ_p + (ρ_in − rt)·[q≠0] = synth(c_ρ − c_i)|_{row0←c_ρ[0]}
+    + ρ_in·[q≠0] — the subtraction happens on the 8.6 MB coefficient arrays
+    in XLA, and the kernel synthesizes the single combined coefficient set.
+
+Kernels assume the FusedSHT was built with m_splits == 1 (the default; the
+full-m tables fit comfortably under the raised VMEM cap), so tables are DMA'd
+once per kernel launch (constant block index) and no cross-step accumulation
+scratch is needed. Complex fields travel as float32 planes (axon cannot move
+complex arrays). Tables/layouts come from an ops.pallas_sht.FusedSHT.
 """
 from __future__ import annotations
 
@@ -59,7 +66,7 @@ def _scatter_scalars(values):
 
 
 def _synth_complex(cre_ref, cim_ref, p, i_re, i_im, q_b, n_theta, n_phi, m_blk):
-    """One m-half of the complex synthesis: coefficients → field planes."""
+    """Full-m complex synthesis: coefficients → field planes."""
     c_re = cre_ref[:].transpose(1, 0, 2)            # (m_blk, q_b, l)
     c_im = cim_ref[:].transpose(1, 0, 2)
     fm_re = _bmm(c_re, p).transpose(1, 2, 0).reshape(q_b * n_theta, m_blk)
@@ -70,194 +77,141 @@ def _synth_complex(cre_ref, cim_ref, p, i_re, i_im, q_b, n_theta, n_phi, m_blk):
 
 
 # ---------------------------------------------------------------- K2 kernel
-def _inv_real_project_kernel(n_theta, n_phi, m_blk, m_splits, eps,
+def _inv_real_project_kernel(n_theta, n_phi, m_blk, eps,
                              cre_ref, cim_ref, p_ref, ire_ref, iim_ref,
                              pre_ref, pim_ref,
-                             ppre_ref, ppim_ref, part_ref,
-                             acc_ref):
-    """Accumulate the real intensity synthesis over m-halves into VMEM
-    scratch; at the last m-half run the amplitude projection against the ψ
-    tile and emit per-q-block reciprocal-error partials
-    (Σ|ψ−ψ_p|², Σ|ψ|²)."""
-    j = pl.program_id(1)
+                             ppre_ref, ppim_ref, part_ref):
+    """Real intensity synthesis + amplitude projection against the ψ tile +
+    per-q-block reciprocal-error partials (Σ|ψ−ψ_p|², Σ|ψ|²)."""
     q_b = cre_ref.shape[0]
     c_re = cre_ref[:].transpose(1, 0, 2)
     c_im = cim_ref[:].transpose(1, 0, 2)
     p = p_ref[:]
     fm_re = _bmm(c_re, p).transpose(1, 2, 0).reshape(q_b * n_theta, m_blk)
     fm_im = _bmm(c_im, p).transpose(1, 2, 0).reshape(q_b * n_theta, m_blk)
-    f = (_mm(fm_re, ire_ref[:]) - _mm(fm_im, iim_ref[:])).reshape(
+    I_new = (_mm(fm_re, ire_ref[:]) - _mm(fm_im, iim_ref[:])).reshape(
         q_b, n_theta, n_phi)
-
-    @pl.when(j == 0)
-    def _():
-        acc_ref[:] = f
-
-    @pl.when(j > 0)
-    def _():
-        acc_ref[:] = acc_ref[:] + f
-
-    @pl.when(j == m_splits - 1)
-    def _():
-        I_new = acc_ref[:]
-        pr = pre_ref[:]
-        pi = pim_ref[:]
-        inten = pr * pr + pi * pi
-        valid = (inten > eps) & (I_new >= 0.0)
-        ratio = jnp.where(valid, I_new / jnp.where(valid, inten, 1.0), 0.0)
-        s = jnp.sqrt(ratio)
-        ppr = pr * s
-        ppi = pi * s
-        ppre_ref[:] = ppr
-        ppim_ref[:] = ppi
-        dre = pr - ppr
-        dim_ = pi - ppi
-        num = jnp.sum(dre * dre + dim_ * dim_)
-        den = jnp.sum(inten)
-        part_ref[:] = _scatter_scalars([num, den])[None]
+    pr = pre_ref[:]
+    pi = pim_ref[:]
+    inten = pr * pr + pi * pi
+    valid = (inten > eps) & (I_new >= 0.0)
+    ratio = jnp.where(valid, I_new / jnp.where(valid, inten, 1.0), 0.0)
+    s = jnp.sqrt(ratio)
+    ppr = pr * s
+    ppi = pi * s
+    ppre_ref[:] = ppr
+    ppim_ref[:] = ppi
+    dre = pr - ppr
+    dim_ = pi - ppi
+    num = jnp.sum(dre * dre + dim_ * dim_)
+    den = jnp.sum(inten)
+    part_ref[:] = _scatter_scalars([num, den])[None]
 
 
 # ---------------------------------------------------------------- K4 kernel
-def _synth_update_kernel(n_theta, n_phi, m_blk, m_splits, q_b,
-                         method, ft_stab, flags, fix_phase,
-                         *refs):
+def _synth_update_kernel(n_theta, n_phi, m_blk, q_b,
+                         method, add_rin, flags, fix_phase,
+                         d_re, d_im, p_ref, ire_ref, iim_ref,
+                         rin_re, rin_im, sup_ref, w_ref, scal_ref,
+                         nre_ref, nim_ref, part_ref):
     """Inverse-FT synthesis + MTIP real-side epilogue for one q-block.
 
-    flags: (apply_support, apply_tlow, apply_thigh, apply_limit_imag,
-    apply_assert_real) — static python bools baked per-compilation."""
+    d: combined coefficient planes (c_ρ − c_roundtrip with row 0 reset to
+    c_ρ[0] under ft-stab, else plain c_ρ); add_rin: add ρ_in on rows q≠0
+    (the ft-stab correction). flags: (apply_support, apply_tlow, apply_thigh,
+    apply_limit_imag, apply_assert_real) — static bools baked per-compile."""
     (apply_support, apply_tlow, apply_thigh, apply_limimag, assert_real) = flags
-    k = 0
-    crho_re, crho_im = refs[k], refs[k + 1]; k += 2
-    if ft_stab:
-        crt_re, crt_im = refs[k], refs[k + 1]; k += 2
-    p_ref, ire_ref, iim_ref = refs[k], refs[k + 1], refs[k + 2]; k += 3
-    rin_re, rin_im = refs[k], refs[k + 1]; k += 2
-    sup_ref, w_ref, scal_ref = refs[k], refs[k + 1], refs[k + 2]; k += 3
-    nre_ref, nim_ref, part_ref = refs[k], refs[k + 1], refs[k + 2]; k += 3
-    ap_re, ap_im = refs[k], refs[k + 1]; k += 2
-    if ft_stab:
-        at_re, at_im = refs[k], refs[k + 1]; k += 2
-
     i = pl.program_id(0)
-    j = pl.program_id(1)
-    p = p_ref[:]
-    i_re = ire_ref[:]
-    i_im = iim_ref[:]
-    f_re, f_im = _synth_complex(crho_re, crho_im, p, i_re, i_im,
-                                q_b, n_theta, n_phi, m_blk)
-
-    @pl.when(j == 0)
-    def _():
-        ap_re[:] = f_re
-        ap_im[:] = f_im
-
-    @pl.when(j > 0)
-    def _():
-        ap_re[:] = ap_re[:] + f_re
-        ap_im[:] = ap_im[:] + f_im
-
-    if ft_stab:
-        t_re, t_im = _synth_complex(crt_re, crt_im, p, i_re, i_im,
-                                    q_b, n_theta, n_phi, m_blk)
-
-        @pl.when(j == 0)
-        def _():
-            at_re[:] = t_re
-            at_im[:] = t_im
-
-        @pl.when(j > 0)
-        def _():
-            at_re[:] = at_re[:] + t_re
-            at_im[:] = at_im[:] + t_im
-
-    @pl.when(j == m_splits - 1)
-    def _():
-        scal = scal_ref[:][0]
-        beta = scal[0, 0]
-        c_re_s = scal[0, 1]
-        c_im_s = scal[0, 2]
-        t_low = scal[0, 3]
-        t_high = scal[0, 4]
-        lim_imag = scal[0, 5]
-        rinr = rin_re[:]
-        rini = rin_im[:]
-        rp_re = ap_re[:]
-        rp_im = ap_im[:]
-        if ft_stab:
-            # add back the input's FT-roundtrip defect, except radial row 0
-            # (reconstruct.py:585-595; phasing.mtip_iteration)
-            row = lax.broadcasted_iota(jnp.int32, (q_b, n_theta, n_phi), 0) \
-                + i * q_b
-            keep = (row != 0).astype(jnp.float32)
-            rp_re = rp_re + (rinr - at_re[:]) * keep
-            rp_im = rp_im + (rini - at_im[:]) * keep
-        if fix_phase:
-            # the reciprocal chain is linear: anchoring ρ_in by the unit
-            # scalar c commutes through FT/projection/iFT, so it is applied
-            # once here to both ρ_p and ρ_in
-            rp_re, rp_im = (rp_re * c_re_s - rp_im * c_im_s,
-                            rp_re * c_im_s + rp_im * c_re_s)
-            rinr, rini = (rinr * c_re_s - rini * c_im_s,
-                          rinr * c_im_s + rini * c_re_s)
-        # real constraint (projections.RealConstraint.__call__)
-        outr, outi = rp_re, rp_im
-        invalid = jnp.zeros((q_b, n_theta, n_phi), dtype=jnp.bool_)
-        if apply_support:
-            m = sup_ref[:] < 0.5
-            outr = jnp.where(m, 0.0, outr)
-            outi = jnp.where(m, 0.0, outi)
-            invalid = invalid | m
-        if apply_tlow:
-            m = outr < t_low
-            outr = jnp.where(m, t_low, outr)
-            invalid = invalid | m
-        if apply_thigh:
-            m = outr > t_high
-            outr = jnp.where(m, t_high, outr)
-            invalid = invalid | m
-        if apply_limimag:
-            m = jnp.abs(outi) >= lim_imag
-            outi = jnp.where(m, 0.0, outi)
-            invalid = invalid | m
-        if assert_real:
-            outi = jnp.zeros_like(outi)
-        # real-error partials (fxs_IO_methods.py:97-129)
-        w = w_ref[:]
-        dre = rp_re - outr
-        dim_ = rp_im - outi
-        num = jnp.sum(w * (dre * dre + dim_ * dim_))
-        den = jnp.sum(w * (rp_re * rp_re + rp_im * rp_im))
-        if method == "HIO":
-            newr = jnp.where(invalid, rinr - beta * (rp_re - outr), outr)
-            newi = jnp.where(invalid, rini - beta * (rp_im - outi), outi)
-        elif method == "RAAR":
-            newr = jnp.where(invalid, beta * rinr + (1 - 2 * beta) * rp_re,
-                             outr)
-            newi = jnp.where(invalid, beta * rini + (1 - 2 * beta) * rp_im,
-                             outi)
-        else:  # ER
-            newr, newi = outr, outi
-        nre_ref[:] = newr
-        nim_ref[:] = newi
-        # next iteration's phase-anchor statistics: z = Σwρ², z2 = Σwρ
-        zr = jnp.sum(w * (newr * newr - newi * newi))
-        zi = jnp.sum(w * (2.0 * newr * newi))
-        z2r = jnp.sum(w * newr)
-        z2i = jnp.sum(w * newi)
-        part_ref[:] = _scatter_scalars([num, den, zr, zi, z2r, z2i])[None]
+    rp_re, rp_im = _synth_complex(d_re, d_im, p_ref[:], ire_ref[:],
+                                  iim_ref[:], q_b, n_theta, n_phi, m_blk)
+    scal = scal_ref[:][0]
+    beta = scal[0, 0]
+    c_re_s = scal[0, 1]
+    c_im_s = scal[0, 2]
+    t_low = scal[0, 3]
+    t_high = scal[0, 4]
+    lim_imag = scal[0, 5]
+    rinr = rin_re[:]
+    rini = rin_im[:]
+    if add_rin:
+        # ρ_p + (ρ_in − rt) on q≠0 rows = synth(d) + ρ_in·[q≠0]
+        # (reconstruct.py:585-595; phasing.mtip_iteration)
+        row = lax.broadcasted_iota(jnp.int32, (q_b, n_theta, n_phi), 0) \
+            + i * q_b
+        keep = (row != 0).astype(jnp.float32)
+        rp_re = rp_re + rinr * keep
+        rp_im = rp_im + rini * keep
+    if fix_phase:
+        # the reciprocal chain is linear: anchoring ρ_in by the unit scalar c
+        # commutes through FT/projection/iFT, so it is applied once here to
+        # both ρ_p and ρ_in
+        rp_re, rp_im = (rp_re * c_re_s - rp_im * c_im_s,
+                        rp_re * c_im_s + rp_im * c_re_s)
+        rinr, rini = (rinr * c_re_s - rini * c_im_s,
+                      rinr * c_im_s + rini * c_re_s)
+    # real constraint (projections.RealConstraint.__call__)
+    outr, outi = rp_re, rp_im
+    invalid = jnp.zeros((q_b, n_theta, n_phi), dtype=jnp.bool_)
+    if apply_support:
+        m = sup_ref[:] < 0.5
+        outr = jnp.where(m, 0.0, outr)
+        outi = jnp.where(m, 0.0, outi)
+        invalid = invalid | m
+    if apply_tlow:
+        m = outr < t_low
+        outr = jnp.where(m, t_low, outr)
+        invalid = invalid | m
+    if apply_thigh:
+        m = outr > t_high
+        outr = jnp.where(m, t_high, outr)
+        invalid = invalid | m
+    if apply_limimag:
+        m = jnp.abs(outi) >= lim_imag
+        outi = jnp.where(m, 0.0, outi)
+        invalid = invalid | m
+    if assert_real:
+        outi = jnp.zeros_like(outi)
+    # real-error partials (fxs_IO_methods.py:97-129)
+    w = w_ref[:]
+    dre = rp_re - outr
+    dim_ = rp_im - outi
+    num = jnp.sum(w * (dre * dre + dim_ * dim_))
+    den = jnp.sum(w * (rp_re * rp_re + rp_im * rp_im))
+    if method == "HIO":
+        newr = jnp.where(invalid, rinr - beta * (rp_re - outr), outr)
+        newi = jnp.where(invalid, rini - beta * (rp_im - outi), outi)
+    elif method == "RAAR":
+        newr = jnp.where(invalid, beta * rinr + (1 - 2 * beta) * rp_re,
+                         outr)
+        newi = jnp.where(invalid, beta * rini + (1 - 2 * beta) * rp_im,
+                         outi)
+    else:  # ER
+        newr, newi = outr, outi
+    nre_ref[:] = newr
+    nim_ref[:] = newi
+    # next iteration's phase-anchor statistics: z = Σwρ², z2 = Σwρ
+    zr = jnp.sum(w * (newr * newr - newi * newi))
+    zi = jnp.sum(w * (2.0 * newr * newi))
+    z2r = jnp.sum(w * newr)
+    z2i = jnp.sum(w * newi)
+    part_ref[:] = _scatter_scalars([num, den, zr, zi, z2r, z2i])[None]
 
 
 class FusedIteration:
-    """Wraps a FusedSHT's tables into the two MTIP epilogue kernels."""
+    """Wraps a FusedSHT's tables into the two MTIP epilogue kernels.
+
+    Requires the FusedSHT to run with m_splits == 1 so the full-m tables are
+    DMA'd once per launch and no cross-step accumulation is needed."""
 
     def __init__(self, fused_sht, q_block: int | None = None):
+        if fused_sht.m_splits != 1:
+            raise ValueError("FusedIteration requires FusedSHT(m_splits=1)")
         self.f = fused_sht
-        # the synthesize_update kernel holds ~11 grid tiles per q-block
-        # (4 scratch planes + double-buffered in/out blocks): at tutorial
-        # scale q_block 8 measured 139.8 MB > the 128 MB physical VMEM;
-        # a quarter of the FusedSHT block (4) fits with headroom
+        # the synthesize_update kernel holds ~10 grid-sized values per
+        # q-block (epilogue temporaries + double-buffered in/out blocks):
+        # at tutorial scale half the FusedSHT block fits the VMEM budget
         self.q_block = int(q_block) if q_block \
-            else max(1, fused_sht.q_block // 4)
+            else max(1, fused_sht.q_block // 2)
         self._params = fused_sht._params
 
     # -------------------------------------------------------------- helpers
@@ -292,7 +246,7 @@ class FusedIteration:
         lead = psi.shape[:-2]
         rows = int(np.prod(lead)) if lead else 1
         qb, nt, nph = self.q_block, f.n_theta, f.n_phi
-        mb, L, ms = f.m_blk, f.l_max, f.m_splits
+        mb, L = f.n_m_pad, f.l_max
         cr = c.reshape((rows, f.n_m, L + 1))
         c_re, c_im = self._coeff_planes(cr)
         pr = psi.reshape((rows, nt, nph))
@@ -301,26 +255,25 @@ class FusedIteration:
         (c_re, c_im, p_re, p_im), nrows = self._pad_rows_q(
             (c_re, c_im, p_re, p_im), qb)
         g = c_re.shape[0] // qb
-        kern = partial(_inv_real_project_kernel, nt, nph, mb, ms, float(eps))
-        blk_c = pl.BlockSpec((qb, mb, L + 1), lambda i, j: (i, j, 0),
+        kern = partial(_inv_real_project_kernel, nt, nph, mb, float(eps))
+        blk_c = pl.BlockSpec((qb, mb, L + 1), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
-        p_spec = pl.BlockSpec((mb, L + 1, nt), lambda i, j: (j, 0, 0),
+        p_spec = pl.BlockSpec((mb, L + 1, nt), lambda i: (0, 0, 0),
                               memory_space=pltpu.VMEM)
-        i_spec = pl.BlockSpec((mb, nph), lambda i, j: (j, 0),
+        i_spec = pl.BlockSpec((mb, nph), lambda i: (0, 0),
                               memory_space=pltpu.VMEM)
-        blk_g = pl.BlockSpec((qb, nt, nph), lambda i, j: (i, 0, 0),
+        blk_g = pl.BlockSpec((qb, nt, nph), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
-        part_spec = pl.BlockSpec((1, 8, 128), lambda i, j: (i, 0, 0),
+        part_spec = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
                                  memory_space=pltpu.VMEM)
         pp_re, pp_im, parts = pl.pallas_call(
             kern,
-            grid=(g, ms),
+            grid=(g,),
             in_specs=[blk_c, blk_c, p_spec, i_spec, i_spec, blk_g, blk_g],
             out_specs=[blk_g, blk_g, part_spec],
             out_shape=[jax.ShapeDtypeStruct((g * qb, nt, nph), jnp.float32),
                        jax.ShapeDtypeStruct((g * qb, nt, nph), jnp.float32),
                        jax.ShapeDtypeStruct((g, 8, 128), jnp.float32)],
-            scratch_shapes=[pltpu.VMEM((qb, nt, nph), jnp.float32)],
             compiler_params=self._params,
             interpret=f._interp(),
         )(c_re, c_im, jnp.asarray(f._P_t),
@@ -332,47 +285,41 @@ class FusedIteration:
         return psi_p, num, den
 
     # ------------------------------------------------------------------- K4
-    def synthesize_update(self, c_rho, c_rt, rho_in, support_f32, w,
+    def synthesize_update(self, d, rho_in, support_f32, w,
                           beta, c_phase, *, method: str, ft_stab: bool,
                           real_constraint, fix_phase: bool = True):
-        """ρ_new = update(real_constraint(iSHT(c_rho) + ftstab(ρ_in, iSHT(c_rt))))
+        """ρ_new = update(real_constraint(iSHT(d) + ft_stab·ρ_in·[q≠0]))
         with the global-phase anchor scalar c_phase folded in; also returns
         (real-error numerator, denominator, z, z2) where z = Σwρ_new²,
         z2 = Σwρ_new are the NEXT iteration's anchor statistics.
 
-        c_rho: coefficients of the modulus-projected field after the inverse
-        Hankel (→ ρ_p by synthesis); c_rt: coefficients of the FT roundtrip
-        (ft_stab only, else ignored); support_f32: 0/1 float mask; w:
-        integration weights (real error + anchor)."""
+        d: combined coefficient set — under ft-stab the caller passes
+        (c_ρ − c_roundtrip) with row 0 reset to c_ρ[0], exploiting the
+        linearity of the per-q synthesis; without ft-stab just c_ρ.
+        support_f32: 0/1 float mask; w: integration weights (real error +
+        anchor)."""
         f = self.f
         rc = real_constraint
         lead = rho_in.shape[:-2]
         rows = int(np.prod(lead)) if lead else 1
         qb, nt, nph = self.q_block, f.n_theta, f.n_phi
-        mb, L, ms = f.m_blk, f.l_max, f.m_splits
+        mb, L = f.n_m_pad, f.l_max
         flags = (bool(rc.apply_support),
                  bool(rc.apply_value_threshold
                       and rc.threshold_low is not None),
                  bool(rc.apply_value_threshold
                       and rc.threshold_high is not None),
                  bool(rc.apply_limit_imag), bool(rc.apply_assert_real))
-        cr = c_rho.reshape((rows, f.n_m, L + 1))
-        crho_re, crho_im = self._coeff_planes(cr)
+        cr = d.reshape((rows, f.n_m, L + 1))
+        d_re, d_im = self._coeff_planes(cr)
         rin = rho_in.reshape((rows, nt, nph))
         rin_re = rin.real.astype(jnp.float32)
         rin_im = rin.imag.astype(jnp.float32)
         sup = support_f32.reshape((rows, nt, nph)).astype(jnp.float32)
         w_r = w.reshape((rows, nt, nph)).astype(jnp.float32)
-        grid_arrs = [rin_re, rin_im, sup, w_r]
-        coeff_arrs = [crho_re, crho_im]
-        if ft_stab:
-            ct = c_rt.reshape((rows, f.n_m, L + 1))
-            crt_re, crt_im = self._coeff_planes(ct)
-            coeff_arrs += [crt_re, crt_im]
-        (padded), nrows = self._pad_rows_q(tuple(coeff_arrs + grid_arrs), qb)
-        coeff_arrs = list(padded[: len(coeff_arrs)])
-        rin_re, rin_im, sup, w_r = padded[len(coeff_arrs):]
-        g = coeff_arrs[0].shape[0] // qb
+        (d_re, d_im, rin_re, rin_im, sup, w_r), nrows = self._pad_rows_q(
+            (d_re, d_im, rin_re, rin_im, sup, w_r), qb)
+        g = d_re.shape[0] // qb
         beta = jnp.asarray(beta, dtype=jnp.float32)
         cp = jnp.asarray(c_phase)
         scal_vals = [beta, cp.real.astype(jnp.float32),
@@ -383,36 +330,32 @@ class FusedIteration:
                                  if rc.threshold_high is not None else 0.0),
                      jnp.float32(rc.limit_imag)]
         scal = _scatter_scalars(scal_vals)[None]                  # (1, 8, 128)
-        kern = partial(_synth_update_kernel, nt, nph, mb, ms, qb,
+        kern = partial(_synth_update_kernel, nt, nph, mb, qb,
                        method, bool(ft_stab), flags, bool(fix_phase))
-        blk_c = pl.BlockSpec((qb, mb, L + 1), lambda i, j: (i, j, 0),
+        blk_c = pl.BlockSpec((qb, mb, L + 1), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
-        p_spec = pl.BlockSpec((mb, L + 1, nt), lambda i, j: (j, 0, 0),
+        p_spec = pl.BlockSpec((mb, L + 1, nt), lambda i: (0, 0, 0),
                               memory_space=pltpu.VMEM)
-        i_spec = pl.BlockSpec((mb, nph), lambda i, j: (j, 0),
+        i_spec = pl.BlockSpec((mb, nph), lambda i: (0, 0),
                               memory_space=pltpu.VMEM)
-        blk_g = pl.BlockSpec((qb, nt, nph), lambda i, j: (i, 0, 0),
+        blk_g = pl.BlockSpec((qb, nt, nph), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
-        scal_spec = pl.BlockSpec((1, 8, 128), lambda i, j: (0, 0, 0),
+        scal_spec = pl.BlockSpec((1, 8, 128), lambda i: (0, 0, 0),
                                  memory_space=pltpu.VMEM)
-        part_spec = pl.BlockSpec((1, 8, 128), lambda i, j: (i, 0, 0),
+        part_spec = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
                                  memory_space=pltpu.VMEM)
-        in_specs = [blk_c, blk_c] + ([blk_c, blk_c] if ft_stab else []) \
-            + [p_spec, i_spec, i_spec, blk_g, blk_g, blk_g, blk_g, scal_spec]
-        scratch = [pltpu.VMEM((qb, nt, nph), jnp.float32)] * (4 if ft_stab
-                                                              else 2)
         n_re, n_im, parts = pl.pallas_call(
             kern,
-            grid=(g, ms),
-            in_specs=in_specs,
+            grid=(g,),
+            in_specs=[blk_c, blk_c, p_spec, i_spec, i_spec,
+                      blk_g, blk_g, blk_g, blk_g, scal_spec],
             out_specs=[blk_g, blk_g, part_spec],
             out_shape=[jax.ShapeDtypeStruct((g * qb, nt, nph), jnp.float32),
                        jax.ShapeDtypeStruct((g * qb, nt, nph), jnp.float32),
                        jax.ShapeDtypeStruct((g, 8, 128), jnp.float32)],
-            scratch_shapes=scratch,
             compiler_params=self._params,
             interpret=f._interp(),
-        )(*coeff_arrs, jnp.asarray(f._P_t), jnp.asarray(f._I_re),
+        )(d_re, d_im, jnp.asarray(f._P_t), jnp.asarray(f._I_re),
           jnp.asarray(f._I_im), rin_re, rin_im, sup, w_r, scal)
         rho_new = lax.complex(n_re[:nrows], n_im[:nrows]).astype(
             f.sht.complex_dtype).reshape(lead + (nt, nph))

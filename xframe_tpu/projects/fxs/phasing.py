@@ -155,6 +155,7 @@ class MTIP:
         if fused_pipeline is None:
             fused_pipeline = fused is not None
         if (fused_pipeline and fused is not None and self.sht is fused
+                and getattr(fused, 'm_splits', 0) == 1
                 and not self._pn_enabled and hasattr(ft, 'hankel')
                 and isinstance(real, RealConstraint)):
             from xframe_tpu.ops.pallas_mtip import FusedIteration
@@ -272,13 +273,20 @@ class MTIP:
         c0 = ft._analysis(rho_in)
         cf = ft.hankel.forward(c0)
         psi = ft._synthesis(cf)
-        ci = ft.hankel.inverse(cf) if ft_stab else None
         Ilm = self.sht.forward_real_abs2(psi)
         Ilm_proj = self.rc(Ilm)
         psi_p, rnum, rden = self._fi.inverse_real_project(Ilm_proj, psi)
         c_rho = ft.hankel.inverse(ft._analysis(psi_p))
+        if ft_stab:
+            # synthesis is linear and per-q: ρ_p + (ρ_in − rt)·[q≠0]
+            # = synth(c_ρ − c_i)|_{row0←c_ρ[0]} + ρ_in·[q≠0] — one synthesis
+            # instead of two, with the subtraction on the small coefficients
+            ci = ft.hankel.inverse(cf)
+            d = (c_rho - ci).at[0].set(c_rho[0])
+        else:
+            d = c_rho
         rho_new, num, den, z_n, z2_n = self._fi.synthesize_update(
-            c_rho, ci, rho_in, support_f32, jnp.asarray(self._w_err),
+            d, rho_in, support_f32, jnp.asarray(self._w_err),
             beta, c_phase, method=method, ft_stab=ft_stab,
             real_constraint=self.real, fix_phase=self.fix_global_phase)
         err = jnp.where(den > 0, num / den, jnp.inf).astype(self.rdtype)
