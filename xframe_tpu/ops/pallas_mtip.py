@@ -44,14 +44,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _mm(a, b):
-    return lax.dot_general(a, b, (((1,), (0,)), ((), ())),
-                           preferred_element_type=jnp.float32)
-
-
-def _bmm(a, b):
-    return lax.dot_general(a, b, (((2,), (1,)), ((0,), (0,))),
-                           preferred_element_type=jnp.float32)
+from xframe_tpu.ops.pallas_sht import _mm, _bmm  # shared XF_FUSED_MXU_BF16 knob
 
 
 def _scatter_scalars(values):

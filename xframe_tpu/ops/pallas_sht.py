@@ -35,13 +35,28 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+import os as _os
+
+# XF_FUSED_MXU_BF16=1: feed the in-kernel DFT/Legendre matmuls to the MXU as
+# bfloat16 with float32 accumulation (~4e-3 relative per transform; read at
+# import time so bench can A/B without code edits)
+_MXU_BF16 = _os.environ.get("XF_FUSED_MXU_BF16", "0").lower() \
+    not in ("0", "false", "")
+
+
 def _mm(a, b):
+    if _MXU_BF16:
+        a = a.astype(jnp.bfloat16)
+        b = b.astype(jnp.bfloat16)
     return lax.dot_general(a, b, (((1,), (0,)), ((), ())),
                            preferred_element_type=jnp.float32)
 
 
 def _bmm(a, b):
     """Batched matmul: (g, m, k) @ (g, k, n) → (g, m, n)."""
+    if _MXU_BF16:
+        a = a.astype(jnp.bfloat16)
+        b = b.astype(jnp.bfloat16)
     return lax.dot_general(a, b, (((2,), (1,)), ((0,), (0,))),
                            preferred_element_type=jnp.float32)
 
