@@ -91,9 +91,70 @@ def ft_breakdown():
     print(f"  bare FFT over phi              : {t_f*1e3:8.2f} ms")
 
 
+def fused_breakdown():
+    """Per-kernel attribution of the fully-fused pipeline (round 2b):
+    times each Pallas kernel + the coefficient-space ops standalone,
+    single restart (the chip saturates at batch 1)."""
+    p = make_demo_problem(128, 64, n_theta=256, n_phi=512,
+                          procrustes_method="newton_schulz", fused_sht=True)
+    ft, mtip = p.ft, p.mtip
+    fused, fi = ft._fused, mtip._fi
+    assert fi is not None
+    rho = p.initial_density_batch(0, 1)[0]
+
+    fwd = jax.jit(fused.forward)
+    c0 = fwd(rho)
+    t_k1 = timed(fwd, rho)
+    hank_f = jax.jit(ft.hankel.forward)
+    cf = hank_f(c0)
+    t_hf = timed(hank_f, c0)
+    synth = jax.jit(fused.inverse)
+    psi = synth(cf)
+    t_k1i = timed(synth, cf)
+    abs2 = jax.jit(fused.forward_real_abs2)
+    Ilm = abs2(psi)
+    t_abs2 = timed(abs2, psi)
+    rc = jax.jit(lambda I: mtip.rc(I))
+    Ip = rc(Ilm)
+    t_rc = timed(rc, Ilm)
+    k2 = jax.jit(fi.inverse_real_project)
+    t_k2 = timed(k2, Ip, psi)
+    hank_i = jax.jit(ft.hankel.inverse)
+    t_hi = timed(hank_i, cf)
+    from functools import partial
+    sup = jnp.asarray(mtip.initial_support, dtype=jnp.float32)
+    w = jnp.asarray(mtip._w_err)
+    k4 = jax.jit(lambda dd, r: fi.synthesize_update(
+        dd, r, sup, w, jnp.float32(0.5),
+        jnp.asarray(1.0 + 0.0j, dtype=mtip.cdtype),  # constant inside jit:
+        method="HIO", ft_stab=True,                  # axon can't move complex
+        real_constraint=mtip.real))
+    d = hank_i(fwd(k2(Ip, psi)[0]))
+    t_k4 = timed(k4, d, rho)
+
+    step = jax.jit(lambda r: mtip.mtip_iteration(
+        r, jnp.asarray(mtip.initial_support), jnp.float32(0.5), "HIO", True)[0])
+    t_full = timed(step, rho, n=10)
+
+    total = 2 * t_k1 + t_hf + t_k1i + t_abs2 + t_rc + t_k2 + 2 * t_hi + t_k4
+    print("fused pipeline, 1 restart, tutorial scale — ms per call:")
+    print(f"  K1 analysis (grid->coeff)        : {t_k1*1e3:8.2f}  (x2/iter)")
+    print(f"  Hankel forward (coeff)           : {t_hf*1e3:8.2f}")
+    print(f"  K1' synthesis psi (coeff->grid)  : {t_k1i*1e3:8.2f}")
+    print(f"  abs2 analysis |psi|^2 (fused)    : {t_abs2*1e3:8.2f}")
+    print(f"  data projection (Procrustes+V.W) : {t_rc*1e3:8.2f}")
+    print(f"  K2 synth+amplitude projection    : {t_k2*1e3:8.2f}")
+    print(f"  Hankel inverse (coeff)           : {t_hi*1e3:8.2f}  (x2/iter)")
+    print(f"  K4 synth+constraint+update       : {t_k4*1e3:8.2f}")
+    print(f"  sum of parts                     : {total*1e3:8.2f}")
+    print(f"  FULL fused MTIP iteration        : {t_full*1e3:8.2f}")
+
+
 if __name__ == "__main__":
     import sys
     if "--ft" in sys.argv:
         ft_breakdown()
+    elif "--fused" in sys.argv:
+        fused_breakdown()
     else:
         main()

@@ -206,6 +206,24 @@ class FusedIteration:
         self.q_block = int(q_block) if q_block \
             else max(1, fused_sht.q_block // 2)
         self._params = fused_sht._params
+        # positive-m real-synthesis tables for K2 (the projected intensity is
+        # real, so I = Σ_{m≥0} w_m (fm_re·cos mφ − fm_im·sin mφ), w_0 = 1,
+        # w_{m>0} = 2 — half the Legendre batch and DFT contraction of the
+        # full-m real synthesis)
+        f = fused_sht
+        L = f.l_max
+        phi = 2 * np.pi * np.arange(f.n_phi) / f.n_phi
+        ms = np.arange(L + 1)
+        wgt = np.where(ms == 0, 1.0, 2.0)[:, None]
+        pad_p = f._mp_pad - (L + 1)
+        Ip = np.exp(1j * np.outer(ms, phi))
+        self._Ip_re = np.ascontiguousarray(np.pad(
+            (wgt * Ip.real), ((0, pad_p), (0, 0))).astype(np.float32))
+        self._Ip_im = np.ascontiguousarray(np.pad(
+            (wgt * Ip.imag), ((0, pad_p), (0, 0))).astype(np.float32))
+        self._Pp_t = np.ascontiguousarray(np.pad(
+            np.asarray(f._P_t[L: L + L + 1]),
+            ((0, pad_p), (0, 0), (0, 0))).astype(np.float32))
 
     # -------------------------------------------------------------- helpers
     def _pad_rows_q(self, arrs, qb):
@@ -239,9 +257,27 @@ class FusedIteration:
         lead = psi.shape[:-2]
         rows = int(np.prod(lead)) if lead else 1
         qb, nt, nph = self.q_block, f.n_theta, f.n_phi
-        mb, L = f.n_m_pad, f.l_max
-        cr = c.reshape((rows, f.n_m, L + 1))
-        c_re, c_im = self._coeff_planes(cr)
+        mb, L = f._mp_pad, f.l_max
+        # Re(full synthesis) == positive-m synthesis of the hermitianized
+        # coefficients c_h[m] = (c[m] + (−1)^m conj(c[−m]))/2 (exact for any
+        # input; the average is an 8.6 MB coefficient-space op). The kernel's
+        # weighted-cos/sin tables then need only the m >= 0 half: half the
+        # Legendre batch and DFT contraction.
+        cf_ = c.reshape((rows, f.n_m, L + 1))
+        c_pos = cf_[:, L:, :]
+        c_neg = cf_[:, :L, :][:, ::-1, :]              # rows m = −1..−L
+        signs = jnp.asarray(((-1.0) ** np.arange(1, L + 1))[:, None],
+                            dtype=jnp.float32)
+        cr = jnp.concatenate(
+            [c_pos[:, :1].real.astype(cf_.dtype),
+             0.5 * (c_pos[:, 1:] + signs * jnp.conj(c_neg))], axis=1)
+        pad_m = mb - (L + 1)
+        c_re = cr.real.astype(jnp.float32)
+        c_im = cr.imag.astype(jnp.float32)
+        if pad_m:
+            z = jnp.zeros((rows, pad_m, L + 1), jnp.float32)
+            c_re = jnp.concatenate([c_re, z], axis=1)
+            c_im = jnp.concatenate([c_im, z], axis=1)
         pr = psi.reshape((rows, nt, nph))
         p_re = pr.real.astype(jnp.float32)
         p_im = pr.imag.astype(jnp.float32)
@@ -269,8 +305,8 @@ class FusedIteration:
                        jax.ShapeDtypeStruct((g, 8, 128), jnp.float32)],
             compiler_params=self._params,
             interpret=f._interp(),
-        )(c_re, c_im, jnp.asarray(f._P_t),
-          jnp.asarray(f._I_re), jnp.asarray(f._I_im), p_re, p_im)
+        )(c_re, c_im, jnp.asarray(self._Pp_t),
+          jnp.asarray(self._Ip_re), jnp.asarray(self._Ip_im), p_re, p_im)
         psi_p = lax.complex(pp_re[:nrows], pp_im[:nrows]).astype(
             f.sht.complex_dtype).reshape(lead + (nt, nph))
         num = jnp.sum(parts[:, 0, 0])
