@@ -298,6 +298,47 @@ class TestFusedIteration:
         got = np.asarray(jax.jit(fused.forward_real_abs2)(jnp.asarray(psi)))
         assert np.abs(got - ref).max() < 1e-5 * np.abs(ref).max()
 
+    def test_synthesize_abs2(self):
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+        sht, fused, fi, rng = self._setup()
+        cf = (rng.normal(size=(8, 13, 7))
+              + 1j * rng.normal(size=(8, 13, 7))).astype(np.complex64)
+        psi_ref = np.asarray(jax.jit(sht.inverse)(jnp.asarray(cf)))
+        Ilm_ref = np.asarray(jax.jit(sht.forward_real)(
+            jnp.asarray((psi_ref * psi_ref.conj()).real.astype(np.float32))))
+        psi, Ilm = jax.jit(fi.synthesize_abs2)(jnp.asarray(cf))
+        assert np.abs(np.asarray(psi) - psi_ref).max() \
+            < 1e-5 * np.abs(psi_ref).max()
+        assert np.abs(np.asarray(Ilm) - Ilm_ref).max() \
+            < 1e-4 * np.abs(Ilm_ref).max()
+
+    def test_inverse_real_project_fwd(self):
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+        from xframe_tpu.projects.fxs.projections import (
+            project_to_modified_intensity)
+        sht, fused, fi, rng = self._setup()
+        c = (rng.normal(size=(8, 13, 7))
+             + 1j * rng.normal(size=(8, 13, 7))).astype(np.complex64)
+        psi = (rng.normal(size=(8, 16, 32))
+               + 1j * rng.normal(size=(8, 16, 32))).astype(np.complex64)
+        I_new = np.asarray(jax.jit(sht.inverse_real)(jnp.asarray(c)))
+        inten = (psi * psi.conj()).real
+        pp_ref = np.asarray(project_to_modified_intensity(
+            jnp.asarray(psi), jnp.asarray(inten), jnp.asarray(I_new)))
+        c_ref = np.asarray(jax.jit(sht.forward)(jnp.asarray(pp_ref)))
+        num_ref = np.sum(np.abs(psi - pp_ref) ** 2)
+        den_ref = np.sum(inten)
+        c_out, num, den = jax.jit(fi.inverse_real_project_fwd)(
+            jnp.asarray(c), jnp.asarray(psi))
+        assert np.abs(np.asarray(c_out) - c_ref).max() \
+            < 1e-4 * np.abs(c_ref).max()
+        assert abs(float(num) - num_ref) < 1e-4 * abs(num_ref)
+        assert abs(float(den) - den_ref) < 1e-4 * abs(den_ref)
+
     def test_inverse_real_project(self):
         import numpy as np
         import jax

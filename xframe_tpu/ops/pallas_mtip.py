@@ -101,6 +101,75 @@ def _inv_real_project_kernel(n_theta, n_phi, m_blk, eps,
     part_ref[:] = _scatter_scalars([num, den])[None]
 
 
+# --------------------------------------------------------------- K1⁺ kernel
+def _synth_abs2_kernel(n_theta, n_phi, m_blk, mp_blk,
+                       cre_ref, cim_ref, p_ref, ire_ref, iim_ref,
+                       epre_ref, epim_ref, pwp_ref,
+                       pre_ref, pim_ref, ocre_ref, ocim_ref):
+    """Complex synthesis ψ = iSHT(cf) + analysis of |ψ|² in one VMEM pass:
+    ψ is written out (K2 consumes it) but the intensity grid never exists,
+    and ψ is never re-read for the abs2 analysis."""
+    q_b = cre_ref.shape[0]
+    p_re, p_im = _synth_complex(cre_ref, cim_ref, p_ref[:], ire_ref[:],
+                                iim_ref[:], q_b, n_theta, n_phi, m_blk)
+    pre_ref[:] = p_re
+    pim_ref[:] = p_im
+    a = (p_re * p_re + p_im * p_im).reshape(q_b * n_theta, n_phi)
+    mmT = lambda x, e: lax.dot_general(  # noqa: E731
+        x, e, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    fm_re = mmT(a, epre_ref[:])
+    fm_im = mmT(a, epim_ref[:])
+    fm_re = fm_re.reshape(q_b, n_theta, mp_blk).transpose(2, 0, 1)
+    fm_im = fm_im.reshape(q_b, n_theta, mp_blk).transpose(2, 0, 1)
+    pw = pwp_ref[:]
+    ocre_ref[:] = _bmm(fm_re, pw).transpose(1, 0, 2)
+    ocim_ref[:] = _bmm(fm_im, pw).transpose(1, 0, 2)
+
+
+# --------------------------------------------------------------- K2⁺ kernel
+def _inv_real_project_fwd_kernel(n_theta, n_phi, mp_blk, m_blk, eps,
+                                 cre_ref, cim_ref, pp_ref, ipre_ref, ipim_ref,
+                                 pre_ref, pim_ref, ere_ref, eim_ref, pw_ref,
+                                 ocre_ref, ocim_ref, part_ref):
+    """K2 + the analysis of ψ_p: the modulus-projected field is analysed to
+    coefficients inside the same VMEM pass, so ψ_p never exists in HBM."""
+    q_b = cre_ref.shape[0]
+    c_re = cre_ref[:].transpose(1, 0, 2)
+    c_im = cim_ref[:].transpose(1, 0, 2)
+    p = pp_ref[:]
+    fm_re = _bmm(c_re, p).transpose(1, 2, 0).reshape(q_b * n_theta, mp_blk)
+    fm_im = _bmm(c_im, p).transpose(1, 2, 0).reshape(q_b * n_theta, mp_blk)
+    I_new = (_mm(fm_re, ipre_ref[:]) - _mm(fm_im, ipim_ref[:])).reshape(
+        q_b, n_theta, n_phi)
+    pr = pre_ref[:]
+    pi = pim_ref[:]
+    inten = pr * pr + pi * pi
+    valid = (inten > eps) & (I_new >= 0.0)
+    ratio = jnp.where(valid, I_new / jnp.where(valid, inten, 1.0), 0.0)
+    s = jnp.sqrt(ratio)
+    ppr = pr * s
+    ppi = pi * s
+    dre = pr - ppr
+    dim_ = pi - ppi
+    num = jnp.sum(dre * dre + dim_ * dim_)
+    den = jnp.sum(inten)
+    part_ref[:] = _scatter_scalars([num, den])[None]
+    # forward analysis of ψ_p (full centered-m): φ-DFT + Legendre quadrature
+    a_re = ppr.reshape(q_b * n_theta, n_phi)
+    a_im = ppi.reshape(q_b * n_theta, n_phi)
+    mmT = lambda x, e: lax.dot_general(  # noqa: E731
+        x, e, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    e_re = ere_ref[:]
+    e_im = eim_ref[:]
+    gm_re = mmT(a_re, e_re) - mmT(a_im, e_im)
+    gm_im = mmT(a_re, e_im) + mmT(a_im, e_re)
+    gm_re = gm_re.reshape(q_b, n_theta, m_blk).transpose(2, 0, 1)
+    gm_im = gm_im.reshape(q_b, n_theta, m_blk).transpose(2, 0, 1)
+    pw = pw_ref[:]
+    ocre_ref[:] = _bmm(gm_re, pw).transpose(1, 0, 2)
+    ocim_ref[:] = _bmm(gm_im, pw).transpose(1, 0, 2)
+
+
 # ---------------------------------------------------------------- K4 kernel
 def _synth_update_kernel(n_theta, n_phi, m_blk, q_b,
                          method, add_rin, flags, fix_phase,
@@ -246,6 +315,30 @@ class FusedIteration:
             cim = jnp.concatenate([cim, z], axis=-2)
         return cre, cim
 
+    def _herm_pos_planes(self, c, rows):
+        """Re(full synthesis) == positive-m synthesis of the hermitianized
+        coefficients c_h[m] = (c[m] + (−1)^m conj(c[−m]))/2 (exact for any
+        input; the average is an 8.6 MB coefficient-space op). Returns
+        m ≥ 0 f32 planes padded to (rows, _mp_pad, L+1)."""
+        f = self.f
+        L = f.l_max
+        cf_ = c.reshape((rows, f.n_m, L + 1))
+        c_pos = cf_[:, L:, :]
+        c_neg = cf_[:, :L, :][:, ::-1, :]              # rows m = −1..−L
+        signs = jnp.asarray(((-1.0) ** np.arange(1, L + 1))[:, None],
+                            dtype=jnp.float32)
+        cr = jnp.concatenate(
+            [c_pos[:, :1].real.astype(cf_.dtype),
+             0.5 * (c_pos[:, 1:] + signs * jnp.conj(c_neg))], axis=1)
+        pad_m = f._mp_pad - (L + 1)
+        c_re = cr.real.astype(jnp.float32)
+        c_im = cr.imag.astype(jnp.float32)
+        if pad_m:
+            z = jnp.zeros((rows, pad_m, L + 1), jnp.float32)
+            c_re = jnp.concatenate([c_re, z], axis=1)
+            c_im = jnp.concatenate([c_im, z], axis=1)
+        return c_re, c_im
+
     # ------------------------------------------------------------------- K2
     def inverse_real_project(self, c, psi, eps=0.0):
         """(I_lm coefficients, ψ) → (ψ_p, Σ|ψ−ψ_p|², Σ|ψ|²).
@@ -258,26 +351,7 @@ class FusedIteration:
         rows = int(np.prod(lead)) if lead else 1
         qb, nt, nph = self.q_block, f.n_theta, f.n_phi
         mb, L = f._mp_pad, f.l_max
-        # Re(full synthesis) == positive-m synthesis of the hermitianized
-        # coefficients c_h[m] = (c[m] + (−1)^m conj(c[−m]))/2 (exact for any
-        # input; the average is an 8.6 MB coefficient-space op). The kernel's
-        # weighted-cos/sin tables then need only the m >= 0 half: half the
-        # Legendre batch and DFT contraction.
-        cf_ = c.reshape((rows, f.n_m, L + 1))
-        c_pos = cf_[:, L:, :]
-        c_neg = cf_[:, :L, :][:, ::-1, :]              # rows m = −1..−L
-        signs = jnp.asarray(((-1.0) ** np.arange(1, L + 1))[:, None],
-                            dtype=jnp.float32)
-        cr = jnp.concatenate(
-            [c_pos[:, :1].real.astype(cf_.dtype),
-             0.5 * (c_pos[:, 1:] + signs * jnp.conj(c_neg))], axis=1)
-        pad_m = mb - (L + 1)
-        c_re = cr.real.astype(jnp.float32)
-        c_im = cr.imag.astype(jnp.float32)
-        if pad_m:
-            z = jnp.zeros((rows, pad_m, L + 1), jnp.float32)
-            c_re = jnp.concatenate([c_re, z], axis=1)
-            c_im = jnp.concatenate([c_im, z], axis=1)
+        c_re, c_im = self._herm_pos_planes(c, rows)
         pr = psi.reshape((rows, nt, nph))
         p_re = pr.real.astype(jnp.float32)
         p_im = pr.imag.astype(jnp.float32)
@@ -312,6 +386,119 @@ class FusedIteration:
         num = jnp.sum(parts[:, 0, 0])
         den = jnp.sum(parts[:, 0, 1])
         return psi_p, num, den
+
+    # ------------------------------------------------------------------ K1⁺
+    def synthesize_abs2(self, cf):
+        """coefficients → (ψ = iSHT(cf), I_lm of |ψ|²) in ONE grid pass:
+        equivalent to (fused.inverse(cf), fused.forward_real_abs2(ψ)) but ψ
+        is never re-read from HBM and the intensity never exists."""
+        import numpy as _np
+        f = self.f
+        L = f.l_max
+        lead = cf.shape[:-2]
+        rows = int(np.prod(lead)) if lead else 1
+        qb, nt, nph = self.q_block, f.n_theta, f.n_phi
+        mb, mpb = f.n_m_pad, f._mp_pad
+        cr = cf.reshape((rows, f.n_m, L + 1))
+        c_re, c_im = self._coeff_planes(cr)
+        (c_re, c_im), nrows = self._pad_rows_q((c_re, c_im), qb)
+        g = c_re.shape[0] // qb
+        kern = partial(_synth_abs2_kernel, nt, nph, mb, mpb)
+        blk_c = pl.BlockSpec((qb, mb, L + 1), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+        p_spec = pl.BlockSpec((mb, L + 1, nt), lambda i: (0, 0, 0),
+                              memory_space=pltpu.VMEM)
+        i_spec = pl.BlockSpec((mb, nph), lambda i: (0, 0),
+                              memory_space=pltpu.VMEM)
+        ep_spec = pl.BlockSpec((mpb, nph), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)
+        pwp_spec = pl.BlockSpec((mpb, nt, L + 1), lambda i: (0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        blk_g = pl.BlockSpec((qb, nt, nph), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+        blk_oc = pl.BlockSpec((qb, mpb, L + 1), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+        p_re, p_im, oc_re, oc_im = pl.pallas_call(
+            kern,
+            grid=(g,),
+            in_specs=[blk_c, blk_c, p_spec, i_spec, i_spec,
+                      ep_spec, ep_spec, pwp_spec],
+            out_specs=[blk_g, blk_g, blk_oc, blk_oc],
+            out_shape=[jax.ShapeDtypeStruct((g * qb, nt, nph), jnp.float32),
+                       jax.ShapeDtypeStruct((g * qb, nt, nph), jnp.float32),
+                       jax.ShapeDtypeStruct((g * qb, mpb, L + 1), jnp.float32),
+                       jax.ShapeDtypeStruct((g * qb, mpb, L + 1),
+                                            jnp.float32)],
+            compiler_params=self._params,
+            interpret=f._interp(),
+        )(c_re, c_im, jnp.asarray(f._P_t), jnp.asarray(f._I_re),
+          jnp.asarray(f._I_im), jnp.asarray(f._Ep_re),
+          jnp.asarray(f._Ep_im), jnp.asarray(f._PWp))
+        psi = lax.complex(p_re[:nrows], p_im[:nrows]).astype(
+            f.sht.complex_dtype).reshape(lead + (nt, nph))
+        c_pos = lax.complex(oc_re[:nrows, : L + 1], oc_im[:nrows, : L + 1])
+        signs = ((-1.0) ** _np.arange(1, L + 1))[::-1]
+        c_neg = signs[:, None] * jnp.conj(c_pos[..., 1:, :])[..., ::-1, :]
+        Ilm = jnp.concatenate([c_neg, c_pos], axis=-2).astype(
+            f.sht.complex_dtype).reshape(lead + (f.n_m, L + 1))
+        return psi, Ilm
+
+    # ------------------------------------------------------------------ K2⁺
+    def inverse_real_project_fwd(self, c, psi, eps=0.0):
+        """(I_lm coefficients, ψ) → (analysis coefficients of ψ_p,
+        Σ|ψ−ψ_p|², Σ|ψ|²): K2 + the forward analysis of the projected field
+        fused, so ψ_p itself never exists in HBM (the caller feeds the
+        coefficients straight into the inverse Hankel)."""
+        f = self.f
+        lead = psi.shape[:-2]
+        rows = int(np.prod(lead)) if lead else 1
+        qb, nt, nph = self.q_block, f.n_theta, f.n_phi
+        mb, mpb, L = f.n_m_pad, f._mp_pad, f.l_max
+        c_re, c_im = self._herm_pos_planes(c, rows)
+        pr = psi.reshape((rows, nt, nph))
+        p_re = pr.real.astype(jnp.float32)
+        p_im = pr.imag.astype(jnp.float32)
+        (c_re, c_im, p_re, p_im), nrows = self._pad_rows_q(
+            (c_re, c_im, p_re, p_im), qb)
+        g = c_re.shape[0] // qb
+        kern = partial(_inv_real_project_fwd_kernel, nt, nph, mpb, mb,
+                       float(eps))
+        blk_cp = pl.BlockSpec((qb, mpb, L + 1), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+        pp_spec = pl.BlockSpec((mpb, L + 1, nt), lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM)
+        ip_spec = pl.BlockSpec((mpb, nph), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)
+        blk_g = pl.BlockSpec((qb, nt, nph), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+        e_spec = pl.BlockSpec((mb, nph), lambda i: (0, 0),
+                              memory_space=pltpu.VMEM)
+        pw_spec = pl.BlockSpec((mb, nt, L + 1), lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM)
+        blk_oc = pl.BlockSpec((qb, mb, L + 1), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+        part_spec = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        oc_re, oc_im, parts = pl.pallas_call(
+            kern,
+            grid=(g,),
+            in_specs=[blk_cp, blk_cp, pp_spec, ip_spec, ip_spec,
+                      blk_g, blk_g, e_spec, e_spec, pw_spec],
+            out_specs=[blk_oc, blk_oc, part_spec],
+            out_shape=[jax.ShapeDtypeStruct((g * qb, mb, L + 1), jnp.float32),
+                       jax.ShapeDtypeStruct((g * qb, mb, L + 1), jnp.float32),
+                       jax.ShapeDtypeStruct((g, 8, 128), jnp.float32)],
+            compiler_params=self._params,
+            interpret=f._interp(),
+        )(c_re, c_im, jnp.asarray(self._Pp_t),
+          jnp.asarray(self._Ip_re), jnp.asarray(self._Ip_im), p_re, p_im,
+          jnp.asarray(f._E_re), jnp.asarray(f._E_im), jnp.asarray(f._PW))
+        c_out = lax.complex(oc_re[:nrows, : f.n_m],
+                            oc_im[:nrows, : f.n_m]).astype(
+            f.sht.complex_dtype).reshape(lead + (f.n_m, L + 1))
+        num = jnp.sum(parts[:, 0, 0])
+        den = jnp.sum(parts[:, 0, 1])
+        return c_out, num, den
 
     # ------------------------------------------------------------------- K4
     def synthesize_update(self, d, rho_in, support_f32, w,

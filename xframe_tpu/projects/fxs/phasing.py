@@ -272,6 +272,10 @@ class MTIP:
         ft = self.ft
         c0 = ft._analysis(rho_in)
         cf = ft.hankel.forward(c0)
+        # separate kernels measure FASTER than the merged K1⁺/K2⁺ variants
+        # (0.00575 vs 0.00600 s/iter — the merged kernels' second table set
+        # costs more in scheduling than the saved ψ/ψ_p passes; see
+        # docs/performance.md)
         psi = ft._synthesis(cf)
         Ilm = self.sht.forward_real_abs2(psi)
         Ilm_proj = self.rc(Ilm)
