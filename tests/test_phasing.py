@@ -125,6 +125,48 @@ def test_phasing_converges_and_recovers_invariants(problem):
     assert corr > 0.9, f"real-space correlation {corr}"
 
 
+def test_fused_pipeline_ground_truth_fidelity(problem):
+    """The fully-fused Pallas pipeline (ops.pallas_mtip) recovers the ground
+    truth to the same real-space fidelity as the stepwise path: same problem,
+    same schedule, fused kernels end to end (interpret mode on CPU)."""
+    ft0, mtip0 = problem["ft"], problem["mtip"]
+    ft = SphericalFourierTransform(problem["N"], problem["L"], q_max=ft0.q_max,
+                                   mode="midpoint",
+                                   reciprocity_coefficient=2.0,
+                                   real_dtype=jnp.float32, fused_sht=True)
+    mtip = MTIP(ft, mtip0.rc, mtip0.real, mtip0.sw,
+                np.asarray(mtip0._w_err), np.asarray(mtip0.initial_support),
+                enforce_initial_support_limit=6e-3)
+    assert mtip._fi is not None
+    schedule = [
+        Segment('HIO', 40, betas=np.full(40, 0.5), ft_stab=True),
+        Segment('SW', sigma=mtip.sw.default_sigma * 2, threshold=0.09),
+        Segment('ER', 20, betas=np.zeros(20), ft_stab=True),
+        Segment('SW', sigma=mtip.sw.default_sigma, threshold=0.09),
+        Segment('ER', 40, betas=np.zeros(40), ft_stab=True),
+    ]
+    rho0 = _initial_density(problem, jax.random.PRNGKey(7))
+    state, errors = jax.jit(lambda r: mtip.run(r, schedule))(rho0)
+    errors = np.asarray(errors)
+    assert np.isfinite(errors).all()
+    assert errors[-1, 0] < 5e-2
+
+    from xframe_tpu.projects.fxs.alignment import Aligner
+    w = np.asarray(problem["integ"]._w)
+    aligner = Aligner(ft0, w)
+    rho_t_c, _ = aligner.center(
+        jnp.asarray(problem["rho_true"], dtype=jnp.complex64))
+    rho_r_c, _ = aligner.center(state.best_rho)
+    ref_coeff = aligner.coefficients(rho_t_c)
+    rho_aligned, _, _ = aligner.align(rho_r_c, ref_coeff,
+                                      check_point_inversion=True)
+    a = np.abs(np.asarray(rho_aligned))
+    t = np.abs(np.asarray(rho_t_c))
+    corr = float((w * a * t).sum()
+                 / np.sqrt((w * a * a).sum() * (w * t * t).sum()))
+    assert corr > 0.9, f"fused-pipeline real-space correlation {corr}"
+
+
 def test_multi_start_vmap(problem):
     mtip = problem["mtip"]
     schedule = [
