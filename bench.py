@@ -23,7 +23,10 @@ def main():
     from xframe_tpu.projects.fxs.demo import make_demo_problem
     from xframe_tpu.projects.fxs.phasing import Segment
 
-    n_restarts = int(os.environ.get("XF_BENCH_RESTARTS", "1"))
+    # fused path: batch 2 measures ~9% faster PER RESTART than batch 1
+    # (0.00524 vs 0.00575 s/iter — a second restart fills kernel pipeline
+    # bubbles); the round-1 jnp path preferred batch 1
+    n_restarts = int(os.environ.get("XF_BENCH_RESTARTS", "2"))
     n_iter = int(os.environ.get("XF_BENCH_ITERS", "20"))
     method = os.environ.get("XF_BENCH_PROCRUSTES", "newton_schulz")
     ns_iters = int(os.environ.get("XF_BENCH_NS_ITERS", "16"))

@@ -120,8 +120,9 @@ class ProjectWorker(ProjectWorkerInterface):
 
         # multi_start.batch_size: run restarts in sequential chunks of this
         # size (one per-chunk fresh seed; all chunks share one compilation).
-        # Measured on v5e: one tutorial restart saturates the chip, so small
-        # chunks beat one big batched program by ~13% throughput. 0 = one
+        # Measured on v5e: on the fused pipeline chunks of 2 are fastest per
+        # restart (~9% over 1 — a second restart fills kernel pipeline
+        # bubbles); on the jnp path single-restart chunks win. 0 = one
         # program (required for checkpointing, which snapshots the full batch).
         t_run0 = time.perf_counter()
         if batch and batch < n_restarts and ckpt_path is None:
