@@ -153,6 +153,60 @@ def test_fused_pipeline_sharded_matches_unsharded():
     assert np.abs(d_m - d_1).max() < 2e-3 * np.abs(d_1).max()
 
 
+def test_fused_pipeline_uneven_restarts_and_multi_axis_mesh():
+    """Fused shard_map path with a restart count NOT divisible by the mesh
+    (6 on 8 devices) and a multi-axis restarts×theta mesh: the batch is
+    wrap-padded to the shard count, the mesh is flattened to restarts-only
+    (no idle θ replicas), and outputs are trimmed to the requested count."""
+    import numpy as np
+    import jax
+    from xframe_tpu.parallel.mesh import make_mesh, MultiStartRunner
+    from xframe_tpu.projects.fxs.demo import make_demo_problem
+    from xframe_tpu.projects.fxs.phasing import Segment
+
+    p = make_demo_problem(16, 8, fused_sht=True)
+    schedule = [Segment("HIO", 3, betas=np.full(3, 0.5), ft_stab=True),
+                Segment("ER", 2, betas=np.zeros(2), ft_stab=True)]
+    rho0 = p.initial_density_batch(7, 6)
+    mesh = make_mesh({"restarts": 4, "theta": 2})
+    runner = MultiStartRunner(p.mtip, schedule, mesh)
+    assert runner._n_shards == 8  # flattened over ALL devices
+    s_m, e_m = runner(rho0)
+    s_1, e_1 = jax.jit(lambda r: p.mtip.run_batch(r, schedule))(rho0)
+    e_m, e_1 = np.asarray(e_m), np.asarray(e_1)
+    assert e_m.shape == e_1.shape  # trimmed back to 6 restarts
+    assert np.allclose(e_m, e_1, rtol=2e-3, atol=1e-6)
+    assert np.asarray(s_m.best_err).shape == (6,)
+
+
+def test_fused_checkpointing_runner_sharded(tmp_path):
+    """CheckpointingRunner mirrors the fused shard_map branch: a fused
+    pipeline + mesh + checkpointing matches the unsharded trajectory."""
+    import numpy as np
+    from xframe_tpu.parallel.mesh import (make_mesh, MultiStartRunner,
+                                          CheckpointingRunner)
+    from xframe_tpu.projects.fxs.demo import make_demo_problem
+    from xframe_tpu.projects.fxs.phasing import Segment
+
+    p = make_demo_problem(16, 8, fused_sht=True)
+    schedule = [Segment("HIO", 3, betas=np.full(3, 0.5), ft_stab=True),
+                Segment("SW", sigma=p.mtip.sw.default_sigma, threshold=0.1),
+                Segment("ER", 2, betas=np.zeros(2), ft_stab=True)]
+    rho0 = p.initial_density_batch(9, 6)
+    ref_states, ref_errors = MultiStartRunner(p.mtip, schedule,
+                                              mesh=None)(rho0)
+    mesh = make_mesh({"restarts": 4})
+    runner = CheckpointingRunner(p.mtip, schedule, mesh,
+                                 checkpoint_path=str(tmp_path / "ck.h5"))
+    assert runner._fused_mesh is not None
+    states, errors = runner(rho0, resume=False)
+    errors, ref = np.asarray(errors), np.asarray(ref_errors)
+    assert errors.shape == ref.shape
+    assert np.allclose(errors, ref, rtol=2e-3, atol=1e-6)
+    assert np.allclose(np.asarray(states.best_err),
+                       np.asarray(ref_states.best_err), rtol=2e-3, atol=1e-6)
+
+
 def test_multiprocess_distributed_mesh():
     """Two OS processes × 4 virtual CPU devices joined by jax.distributed
     into one 8-device global mesh: the restart-sharded phasing run executes

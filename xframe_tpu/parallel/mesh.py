@@ -41,6 +41,29 @@ def default_mesh_axes(n_devices: int) -> dict:
     return {"restarts": n_devices}
 
 
+def _shard_map_restarts(fn, mesh: Mesh, spec, n_in: int = 1):
+    """shard_map `fn` over the restart axis; later inputs stay replicated."""
+    in_specs = (spec,) + (P(),) * (n_in - 1)
+    try:  # jax >= 0.7: keyword is check_vma
+        return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                             out_specs=spec, check_vma=False)
+    except TypeError:  # older API
+        from jax.experimental.shard_map import shard_map
+        return shard_map(fn, mesh=mesh, in_specs=in_specs,
+                         out_specs=spec, check_rep=False)
+
+
+def _pad_restarts(batch, n_shards: int):
+    """Pad the leading (restart) axis to a multiple of n_shards with
+    wrap-around copies (also covers n_restarts < n_shards)."""
+    n = int(batch.shape[0])
+    if n % n_shards == 0:
+        return batch
+    target = -(-n // n_shards) * n_shards
+    idx = np.arange(target) % n
+    return jnp.asarray(batch)[idx]
+
+
 class MultiStartRunner:
     """Jitted multi-start phasing over a device mesh.
 
@@ -58,22 +81,21 @@ class MultiStartRunner:
         fn = jax.vmap(partial(mtip.run, schedule=schedule))
         grid_rank = np.ndim(mtip.initial_support)  # 3 for (r,θ,φ), 2 for (r,φ)
         fused = getattr(mtip, "_fi", None) is not None
+        self._n_shards = None
         if mesh is not None and fused:
             # Pallas kernels are opaque to the GSPMD partitioner: shard the
             # (embarrassingly parallel) restart axis explicitly with
             # shard_map — each shard runs its own kernel grids, no
             # collectives. The θ tensor-parallel axis applies only to the
-            # jnp SHT path (a sharded einsum); with fused kernels use a
-            # restarts-only mesh.
+            # jnp SHT path (a sharded einsum), so flatten whatever mesh was
+            # configured into a restarts-only mesh over ALL its devices —
+            # otherwise every θ replica would silently recompute identical
+            # work.
+            sub = Mesh(mesh.devices.reshape(-1), (restart_axis,))
             spec = P(restart_axis)
-            self.in_sharding = NamedSharding(mesh, spec)
-            try:  # jax >= 0.7: keyword is check_vma
-                fn = jax.shard_map(fn, mesh=mesh, in_specs=(spec,),
-                                   out_specs=spec, check_vma=False)
-            except TypeError:  # older API
-                from jax.experimental.shard_map import shard_map
-                fn = shard_map(fn, mesh=mesh, in_specs=(spec,),
-                               out_specs=spec, check_rep=False)
+            self.in_sharding = NamedSharding(sub, spec)
+            self._n_shards = int(sub.devices.size)
+            fn = _shard_map_restarts(fn, sub, spec)
             self._jitted = jax.jit(fn)
         elif mesh is not None:
             theta = theta_axis if (theta_axis in mesh.axis_names
@@ -87,9 +109,17 @@ class MultiStartRunner:
             self._jitted = jax.jit(fn)
 
     def __call__(self, rho0_batch):
+        n = int(rho0_batch.shape[0])
+        if self._n_shards:
+            # shard_map needs the restart axis divisible by the shard count:
+            # pad with wrap-around copies and trim every output leaf back.
+            rho0_batch = _pad_restarts(rho0_batch, self._n_shards)
         if self.in_sharding is not None:
             rho0_batch = jax.device_put(rho0_batch, self.in_sharding)
-        return self._jitted(rho0_batch)
+        out = self._jitted(rho0_batch)
+        if self._n_shards and int(rho0_batch.shape[0]) != n:
+            out = jax.tree.map(lambda x: x[:n], out)
+        return out
 
 
 def rank_restarts(states, errors=None):
@@ -143,7 +173,18 @@ class CheckpointingRunner:
         self.checkpoint_path = checkpoint_path
         self.save_every = max(int(save_every), 1)
         self._compiled = {}
-        if mesh is not None:
+        self._n_shards = None
+        self._fused_mesh = None
+        fused = getattr(mtip, "_fi", None) is not None
+        if mesh is not None and fused:
+            # Same treatment as MultiStartRunner: pallas_call is opaque to
+            # GSPMD, so checkpointed multi-chip runs must shard_map the
+            # restart axis explicitly to get restart-parallel speedup.
+            self._fused_mesh = Mesh(mesh.devices.reshape(-1), (restart_axis,))
+            self._restart_axis = restart_axis
+            self._n_shards = int(self._fused_mesh.devices.size)
+            self.in_sharding = NamedSharding(self._fused_mesh, P(restart_axis))
+        elif mesh is not None:
             grid_rank = np.ndim(mtip.initial_support)
             theta = theta_axis if (theta_axis in mesh.axis_names
                                    and grid_rank == 3) else None
@@ -156,8 +197,11 @@ class CheckpointingRunner:
     def _step(self, structure):
         if structure not in self._compiled:
             fn = lambda state, args: self.mtip.run_chunk(state, structure, args)  # noqa: E731
-            self._compiled[structure] = jax.jit(
-                jax.vmap(fn, in_axes=(0, None)), static_argnums=())
+            fn = jax.vmap(fn, in_axes=(0, None))
+            if self._fused_mesh is not None:
+                fn = _shard_map_restarts(fn, self._fused_mesh,
+                                         P(self._restart_axis), n_in=2)
+            self._compiled[structure] = jax.jit(fn, static_argnums=())
         return self._compiled[structure]
 
     # --------------------------------------------------------- checkpoint IO
@@ -210,6 +254,9 @@ class CheckpointingRunner:
     def __call__(self, rho0_batch, resume=True, max_chunks=None):
         """max_chunks limits how many chunks run this call (the snapshot
         still lands, so a later call resumes where this one stopped)."""
+        n_out = int(rho0_batch.shape[0])
+        if self._n_shards:
+            rho0_batch = _pad_restarts(rho0_batch, self._n_shards)
         if self.in_sharding is not None:
             rho0_batch = jax.device_put(rho0_batch, self.in_sharding)
         state, start_chunk, errors = (None, 0, [])
@@ -231,6 +278,9 @@ class CheckpointingRunner:
         all_errors = jnp.concatenate(
             [jnp.asarray(e) for e in errors], axis=1) if errors \
             else jnp.zeros((len(rho0_batch), 0, 2))
+        if int(len(rho0_batch)) != n_out:
+            state = jax.tree.map(lambda x: x[:n_out], state)
+            all_errors = all_errors[:n_out]
         return state, all_errors
 
 

@@ -35,6 +35,53 @@ def _low_pass_cc(cc, fc_n_max):
     return np.fft.irfft(f, cc.shape[-1], axis=-1)
 
 
+def symmetrize_cc(cc, phis):
+    """Flat-Ewald CC symmetrization (reference cross_correlation.py:67-78):
+    the noisy Δ∈[0,π/2) and Δ∈(3π/2,2π] ranges are replaced by the values
+    shifted by π from the clean interior."""
+    phis = np.asarray(phis)
+    pos_pi2 = int(np.abs(phis - np.pi / 2).argmin())
+    pos_pi = int(np.abs(phis - np.pi).argmin())
+    pos_3pi2 = int(np.abs(phis - 3 * np.pi / 2).argmin())
+    n = cc.shape[-1]
+    out = np.array(cc, copy=True)
+    out[..., :pos_pi2] = cc[..., pos_pi:pos_pi + pos_pi2]
+    out[..., pos_3pi2 + 1:] = cc[..., pos_3pi2 + 1 - pos_pi:n - pos_pi]
+    return out
+
+
+def refine_detector_origin(mean_frame, origin0, search_radius_pix=3.0,
+                           steps=7, n_bins=64):
+    """Grid-search the beam center that maximizes azimuthal symmetry of the
+    averaged pattern: minimizes Σ_rings var(I)/mean(I)² (the reference keeps
+    this only in the SPB expLibrary; here it serves the single-panel path
+    too). → refined (oy, ox) in pixels."""
+    frame = np.asarray(mean_frame, dtype=np.float64)
+    ny, nx = frame.shape
+    yy, xx = np.mgrid[0:ny, 0:nx]
+    offsets = np.linspace(-search_radius_pix, search_radius_pix, int(steps))
+    weights = frame.ravel()
+    best = (np.inf, tuple(float(v) for v in origin0))
+    for dy in offsets:
+        for dx in offsets:
+            oy, ox = origin0[0] + dy, origin0[1] + dx
+            r = np.hypot(yy - oy, xx - ox).ravel()
+            r_max = min(oy, ox, ny - 1 - oy, nx - 1 - ox)
+            inside = r < r_max
+            idx = np.floor(r[inside] / r_max * n_bins).clip(
+                0, n_bins - 1).astype(int)
+            w = weights[inside]
+            sums = np.bincount(idx, weights=w, minlength=n_bins)
+            sq = np.bincount(idx, weights=w ** 2, minlength=n_bins)
+            counts = np.maximum(np.bincount(idx, minlength=n_bins), 1)
+            ring_mean = sums / counts
+            ring_var = sq / counts - ring_mean ** 2
+            score = float(np.mean(ring_var / (np.abs(ring_mean) + 1e-30) ** 2))
+            if score < best[0]:
+                best = (score, (float(oy), float(ox)))
+    return best[1]
+
+
 def _split_batch_item(item):
     """(batch, good) from a frame-stream item: plain batches get an all-good
     mask; (batch, mask) pairs (native loader read-ok flags, experiment
@@ -48,48 +95,95 @@ def _split_batch_item(item):
 
 
 class Correlator:
-    """Device-side batch correlator closed over the detector geometry."""
+    """Device-side batch correlator closed over the detector geometry.
+
+    Frame-option parity with the reference DataReader
+    (reference correlate.py:107-452):
+    qrange/qrange_xcca (:489-559), radial pixel filter (:401-413),
+    ROI normalization + ROI-mean frame rejection (:424-432), φ-range
+    (:496-525), CC symmetrization (:261-266)."""
 
     def __init__(self, image_shape, detector_origin, pixel_size_um,
                  sample_distance_mm, wavelength, n_phi=1024, n_q=None,
                  interpolation_order=1, mask_below=None, mask_above=None,
                  polarization=False, solid_angle=False, background=None,
-                 fc_n_max=None, with_ccf=True):
+                 fc_n_max=None, with_ccf=True, qrange=None, qrange_xcca=None,
+                 phi_range=None, phi_sampling_mode=None, roi_q_range=None,
+                 roi_normalize=False, roi_mean_bounds=None,
+                 radial_pixel_filter=None, symmetrize=False):
         """background: per-pixel frame subtracted before filtering
         (filters.background_file); fc_n_max: low-pass the final CC to this
         harmonic order; with_ccf=False skips the CC accumulation entirely
-        (settings `compute` without 'ccf': WAXS/is_good-only runs)."""
+        (settings `compute` without 'ccf': WAXS/is_good-only runs).
+
+        qrange=(q_min, q_max, q_step) [Å⁻¹] defines the radial grid in
+        momentum-transfer space (reference :489-502); default derives a
+        uniform pixel-radius grid from the detector half-size.
+        qrange_xcca=((q1_min,q1_max,idx_step),(q2_min,q2_max,idx_step))
+        restricts the CCF to radial index subsets (reference :546-559).
+        phi_range=(φ_min, φ_max) azimuthal window; phi_sampling_mode
+        'max'|'min' caps/floors n_phi at the feasible 1-pixel circumference
+        sampling at q_max (reference :505-522).
+        roi_q_range=(q_lo, q_hi): rows used for ROI statistics;
+        roi_normalize divides each frame by its masked ROI mean,
+        roi_mean_bounds=(lo, hi) rejects frames outside (reference :424-432).
+        radial_pixel_filter=('average_sigma'|'median_mad', n_sigma): masks
+        polar pixels deviating > n_sigma spreads from their ring statistic
+        (reference :401-413). symmetrize: replace Δ∈[0,π/2) and (3π/2,2π]
+        by the shifted interior values at save time (reference
+        cross_correlation.py:67-78)."""
         ny, nx = image_shape
         oy, ox = float(detector_origin[0]), float(detector_origin[1])
         r_max_pix = min(oy, ox, ny - 1 - oy, nx - 1 - ox)
-        if n_q is None or n_q <= 0:
-            n_q = int(r_max_pix)
-        self.n_q, self.n_phi = int(n_q), int(n_phi)
+        dist_pix = sample_distance_mm * 1000.0 / pixel_size_um
+        self.wavelength = wavelength
+
+        if qrange is not None:
+            # q-space grid: q rings map to pixel radii via r = tan(2θ)·D
+            q_min, q_max, q_step = [float(v) for v in qrange]
+            self.n_q = int((q_max - q_min) / q_step + 1)
+            self.qs = np.arange(self.n_q) * q_step + q_min
+            angles = 2.0 * np.arcsin(self.qs * wavelength / (4 * np.pi))
+            r_pix = np.tan(angles) * dist_pix
+        else:
+            if n_q is None or n_q <= 0:
+                n_q = int(r_max_pix)
+            self.n_q = int(n_q)
+            r_pix = (np.arange(self.n_q) + 0.5) * r_max_pix / self.n_q
+            angles = np.arctan(r_pix / dist_pix)
+            self.qs = scattering_angle_to_reciprocal_radii(angles, wavelength)
         self.order = int(interpolation_order)
 
+        # azimuthal window + feasible-sampling cap (reference :505-522)
+        phi_min, phi_max = (0.0, 2 * np.pi) if phi_range is None \
+            else (float(phi_range[0]), float(phi_range[1]))
+        n_phi = int(n_phi)
+        if phi_sampling_mode in ("max", "min"):
+            maxpix = int(round(2 * np.pi * float(r_pix[-1])))
+            maxpix += maxpix % 2
+            n_phi = min(maxpix, n_phi) if phi_sampling_mode == "max" \
+                else max(maxpix, n_phi)
+        self.n_phi = n_phi
+        phis = phi_min + (phi_max - phi_min) * np.arange(n_phi) / n_phi
+        self.phis = phis
+
         # polar sample coordinates in pixel units (host constants)
-        r_pix = (np.arange(self.n_q) + 0.5) * r_max_pix / self.n_q
-        phis = 2 * np.pi * np.arange(self.n_phi) / self.n_phi
         yy = oy + r_pix[:, None] * np.sin(phis)[None, :]
         xx = ox + r_pix[:, None] * np.cos(phis)[None, :]
         self._coords = np.stack([yy, xx]).astype(np.float32)  # (2, n_q, n_phi)
-        self.phis = phis
-
-        # scattering geometry: pixel radius → momentum transfer
-        dist_pix = sample_distance_mm * 1000.0 / pixel_size_um
-        angles = np.arctan(r_pix / dist_pix)
-        self.qs = scattering_angle_to_reciprocal_radii(angles, wavelength)
-        self.wavelength = wavelength
 
         corr = np.ones((self.n_q, self.n_phi))
         if solid_angle:
             # 1/cos³(2θ) flat-detector solid-angle correction
             corr *= 1.0 / np.cos(angles)[:, None] ** 3
         if polarization:
-            # horizontal linear polarization factor
+            # linear polarization factor 1/(cos²2θ + sin²2θ·trig²φ):
+            # trig = sin for vertical, cos for horizontal polarization
+            # (reference :565-582)
+            trig = np.cos if str(polarization) == "h" else np.sin
             corr /= np.maximum(
-                1 - (np.sin(angles)[:, None] * np.cos(phis)[None, :]) ** 2,
-                1e-3)
+                np.cos(angles)[:, None] ** 2
+                + (np.sin(angles)[:, None] * trig(phis)[None, :]) ** 2, 1e-3)
         self._corrections = corr.astype(np.float32)
         self.mask_below = mask_below
         self.mask_above = mask_above
@@ -97,6 +191,31 @@ class Correlator:
             np.asarray(background, dtype=np.float32)
         self.fc_n_max = None if not fc_n_max else int(fc_n_max)
         self.with_ccf = bool(with_ccf)
+        self.symmetrize = bool(symmetrize)
+
+        # CCF radial index subsets (reference :546-559)
+        if qrange_xcca is not None:
+            (a_lo, a_hi, a_st), (b_lo, b_hi, b_st) = qrange_xcca
+            p1 = int(np.abs(self.qs - float(a_lo)).argmin())
+            p2 = int(np.abs(self.qs - float(a_hi)).argmin())
+            self.q1_pos = np.arange(p1, p2 + 1, int(a_st))
+            p1 = int(np.abs(self.qs - float(b_lo)).argmin())
+            p2 = int(np.abs(self.qs - float(b_hi)).argmin())
+            self.q2_pos = np.arange(p1, p2 + 1, int(b_st))
+        else:
+            self.q1_pos = self.q2_pos = np.arange(self.n_q)
+
+        # ROI rows for normalization / frame rejection (reference :186-192)
+        self._roi = None
+        if roi_q_range is not None:
+            lo = int(np.abs(self.qs - float(roi_q_range[0])).argmin())
+            hi = int(np.abs(self.qs - float(roi_q_range[1])).argmin())
+            self._roi = (lo, max(hi, lo + 1))
+        self.roi_normalize = bool(roi_normalize)
+        self.roi_mean_bounds = None if roi_mean_bounds is None else \
+            (float(roi_mean_bounds[0]), float(roi_mean_bounds[1]))
+        self.radial_pixel_filter = None if radial_pixel_filter is None else \
+            (str(radial_pixel_filter[0]), float(radial_pixel_filter[1]))
 
         self._process = jax.jit(self._process_batch)
 
@@ -107,27 +226,72 @@ class Correlator:
 
     def _process_batch(self, frames, good):
         """frames (B, ny, nx) f32; good (B,) f32 0/1 →
-        accumulated (cc_f, cc_m, waxs_sum, count_sum, n_good)."""
-        if self._background is not None:
-            frames = frames - self._background
+        accumulated (cc_f, cc_m, waxs_sum, count_sum, n_good).
+
+        Per-frame step order matches the reference process_image
+        (correlate.py:377-452): threshold masks on RAW values → background
+        subtraction → polar regrid → radial pixel filter → ROI mean
+        filter/normalization → polarization/solid-angle corrections."""
         valid = jnp.isfinite(frames)
         if self.mask_below is not None:
             valid &= frames > self.mask_below
         if self.mask_above is not None:
             valid &= frames < self.mask_above
+        if self._background is not None:
+            frames = frames - self._background
         frames = jnp.where(valid, frames, 0.0)
 
         polar = jax.vmap(self._regrid)(frames)                  # (B, n_q, n_phi)
         pmask = jax.vmap(self._regrid)(valid.astype(jnp.float32)) > 0.99
+        polar = polar * pmask
+
+        if self.radial_pixel_filter is not None:
+            mode, n_sig = self.radial_pixel_filter
+            mf = pmask.astype(polar.dtype)
+            if mode == "median_mad":
+                nan_polar = jnp.where(pmask, polar, jnp.nan)
+                center = jnp.nanmedian(nan_polar, axis=-1, keepdims=True)
+                spread = jnp.nanmedian(jnp.where(pmask,
+                                                 jnp.abs(polar - center),
+                                                 jnp.nan),
+                                       axis=-1, keepdims=True)
+            else:  # 'average_sigma'
+                cnt = jnp.maximum(mf.sum(axis=-1, keepdims=True), 1.0)
+                center = (polar * mf).sum(axis=-1, keepdims=True) / cnt
+                var = (((polar - center) * mf) ** 2).sum(
+                    axis=-1, keepdims=True) / cnt
+                spread = jnp.sqrt(var)
+            keep = jnp.abs(polar - center) <= n_sig * spread
+            pmask &= jnp.where(jnp.isnan(center) | jnp.isnan(spread),
+                               True, keep)
+            polar = polar * pmask
+
+        # completely-masked frames are bad (reference :418-421)
+        good = good * (pmask.sum(axis=(1, 2)) > 0)
+
+        if self._roi is not None:
+            lo, hi = self._roi
+            rm = pmask[:, lo:hi, :].astype(polar.dtype)
+            roi_mean = (polar[:, lo:hi, :] * rm).sum(axis=(1, 2)) \
+                / jnp.maximum(rm.sum(axis=(1, 2)), 1.0)
+            if self.roi_mean_bounds is not None:
+                lo_v, hi_v = self.roi_mean_bounds
+                good = good * ((roi_mean >= lo_v) & (roi_mean <= hi_v))
+            if self.roi_normalize:
+                polar = polar / jnp.maximum(roi_mean, 1e-30)[:, None, None]
+
         polar = polar * self._corrections * pmask
 
         g = good[:, None, None]
         if self.with_ccf:
             f = jnp.fft.rfft(polar * g, axis=-1)                # (B, n_q, n+1)
             m = jnp.fft.rfft(pmask.astype(jnp.float32) * g, axis=-1)
-            # Σ_frames Î(q1)* Î(q2): batched outer product over q — MXU einsum
-            cc_f = jnp.einsum("bqn,bpn->qpn", f.conj(), f)
-            cc_m = jnp.einsum("bqn,bpn->qpn", m.conj(), m)
+            # Σ_frames Î(q1)* Î(q2): batched outer product over the (possibly
+            # qrange_xcca-restricted) radial subsets — MXU einsum
+            f1, f2 = f[:, self.q1_pos], f[:, self.q2_pos]
+            m1, m2 = m[:, self.q1_pos], m[:, self.q2_pos]
+            cc_f = jnp.einsum("bqn,bpn->qpn", f1.conj(), f2)
+            cc_m = jnp.einsum("bqn,bpn->qpn", m1.conj(), m2)
         else:
             cc_f = cc_m = jnp.zeros((), dtype=jnp.complex64)
         waxs = jnp.sum(polar * g, axis=0)
@@ -159,6 +323,8 @@ class Correlator:
             ccf = np.fft.irfft(cc_f, self.n_phi, axis=-1)
             ccm = np.fft.irfft(cc_m, self.n_phi, axis=-1)
             cc = np.where(ccm > 0.5, ccf / np.where(ccm > 0.5, ccm, 1.0), 0.0)
+            if self.symmetrize:
+                cc = symmetrize_cc(cc, self.phis)
             cc = _low_pass_cc(cc, self.fc_n_max)
         avg_intensity = np.where(count > 0, waxs / np.maximum(count, 1), 0.0)
         return {
@@ -234,26 +400,51 @@ class ProjectWorker(ProjectWorkerInterface):
         with_ccf = any(c.startswith("ccf") for c in compute)
         background = self._load_background(fopt.get("background_file"),
                                            (ny, nx))
-        corr = Correlator(
-            (ny, nx), opt.detector_origin, float(opt.pixel_size),
-            float(opt.sample_distance), float(opt.wavelength),
-            n_phi=int(opt.polar_grid.n_phi),
-            n_q=int(opt.polar_grid.get("n_q", 0)),
-            interpolation_order=int(opt.get("interpolation_order", 1)),
-            mask_below=fopt.get("mask_below") if fopt.get("mask_below") is not False else None,
-            mask_above=fopt.get("mask_above") if fopt.get("mask_above") is not False else None,
-            polarization=bool(opt.get("corrections", {}).get("polarization", False)),
-            solid_angle=bool(opt.get("corrections", {}).get("solid_angle", False)),
-            background=background,
-            fc_n_max=int(opt.get("fc_n_max", 0) or 0) or None,
-            with_ccf=with_ccf)
-
         paths = self._frame_paths()
         n_max = opt.get("max_n_patterns", "all")
         if not (isinstance(n_max, str) and n_max == "all"):
             paths = paths[: int(n_max)]
         dtype = np.dtype(str(opt.get("input", {}).get("dtype", "float32")))
         batch_size = int(opt.get("batch_size", 64))
+
+        origin = [float(v) for v in opt.detector_origin]
+        refine = opt.get("refine_beam_center", False)
+        if refine:
+            origin = self._refine_origin(paths, (ny, nx), dtype, origin,
+                                         refine, batch_size)
+
+        def _pair(v):
+            return None if (v is None or v is False) else \
+                tuple(float(x) for x in v)
+
+        roi = fopt.get("roi", {}) or {}
+        rpf = fopt.get("radial_pixel_filter", False)
+        polarization = opt.get("corrections", {}).get("polarization", False)
+        corr = Correlator(
+            (ny, nx), origin, float(opt.pixel_size),
+            float(opt.sample_distance), float(opt.wavelength),
+            n_phi=int(opt.polar_grid.n_phi),
+            n_q=int(opt.polar_grid.get("n_q", 0)),
+            interpolation_order=int(opt.get("interpolation_order", 1)),
+            mask_below=fopt.get("mask_below") if fopt.get("mask_below") is not False else None,
+            mask_above=fopt.get("mask_above") if fopt.get("mask_above") is not False else None,
+            polarization=polarization,
+            solid_angle=bool(opt.get("corrections", {}).get("solid_angle", False)),
+            background=background,
+            fc_n_max=int(opt.get("fc_n_max", 0) or 0) or None,
+            with_ccf=with_ccf,
+            qrange=_pair(opt.get("qrange", False)),
+            qrange_xcca=None if not opt.get("qrange_xcca", False)
+            else tuple(tuple(float(x) for x in row)
+                       for row in opt.qrange_xcca),
+            phi_range=_pair(opt.get("phi_range", False)),
+            phi_sampling_mode=opt.polar_grid.get("phi_sampling_mode") or None,
+            roi_q_range=_pair(roi.get("q_range", False)),
+            roi_normalize=bool(roi.get("normalize", False)),
+            roi_mean_bounds=_pair(roi.get("mean_bounds", False)),
+            radial_pixel_filter=None if not rpf
+            else (str(rpf[0]), float(rpf[1])),
+            symmetrize=bool(opt.get("ccf_2p_symmetrize", False)))
         # C++ thread-pool reader with double-buffered prefetch: the next
         # batch loads while the current one correlates on device
         from xframe_tpu.native import PrefetchingFrameLoader
@@ -285,6 +476,26 @@ class ProjectWorker(ProjectWorkerInterface):
         print(f"correlate: {len(paths)} frames "
               f"({out['num_images_good']} good); saved to {path}")
         return data
+
+    def _refine_origin(self, paths, shape, dtype, origin, refine,
+                       batch_size):
+        """refine_beam_center: grid-search the detector origin on the mean
+        of the first batch before building the polar grid (single-panel
+        counterpart of the SPB beam-center refinement)."""
+        from xframe_tpu.native import read_frame_batch
+        sample = paths[: max(int(batch_size), 8)]
+        frames, ok = read_frame_batch(sample, shape, dtype=dtype)
+        good = frames[np.asarray(ok, dtype=bool)]
+        if not len(good):
+            return origin
+        mean_frame = np.where(np.isfinite(good), good, 0.0).mean(axis=0)
+        ropt = refine if isinstance(refine, dict) else {}
+        refined = refine_detector_origin(
+            mean_frame, origin,
+            search_radius_pix=float(ropt.get("search_radius_pix", 3.0)),
+            steps=int(ropt.get("steps", 7)))
+        print(f"correlate: beam center refined {tuple(origin)} -> {refined}")
+        return list(refined)
 
     def _load_background(self, spec, shape):
         """filters.background_file: per-pixel background frame (.npy, .h5
