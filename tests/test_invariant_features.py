@@ -133,3 +133,160 @@ def test_estimate_number_of_particles_scaling(problem):
         estimates[n] = n_hat
     assert abs(estimates[4] / estimates[1] - 4) < 0.5
     assert abs(estimates[9] / estimates[1] - 9) < 1.0
+
+
+# --------------------------------------------------- CC modifications (round 3)
+def test_binned_mean_cc_matches_reference_semantics():
+    """binned_mean_cc reproduces the reference binned_mean
+    (fxs_invariant_tools.py:308-332): masked bin averages on a
+    2*max_order-bin grid, with the wrap-around bin rolled to the front."""
+    rng = np.random.default_rng(5)
+    n_q, n_phi, L = 4, 48, 6
+    phis = 2 * np.pi * np.arange(n_phi) / n_phi
+    cc = rng.normal(size=(n_q, n_q, n_phi))
+    mask = rng.uniform(size=cc.shape) > 0.25
+    new_cc, new_mask, new_phis = itools.binned_mean_cc(cc, mask, L, phis)
+    n_bins = 2 * L
+    assert new_cc.shape == (n_q, n_q, n_bins)
+    assert np.allclose(new_phis, np.arange(n_bins) * 2 * np.pi / n_bins)
+    # brute force: each output bin b averages unmasked cc at phis within
+    # [b*step - step/2, b*step + step/2) (periodically)
+    step = np.pi / L
+    ids = ((phis + step / 2) // step).astype(int) % n_bins
+    for b in range(n_bins):
+        sel = ids == b
+        cnt = mask[..., sel].sum(axis=-1)
+        expect = np.where(cnt > 0,
+                          (cc[..., sel] * mask[..., sel]).sum(axis=-1)
+                          / np.maximum(cnt, 1), 0.0)
+        assert np.allclose(new_cc[..., b], expect), b
+        assert np.array_equal(new_mask[..., b], cnt > 0)
+
+
+def test_zero_cc_harmonics():
+    rng = np.random.default_rng(6)
+    cc = rng.normal(size=(3, 3, 32))
+    out = itools.zero_cc_harmonics(cc, max_order=5)
+    f = np.fft.rfft(out, axis=-1)
+    assert np.abs(f[..., 6:]).max() < 1e-10 * np.abs(f).max()
+    assert np.allclose(np.fft.rfft(cc, axis=-1)[..., :6], f[..., :6])
+    out_odd = itools.zero_cc_harmonics(cc, zero_odd=True)
+    f_odd = np.fft.rfft(out_odd, axis=-1)
+    assert np.abs(f_odd[..., 1::2]).max() < 1e-10 * np.abs(f_odd).max()
+    # a pi-periodic signal is invariant under odd-harmonic removal
+    per = np.tile(rng.normal(size=(3, 3, 16)), (1, 1, 2))
+    assert np.allclose(itools.zero_cc_harmonics(per, zero_odd=True), per,
+                       atol=1e-10)
+
+
+def test_low_pass_cc_in_q_matches_scipy():
+    from scipy.signal import butter, sosfilt
+    rng = np.random.default_rng(7)
+    cc = rng.normal(size=(16, 16, 8))
+    cutoff = 3.0
+    got = itools.low_pass_cc_in_q(cc, cutoff)
+    sos = butter(1, cutoff, "lp", fs=16, output="sos")
+    expected = sosfilt(sos, sosfilt(sos, cc, axis=0), axis=1)
+    assert np.allclose(got, expected)
+
+
+def test_line_q_id_limits_geometry():
+    """Per-order line limits: each order's [lo, hi) follows the specified
+    lines in (order, q) space; the 3D mask is the outer product of the row
+    validity (reference calc_deg_2_invariant_line_mask, extract.py:368-414)."""
+    n_q, L = 32, 10
+    qs = np.linspace(0.0, 0.31, n_q)
+    # min line from (order 0, q 0.0) to (order 10, q 0.2): lo grows with l
+    min_line = ((0.0, 0.0), (10.0, 0.2))
+    # max line from (order 0, q 0.15) to (order 10, q 0.31): hi grows with l
+    max_line = ((0.0, 0.15), (10.0, 0.31))
+    mask, lim = itools.line_q_id_limits(qs, L, min_line=min_line,
+                                        max_line=max_line)
+    assert lim.shape == (L + 1, 2)
+    assert mask.shape == (L + 1, n_q, n_q)
+    # analytic: q_min(l) = 0.02*l, q_max(l) = 0.15 + 0.016*l
+    for l in range(L + 1):
+        lo_expect = np.searchsorted(qs, 0.02 * l)
+        hi_expect = np.searchsorted(qs, 0.15 + 0.016 * l, side="right")
+        assert abs(int(lim[l, 0]) - lo_expect) <= 1, (l, lim[l], lo_expect)
+        assert abs(int(lim[l, 1]) - hi_expect) <= 1, (l, lim[l], hi_expect)
+        rows = np.zeros(n_q, dtype=bool)
+        rows[lim[l, 0]:lim[l, 1]] = True
+        assert np.array_equal(mask[l], rows[:, None] & rows[None, :])
+    # monotonic in l for these lines
+    assert (np.diff(lim[:, 0]) >= 0).all()
+    assert (np.diff(lim[:, 1]) >= 0).all()
+
+
+def test_apply_psd_on_q_limits_subblocks():
+    """PSD projection acts only inside each order's q-limit sub-block;
+    outside entries are untouched (reference apply_invariant_constraints)."""
+    rng = np.random.default_rng(8)
+    L, n_q = 3, 10
+    bl = rng.normal(size=(L + 1, n_q, n_q))
+    bl = bl + np.swapaxes(bl, 1, 2)  # symmetric but indefinite
+    lim = np.array([[0, n_q], [2, 8], [3, 6], [9, 9]])
+    out = itools.apply_psd_on_q_limits(bl, lim)
+    for l, (lo, hi) in enumerate(lim):
+        if hi > lo:
+            ev = np.linalg.eigvalsh(out[l, lo:hi, lo:hi])
+            assert ev.min() > -1e-10, (l, ev.min())
+        outside = np.ones((n_q, n_q), dtype=bool)
+        outside[lo:hi, lo:hi] = False
+        assert np.array_equal(out[l][outside], bl[l][outside]), l
+    # order 3 has an empty block: fully untouched
+    assert np.array_equal(out[3], bl[3])
+
+
+def test_extract_with_line_limits_changes_projection_support(tmp_path,
+                                                             monkeypatch):
+    """End-to-end: line bl_q_limits restrict each order's V_l support to its
+    q window, as the reference's sub-block eigendecomposition does."""
+    import os
+    import xframe_tpu as xf
+    from xframe_tpu.io import hdf5 as hdf5_io
+    monkeypatch.setenv("XFRAME_TPU_HOME", str(tmp_path))
+    rng = np.random.default_rng(9)
+    n_q, L, n_phi = 16, 6, 64
+    qs = np.linspace(0.02, 0.4, n_q)
+    # synthetic CC from a random PSD B_l set
+    bl = np.zeros((L + 1, n_q, n_q), dtype=complex)
+    for l in range(0, L + 1, 2):
+        v = rng.normal(size=(n_q, 2 * l + 1))
+        bl[l] = v @ v.T
+    cc = itools.deg2_invariant_to_cc_3d(bl, 1.23984, qs, n_phi)
+    folder = os.path.join(str(tmp_path), "data", "fxs", "ccd", "line_test",
+                          "run_1")
+    os.makedirs(folder, exist_ok=True)
+    hdf5_io.save(os.path.join(folder, "ccd.h5"), {
+        "dimensions": 3, "radial_points": qs,
+        "angular_points": 2 * np.pi * np.arange(n_phi) / n_phi,
+        "xray_wavelength": 1.23984,
+        "average_intensity": np.zeros(n_q),
+        "cross_correlation": {"I1I1": cc.real},
+        "num_images_processed": 1, "num_images_good": 1})
+
+    overrides = {
+        "structure_name": "line_test", "max_order": L,
+        "cross_correlation": {
+            "datasets": {"I1I1": {
+                "modify_cc": {"subtract_average_intensity": False},
+                "bl_q_limits": {
+                    "min": {"type": "line",
+                            "line": [[0, qs[3]], [L, qs[3]]]},
+                    "max": {"type": "line",
+                            "line": [[0, qs[12]], [L, qs[12]]]}}}}},
+    }
+    xf.select_project("fxs", "extract", overrides=overrides)
+    inv = xf.run()
+    qlim = np.asarray(inv["data_projection_matrices_q_id_limits"])
+    assert (qlim[:, 0] >= 3).all() and (qlim[:, 1] <= 13).all()
+    for l in range(0, L + 1, 2):
+        V = np.asarray(inv["data_projection_matrices"]["I1I1"][l])
+        lo, hi = qlim[l]
+        assert np.abs(V[:lo]).max() == 0 if lo > 0 else True
+        assert np.abs(V[hi:]).max() == 0 if hi < n_q else True
+        assert np.abs(V[lo:hi]).max() > 0
+    mask = np.asarray(inv["deg_2_invariant_masks"]["I1I1"])
+    assert mask.shape == (L + 1, n_q, n_q)
+    assert not mask[0, 0, 0] and mask[0, 5, 5]

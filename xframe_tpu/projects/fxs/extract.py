@@ -54,21 +54,24 @@ class ProjectWorker(ProjectWorkerInterface):
         inv_opt = opt.get("invariant_constraints", {})
         apply_psd = bool(inv_opt.get("positive_semidefinite", {})
                          .get("apply", True))
-        bls, mask_dict = {}, {}
+        bls, mask_dict, qlim_dict = {}, {}, {}
         for name in present:
-            bl, mask_dict[name] = self._extract_bl(ccd, name, dim, qs,
-                                                   wavelength,
-                                                   avg_intensity, L)
+            bl, mask_dict[name], qlim_dict[name] = self._extract_bl(
+                ccd, name, dim, qs, wavelength, avg_intensity, L)
             # mixed invariants (I2I1 = V2 U V1†) are not Hermitian-PSD; only
-            # the same-dataset B_l are (reference applies the PSD constraint
-            # per auto-correlation dataset, extract.py:332-430)
-            if apply_psd and name != "I2I1":
+            # the same-dataset B_l are. PSD is enforced on each order's
+            # q-limit sub-block only (reference apply_invariant_constraints,
+            # extract.py:417-430)
+            if apply_psd and name != "I2I1" and dim == 3:
+                bl = itools.apply_psd_on_q_limits(bl, qlim_dict[name])
+            elif apply_psd and name != "I2I1":
                 bl = itools.nearest_positive_semidefinite_matrix(bl)
             bls[name] = bl
         primary = present[0]
         out, proj1, eig1 = self._invariants_to_output(
             bls[primary], dim, qs, wavelength, avg_intensity,
-            np.asarray(ccd["angular_points"]))
+            np.asarray(ccd["angular_points"]),
+            q_limits=qlim_dict.get(primary))
         out["deg_2_invariant"] = {n: bls[n] for n in present}
         out["deg_2_invariant_masks"] = {n: mask_dict[n] for n in present}
 
@@ -79,7 +82,8 @@ class ProjectWorker(ProjectWorkerInterface):
             rank_cap = bool(opt.get("projection_matrices", {})
                             .get("rank_cap", True))
             proj2, eig2 = itools.deg2_invariant_to_projection_matrices(
-                bls["I2I2"], rank_cap=rank_cap)
+                bls["I2I2"], q_id_limits=qlim_dict.get("I2I2"),
+                rank_cap=rank_cap)
             out["data_projection_matrices"]["I2I2"] = proj2
             if "I2I1" in bls:
                 method = str(opt.get("unknown_transform", {})
@@ -201,15 +205,23 @@ class ProjectWorker(ProjectWorkerInterface):
                     * np.asarray(avg_intensity)[None, :, None]
             else:
                 cc = cc - avg_intensity[:, None, None] * avg_intensity[None, :, None]
+        lpq = mod.get("low_pass_order_in_q", False)
+        if lpq:
+            cc = itools.low_pass_cc_in_q(cc, float(lpq))
         lp = mod.get("low_pass_order", False)
-        if lp:
-            ccn = np.fft.rfft(cc, axis=-1)
-            ccn[..., int(lp) + 1:] = 0
-            cc = np.fft.irfft(ccn, cc.shape[-1], axis=-1)
+        if lp or mod.get("enforce_max_order", False) \
+                or mod.get("zero_odd_harmonics", False):
+            cap = int(lp) if lp else (
+                L if mod.get("enforce_max_order", False) else None)
+            cc = itools.zero_cc_harmonics(
+                cc, max_order=cap,
+                zero_odd=bool(mod.get("zero_odd_harmonics", False)))
         if mod.get("q1q2_symmetrize", False):
             cc = (cc + np.swapaxes(cc, 0, 1)) / 2
         if mod.get("pi_periodicity", False):
             cc = itools.enforce_pi_periodicity(cc)
+        if mod.get("binned_mean", False):
+            cc, mask, phis = itools.binned_mean_cc(cc, mask, L, phis)
         if not mask.all():
             if mod.get("interpolate_masked", True):
                 cc = itools.interpolate_masked_cc(cc, mask)
@@ -229,14 +241,42 @@ class ProjectWorker(ProjectWorkerInterface):
             bl = itools.cc_to_deg2_invariant_2d(cc, L)
             if subtracted_avg:
                 bl[0] = np.outer(avg_intensity, avg_intensity)
-        return bl, np.ones(bl.shape, dtype=bool)
+
+        # --- per-order q-limit line masks (reference extract.py:332-414)
+        bl_mask, qlim = self._bl_masks(ds_opt, qs, L)
+        return bl, bl_mask, qlim
+
+    def _bl_masks(self, ds_opt, qs, L):
+        """Dataset bl_q_limits → (mask (L+1,n_q,n_q), q_id_limits (L+1,2)).
+        'line' limits bound each order's usable q range; 'manual' global
+        limits (invariant_constraints.q_limits) apply otherwise."""
+        lim_opt = ds_opt.get("bl_q_limits", {})
+
+        def _line(side):
+            s = lim_opt.get(side, {})
+            if str(s.get("type", "none")) == "line":
+                pts = s.get("line")
+                return (tuple(float(v) for v in pts[0]),
+                        tuple(float(v) for v in pts[1]))
+            return None
+        min_line, max_line = _line("min"), _line("max")
+        if min_line is None and max_line is None:
+            qlim = np.asarray(self._q_id_limits(L + 1, len(qs)))
+            mask = np.zeros((L + 1, len(qs), len(qs)), dtype=bool)
+            for l in range(L + 1):
+                lo, hi = qlim[l]
+                mask[l, lo:hi, lo:hi] = True
+            return mask, qlim
+        return itools.line_q_id_limits(qs, L, min_line=min_line,
+                                       max_line=max_line)
 
     def _invariants_to_output(self, bl, dim, qs, wavelength, avg_intensity,
-                              angular_points):
+                              angular_points, q_limits=None):
         """Shared tail: projection matrices → prephasing → output schema.
         Callers pass PSD-enforced (or by-construction PSD) invariants."""
         opt = self.settings
-        q_limits = self._q_id_limits(bl.shape[0], len(qs))
+        if q_limits is None:
+            q_limits = self._q_id_limits(bl.shape[0], len(qs))
 
         # --- projection matrices (reference extract.py:433-466)
         if dim == 3:

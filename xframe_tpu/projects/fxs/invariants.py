@@ -603,3 +603,117 @@ def enforce_pi_periodicity(cc):
     flat Ewald sphere; reference modify_cross_correlation pi_periodicity)."""
     cc = np.asarray(cc)
     return 0.5 * (cc + np.roll(cc, cc.shape[-1] // 2, axis=-1))
+
+
+def zero_cc_harmonics(cc, max_order=None, zero_odd=False):
+    """enforce_max_order / enforce_zero_odd_harmonics CC modifications
+    (reference modify_cross_correlation, fxs_invariant_tools.py:253-262):
+    circular harmonics C_n above max_order cannot contribute to B_l with
+    l ≤ max_order, and π-symmetry of the CC makes odd harmonics zero."""
+    f = np.fft.rfft(np.asarray(cc, dtype=float), axis=-1)
+    if max_order is not None:
+        f[..., int(max_order) + 1:] = 0
+    if zero_odd:
+        f[..., 1::2] = 0
+    return np.fft.irfft(f, cc.shape[-1], axis=-1)
+
+
+def low_pass_cc_in_q(cc, cutoff):
+    """low_pass_order_in_q: first-order Butterworth low-pass along the q1
+    and q2 axes (reference fxs_invariant_tools.py:248-252)."""
+    from scipy.signal import butter, sosfilt
+    sos = butter(1, float(cutoff), "lp", fs=len(cc), output="sos")
+    cc = sosfilt(sos, np.asarray(cc, dtype=float), axis=0)
+    return sosfilt(sos, cc, axis=1)
+
+
+def binned_mean_cc(cc, mask, max_order, phis):
+    """apply_binned_mean: re-bin the Δ axis to 2·max_order bins of width
+    π/max_order by masked averaging (reference binned_mean,
+    fxs_invariant_tools.py:308-332). → (cc, mask, phis) on the new grid."""
+    phis = np.asarray(phis, dtype=float)
+    step = np.pi / int(max_order)
+    n_bins = 2 * int(max_order)
+    ids = ((phis + step / 2) // step).astype(int)
+    n_roll = int(np.sum(ids == n_bins))
+    ids[ids == n_bins] = 0
+    ccr = np.roll(np.asarray(cc, dtype=float), n_roll, axis=-1)
+    mr = np.roll(np.asarray(mask, dtype=bool), n_roll, axis=-1)
+    idr = np.roll(ids, n_roll)
+    ccr[~mr] = 0.0
+    split = np.where(np.roll(idr, 1) != idr)[0]
+    new_cc = np.add.reduceat(ccr, split, axis=-1)
+    counts = np.add.reduceat(mr.astype(int), split, axis=-1)
+    new_mask = counts != 0
+    new_cc[new_mask] /= counts[new_mask]
+    new_phis = np.arange(n_bins) * 2 * np.pi / n_bins
+    return new_cc, new_mask, new_phis
+
+
+# ------------------------------------------------------- per-order q-id limits
+def _distance_from_line(p1, p2, orders, qs):
+    """Signed distance of every (order, q) grid point from the line p1→p2
+    in (order, q) space (reference mathLibrary.py:1131-1137)."""
+    p1, p2 = np.asarray(p1, dtype=float), np.asarray(p2, dtype=float)
+    d = p2 - p1
+    normal = np.array([d[1], -d[0]])
+    return ((orders[:, None] - p1[0]) * normal[0]
+            + (qs[None, :] - p1[1]) * normal[1])
+
+
+def line_q_id_limits(qs, l_max, min_line=None, max_line=None, q_mask=None):
+    """Per-order B_l q-limit 'line' masks (reference
+    calc_deg_2_invariant_masks + calc_deg_2_invariant_line_mask,
+    extract.py:332-414): a line [(l_start, q_start), (l_stop, q_stop)] in
+    (order, q) space bounds the usable q range of each order from below
+    (min_line) and/or above (max_line).
+
+    Returns (mask, q_id_limits): mask (l_max+1, n_q, n_q) bool — the outer
+    product of each order's 1-D q validity with itself — and q_id_limits
+    (l_max+1, 2) int with the [lo, hi) slice of each order (clamped to the
+    detector q_mask extent)."""
+    qs = np.asarray(qs, dtype=float)
+    n_q = len(qs)
+    orders = np.arange(l_max + 1, dtype=float)
+    limits = np.zeros((l_max + 1, 2), dtype=int)
+    limits[:, 1] = n_q
+
+    row_masks = np.ones((l_max + 1, n_q), dtype=bool)
+    if min_line is not None:
+        m = -_distance_from_line(min_line[0], min_line[1], orders, qs) >= 0
+        lo = np.where(m.any(axis=1), np.argmax(m, axis=1), n_q - 1)
+        limits[:, 0] = lo
+        row_masks &= m
+    if max_line is not None:
+        # valid-for-max region: the complement of the min-style half-plane
+        # (reference invert=True branch, extract.py:385-393)
+        m = _distance_from_line(max_line[0], max_line[1], orders, qs) > 0
+        hi = np.where(m.all(axis=1), n_q, np.argmin(m, axis=1))
+        limits[:, 1] = hi
+        row_masks &= m
+
+    if q_mask is not None:
+        q_mask = np.asarray(q_mask, dtype=bool)
+        q_lo = int(np.argmax(q_mask))
+        q_hi = n_q - int(np.argmax(q_mask[::-1]))
+        limits[:, 0] = np.maximum(limits[:, 0], q_lo)
+        limits[:, 1] = np.minimum(limits[:, 1], q_hi)
+        row_masks &= q_mask[None, :]
+    limits[:, 1] = np.maximum(limits[:, 1], limits[:, 0])
+
+    mask = row_masks[:, :, None] & row_masks[:, None, :]
+    return mask, limits
+
+
+def apply_psd_on_q_limits(bl, q_id_limits):
+    """PSD-project each order's [lo, hi) sub-block only (reference
+    apply_invariant_constraints, extract.py:417-430): entries outside an
+    order's q-limits carry no constraint and stay untouched."""
+    out = np.array(bl, copy=True)
+    for l in range(len(bl)):
+        lo, hi = int(q_id_limits[l][0]), int(q_id_limits[l][1])
+        if hi - lo < 1:
+            continue
+        out[l, lo:hi, lo:hi] = nearest_positive_semidefinite_matrix(
+            bl[l, lo:hi, lo:hi])
+    return out
