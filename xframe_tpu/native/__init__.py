@@ -55,6 +55,62 @@ def _load():
         return _lib
 
 
+_CC_SRC = os.path.join(_DIR, "cc_interp.cpp")
+_CC_LIB_PATH = os.path.join(_DIR, "libccinterp.so")
+_cc_lib = None
+_cc_build_failed = False
+
+
+def _load_cc():
+    global _cc_lib, _cc_build_failed
+    with _lock:
+        if _cc_lib is not None or _cc_build_failed:
+            return _cc_lib
+        if not os.path.exists(_CC_LIB_PATH) or \
+                os.path.getmtime(_CC_LIB_PATH) < os.path.getmtime(_CC_SRC):
+            try:
+                subprocess.run(
+                    ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+                     "-pthread", _CC_SRC, "-o", _CC_LIB_PATH],
+                    check=True, capture_output=True, timeout=120)
+            except Exception:
+                _cc_build_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(_CC_LIB_PATH)
+            lib.interp_masked_cc.restype = ctypes.c_int
+            lib.interp_masked_cc.argtypes = [
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_long, ctypes.c_int, ctypes.c_int,
+            ]
+            _cc_lib = lib
+        except OSError:
+            _cc_build_failed = True
+        return _cc_lib
+
+
+def interp_masked_rows(cc_rows: np.ndarray, mask_rows: np.ndarray,
+                       n_threads: int = None) -> bool:
+    """In-place periodic linear interpolation of masked entries, row-wise.
+
+    cc_rows: C-contiguous float64 (n_rows, n_phi); mask_rows: bool/uint8 of
+    the same shape (True = keep). Returns False if the native library is
+    unavailable (caller falls back to numpy)."""
+    lib = _load_cc()
+    if lib is None:
+        return False
+    assert cc_rows.dtype == np.float64 and cc_rows.flags.c_contiguous
+    m = np.ascontiguousarray(mask_rows, dtype=np.uint8)
+    if n_threads is None:
+        n_threads = min(32, os.cpu_count() or 1)
+    lib.interp_masked_cc(
+        cc_rows.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        m.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        cc_rows.shape[0], cc_rows.shape[1], int(n_threads))
+    return True
+
+
 def read_frame_batch(paths, frame_shape, dtype=np.float32, n_threads=8,
                      out=None):
     """Read len(paths) raw frames into a (B, *frame_shape) float32 array with

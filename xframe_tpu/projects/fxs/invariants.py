@@ -214,24 +214,42 @@ def _cc_to_bl_legendre(cc, l_max, assume_zero_odd_orders):
     return bl
 
 
-def _cc_to_bl_lstsq(cc, xray_wavelength, qs, l_max, assume_zero_odd_orders):
+def _cc_to_bl_lstsq(cc, xray_wavelength, qs, l_max, assume_zero_odd_orders,
+                    row_chunk=None):
+    """Vectorized per-(q1,q2) least squares: instead of n_q² serial
+    np.linalg.lstsq calls (the reference fans these over fork processes,
+    fxs_invariant_tools.py:477-480), form the normal equations
+    G = FᵀF (n_orders × n_orders) and solve batched over q1-row chunks.
+    F has full column rank for n_phi ≥ 2·l_max (Legendre design matrix),
+    so the normal-equation solution equals lstsq to ~1e-9 relative in
+    float64; a pinv fallback covers degenerate chunks."""
     thetas = ewald_sphere_theta_pi(xray_wavelength, qs)
     n_q = len(qs)
     n_phi = cc.shape[-1]
     phis = 2 * np.pi * np.arange(n_phi) / n_phi
     stride = 2 if assume_zero_odd_orders else 1
     orders = np.arange(0, l_max + 1, stride)
-    # F_l(q1,q2,Δ) = P_l(cosθ1 cosθ2 + sinθ1 sinθ2 cosΔ)/(4π)  (reference :79-97)
     ct, st = np.cos(thetas), np.sin(thetas)
-    arg = (ct[:, None, None] * ct[None, :, None]
-           + st[:, None, None] * st[None, :, None] * np.cos(phis)[None, None, :])
-    F = legendre_poly_table(l_max, arg)[..., orders] / (4 * np.pi)  # (q1,q2,Δ,l)
+    cosphi = np.cos(phis)
     bl = np.zeros((l_max + 1, n_q, n_q), dtype=complex)
-    Fm = F.reshape(n_q * n_q, n_phi, len(orders))
-    ccm = cc.reshape(n_q * n_q, n_phi)
-    sol = np.stack([np.linalg.lstsq(Fm[i], ccm[i], rcond=None)[0]
-                    for i in range(n_q * n_q)])
-    bl[orders] = np.moveaxis(sol.reshape(n_q, n_q, len(orders)), -1, 0)
+    if row_chunk is None:
+        # keep the (chunk, n_q, n_phi, L+1) Legendre table under ~1 GB
+        row_chunk = max(1, int(1e9 / (n_q * n_phi * (l_max + 1) * 8)))
+    for a0 in range(0, n_q, row_chunk):
+        a1 = min(a0 + row_chunk, n_q)
+        # F_l(q1,q2,Δ) = P_l(cosθ1 cosθ2 + sinθ1 sinθ2 cosΔ)/(4π)  (ref :79-97)
+        arg = (ct[a0:a1, None, None] * ct[None, :, None]
+               + st[a0:a1, None, None] * st[None, :, None]
+               * cosphi[None, None, :])
+        F = legendre_poly_table(l_max, arg)[..., orders] / (4 * np.pi)
+        Ft = np.ascontiguousarray(F.transpose(0, 1, 3, 2))
+        G = Ft @ F                                     # batched BLAS gemm
+        rhs = (Ft @ cc[a0:a1, ..., None])[..., 0]
+        try:
+            sol = np.linalg.solve(G, rhs[..., None])[..., 0]
+        except np.linalg.LinAlgError:
+            sol = (np.linalg.pinv(G) @ rhs[..., None])[..., 0]
+        bl[orders, a0:a1] = np.moveaxis(sol, -1, 0)
     return bl
 
 
@@ -576,25 +594,53 @@ def cc_mask(qs, phis, mask_type="none", xray_wavelength=None, pixel_size=None,
     raise ValueError(f"unknown cc mask type {mask_type!r}")
 
 
-def interpolate_masked_cc(cc, mask):
+def interpolate_masked_cc(cc, mask, row_chunk=65536, use_native=True):
     """Fill masked Δ entries of each (q1,q2) row by periodic linear
     interpolation from the unmasked neighbors (reference
-    interpolate_masked_cc, fxs_invariant_tools.py:335-351)."""
-    cc = np.array(cc, dtype=float, copy=True)
+    interpolate_masked_cc, fxs_invariant_tools.py:335-351).
+
+    Primary path is the native C++ row kernel (one O(n_phi) pass per row,
+    threaded — sub-second at n_q=512); fallback is vectorized numpy over
+    row chunks. Both replace the reference's per-(q1,q2) Python loop."""
+    cc = np.ascontiguousarray(cc, dtype=np.float64).copy() \
+        if not (isinstance(cc, np.ndarray) and cc.dtype == np.float64
+                and cc.flags.c_contiguous) else cc.copy()
     mask = np.asarray(mask, dtype=bool)
     n_phi = cc.shape[-1]
-    x = np.arange(n_phi)
-    bad_pairs = np.argwhere(~mask.all(axis=-1))
-    for i, j in bad_pairs:
-        good = mask[i, j]
-        if not good.any():
-            cc[i, j] = 0.0
-            continue
-        xg = x[good]
-        # periodic extension for wrap-around interpolation
-        xp = np.concatenate([xg - n_phi, xg, xg + n_phi])
-        fp = np.tile(cc[i, j, good], 3)
-        cc[i, j, ~good] = np.interp(x[~good], xp, fp)
+    flat_c = cc.reshape(-1, n_phi)
+    flat_m = mask.reshape(-1, n_phi)
+    if use_native:
+        from xframe_tpu import native
+        if native.interp_masked_rows(flat_c, flat_m):
+            return cc
+    rows = np.nonzero(~flat_m.all(axis=-1))[0]
+    if len(rows) == 0:
+        return cc
+    idx3 = np.arange(3 * n_phi)
+    x_mid = idx3[n_phi: 2 * n_phi]
+    for c0 in range(0, len(rows), row_chunk):
+        r = rows[c0: c0 + row_chunk]
+        m = flat_m[r]                                 # (P, n)
+        c = flat_c[r]
+        none_good = ~m.any(axis=-1)
+        m3 = np.concatenate([m, m, m], axis=-1)       # periodic extension
+        c3 = np.concatenate([c, c, c], axis=-1)
+        # nearest good sample at-or-left / at-or-right of every position
+        left = np.maximum.accumulate(
+            np.where(m3, idx3[None, :], -1), axis=-1)[:, n_phi: 2 * n_phi]
+        right = np.minimum.accumulate(
+            np.where(m3, idx3[None, :], 3 * n_phi)[:, ::-1],
+            axis=-1)[:, ::-1][:, n_phi: 2 * n_phi]
+        # bad rows with ≥1 good point always have a strict left<x<right pair
+        left_c = np.clip(left, 0, 3 * n_phi - 1)
+        right_c = np.clip(right, 0, 3 * n_phi - 1)
+        rp = np.arange(len(r))[:, None]
+        fL, fR = c3[rp, left_c], c3[rp, right_c]
+        den = np.maximum(right_c - left_c, 1)
+        vals = fL + (x_mid[None, :] - left_c) / den * (fR - fL)
+        filled = np.where(m, c, vals)
+        filled[none_good] = 0.0
+        flat_c[r] = filled
     return cc
 
 
