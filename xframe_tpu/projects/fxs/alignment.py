@@ -147,6 +147,118 @@ class Aligner:
         return rho_rot, rot, {"angles": angles, "score": score,
                               "inverted": tag == "inverted"}
 
+    # ----------------------------------------------------------- batched path
+    def _build_batch_fns(self):
+        if hasattr(self, "_batch_scores"):
+            return
+        self._batch_center = jax.jit(jax.vmap(self._center_fn))
+        q_cart = np.asarray(self._q_cart, dtype=np.float32)
+
+        @jax.jit
+        def _psi_shift(psis, coms):
+            # shifting ρ by −com multiplies its reciprocal amplitude by
+            # e^{i q·com} — the same ramp _center applies to ft.forward(ρ)
+            phase = jnp.exp(1j * jnp.einsum(
+                "rtpc,nc->nrtp", jnp.asarray(q_cart), coms).astype(psis.dtype))
+            return psis * phase
+
+        self._batch_psi_shift = _psi_shift
+        self._batch_coeffs = jax.jit(jax.vmap(self.sht.forward))
+        par_t = np.asarray(self._parity[: self.l_align + 1], dtype=np.float32)
+
+        @jax.jit
+        def _scores(ref_t, cand_t):
+            """Correlate every candidate (and its point inverse) against the
+            reference in ONE call → per-candidate (max score, argmax)."""
+            both = jnp.concatenate([cand_t, cand_t * par_t[None, None, None, :]],
+                                   axis=0)
+
+            def one(c):
+                C = self.corr.correlate(ref_t, c, radial_weights=self._w_r)
+                flat = C.reshape(-1)
+                k = jnp.argmax(flat)
+                return flat[k], k
+
+            return jax.vmap(one)(both)
+
+        self._batch_scores = _scores
+
+        @jax.jit
+        def _rotate_synth(coeffs, d_re, d_im, par):
+            c = coeffs * par[:, None, None, :]
+            D = (d_re + 1j * d_im).astype(coeffs.dtype)
+            rot = jnp.einsum("nlmk,nrkl->nrml", D, c)
+            return jax.vmap(self.sht.inverse)(rot)
+
+        self._batch_rotate_synth = _rotate_synth
+
+        @jax.jit
+        def _l2(rhos, ref):
+            den = jnp.maximum(jnp.sum(self._w_int * jnp.abs(ref) ** 2), 1e-30)
+
+            def one(a):
+                return jnp.sqrt(jnp.sum(self._w_int * jnp.abs(a - ref) ** 2)
+                                / den).astype(jnp.float32)
+
+            return jax.vmap(one)(rhos)
+
+        self._batch_l2 = _l2
+
+    def center_batch(self, rhos, psis=None):
+        """vmapped centering; companion reciprocal amplitudes get the same
+        phase ramp. → (rho_centered, psi_centered|None, coms)."""
+        self._build_batch_fns()
+        rhos_c, coms = self._batch_center(jnp.asarray(rhos))
+        psis_c = None if psis is None \
+            else self._batch_psi_shift(jnp.asarray(psis), coms)
+        return rhos_c, psis_c, coms
+
+    def align_batch(self, rhos, ref_coeff, ref_rho=None, psis=None,
+                    check_point_inversion=True):
+        """Batched alignment of N candidates with ONE correlation device call
+        (replacing the per-candidate host round-trips of align(); VERDICT r2
+        item 7). psis are companion reciprocal amplitudes rotated/inverted
+        identically (they live on the same angular grid, so the same Wigner
+        rotation applies shell-wise).
+
+        → (rho_rot (N,...), psi_rot|None, l2 (N,)|None, infos list)."""
+        self._build_batch_fns()
+        rhos = jnp.asarray(rhos)
+        n = rhos.shape[0]
+        coeffs = self._batch_coeffs(rhos)
+        scores2, idx2 = self._batch_scores(
+            self._truncate(jnp.asarray(ref_coeff)), self._truncate(coeffs))
+        scores2, idx2 = to_host(scores2), to_host(idx2)
+        if check_point_inversion:
+            inverted = scores2[n:] > scores2[:n]
+            scores = np.where(inverted, scores2[n:], scores2[:n])
+            idx = np.where(inverted, idx2[n:], idx2[:n])
+        else:
+            inverted = np.zeros(n, dtype=bool)
+            scores, idx = scores2[:n], idx2[:n]
+        shape = (len(self.corr.alphas), len(self.corr.betas),
+                 len(self.corr.gammas))
+        ia, ib, ig = np.unravel_index(idx.astype(int), shape)
+        angles = np.stack([self.corr.alphas[ia], self.corr.betas[ib],
+                           self.corr.gammas[ig]], axis=1)
+        D = np.stack([wigner_D_single(self.sht.l_max, *a) for a in angles])
+        d_re = np.ascontiguousarray(D.real, dtype=np.float32)
+        d_im = np.ascontiguousarray(D.imag, dtype=np.float32)
+        par = np.where(inverted[:, None], self._parity[None, :],
+                       1.0).astype(np.float32)
+        rho_rot = self._batch_rotate_synth(coeffs, d_re, d_im, par)
+        psi_rot = None
+        if psis is not None:
+            psi_coeffs = self._batch_coeffs(jnp.asarray(psis))
+            psi_rot = self._batch_rotate_synth(psi_coeffs, d_re, d_im, par)
+        l2 = None
+        if ref_rho is not None:
+            l2 = np.asarray(to_host(self._batch_l2(rho_rot,
+                                                   jnp.asarray(ref_rho))))
+        infos = [{"angles": tuple(angles[i]), "score": float(scores[i]),
+                  "inverted": bool(inverted[i])} for i in range(n)]
+        return rho_rot, psi_rot, l2, infos
+
 
 class Aligner2D:
     """Polar (2D) alignment: rotation search is a 1D circular correlation of
@@ -250,3 +362,72 @@ class Aligner2D:
         rho_rot = self.rotate_density(rho, alpha)
         return rho_rot, None, {"angles": (alpha, 0.0, 0.0),
                                "score": float(C[k]), "inverted": False}
+
+    # ----------------------------------------------------------- batched path
+    def _build_batch_fns(self):
+        if hasattr(self, "_batch_align"):
+            return
+        self._batch_center = jax.jit(jax.vmap(self._center_fn))
+        q_cart = np.asarray(self._q_cart(), dtype=np.float32)
+
+        @jax.jit
+        def _psi_shift(psis, coms):
+            phase = jnp.exp(1j * jnp.einsum(
+                "rpc,nc->nrp", jnp.asarray(q_cart), coms).astype(psis.dtype))
+            return psis * phase
+
+        self._batch_psi_shift = _psi_shift
+        n = self.n_phi
+
+        @jax.jit
+        def _align(rhos, ref_coeff, psis, ref_rho):
+            coeffs = jnp.fft.fft(rhos, axis=-1) / n
+
+            def score_one(c):
+                M = jnp.einsum("r,rm,rm->m", self._w_r, ref_coeff, c.conj())
+                Ca = jnp.fft.ifft(M).real * n
+                k = jnp.argmax(Ca)
+                return Ca[k], k
+
+            scores, ks = jax.vmap(score_one)(coeffs)
+
+            def rot_one(r, k):
+                idx = (jnp.arange(n) - k) % n     # f(φ−α), α = 2πk/n
+                return r[..., idx]
+
+            rho_rot = jax.vmap(rot_one)(rhos, ks)
+            psi_rot = jax.vmap(rot_one)(psis, ks)
+            den = jnp.maximum(jnp.sum(self._w_int * jnp.abs(ref_rho) ** 2),
+                              1e-30)
+            l2 = jax.vmap(lambda a: jnp.sqrt(
+                jnp.sum(self._w_int * jnp.abs(a - ref_rho) ** 2) / den)
+            )(rho_rot).astype(jnp.float32)
+            return scores, ks, rho_rot, psi_rot, l2
+
+        self._batch_align = _align
+
+    def center_batch(self, rhos, psis=None):
+        self._build_batch_fns()
+        rhos_c, coms = self._batch_center(jnp.asarray(rhos))
+        psis_c = None if psis is None \
+            else self._batch_psi_shift(jnp.asarray(psis), coms)
+        return rhos_c, psis_c, coms
+
+    def align_batch(self, rhos, ref_coeff, ref_rho=None, psis=None,
+                    check_point_inversion=True):
+        """One-call batched circular alignment; companion psis get the same
+        spectral rotation. → (rho_rot, psi_rot|None, l2|None, infos)."""
+        self._build_batch_fns()
+        rhos = jnp.asarray(rhos)
+        have_psi = psis is not None
+        psis_in = jnp.asarray(psis) if have_psi else rhos
+        ref_rho_in = jnp.asarray(ref_rho) if ref_rho is not None else rhos[0]
+        scores, ks, rho_rot, psi_rot, l2 = self._batch_align(
+            rhos, jnp.asarray(ref_coeff), psis_in, ref_rho_in)
+        scores, ks = to_host(scores), to_host(ks)
+        infos = [{"angles": (2 * np.pi * int(k) / self.n_phi, 0.0, 0.0),
+                  "score": float(s), "inverted": False}
+                 for s, k in zip(scores, ks)]
+        return (rho_rot, psi_rot if have_psi else None,
+                np.asarray(to_host(l2)) if ref_rho is not None else None,
+                infos)

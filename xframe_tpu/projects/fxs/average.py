@@ -5,8 +5,15 @@ load reconstructions (error-filtered) â†’ center each (reciprocal phase ramp) â†
 normalize â†’ pick lowest-error reference â†’ rotational alignment via SO(3)
 correlation of SH coefficients with point-inversion disambiguation â†’ drop bad
 alignments (l2 limit) â†’ average â†’ PRTF/FSC resolution metrics â†’
-average_results.h5. The per-candidate alignment ops are jitted device code.
-"""
+average_results.h5.
+
+All per-candidate work is BATCHED device code: one vmapped centering call,
+one correlation call covering every candidate and its point inverse, one
+rotation/synthesis call â€” no per-candidate host round-trips (the reference
+forks a process per candidate; round-2 of this rebuild synced per candidate).
+The stored projected reciprocal amplitudes ride along as companion fields and
+get the identical shift/inversion/rotation, enabling the data-relative
+PRTF_fxs variants (reference average.py:238-263)."""
 from __future__ import annotations
 
 import numpy as np
@@ -26,11 +33,12 @@ class ProjectWorker(ProjectWorkerInterface):
     def run(self):
         opt = self.settings
         recs, cfg = self._load_reconstructions()
-        densities, errors, meta = self._select(recs)
+        densities, psis, errors, meta = self._select(recs)
         if len(densities) == 0:
             raise RuntimeError("no reconstructions pass the selection filter")
-        result = self.average(densities, errors, cfg, meta,
-                              proj_matrices=recs[0].get("projection_matrices"))
+        proj_per_file = [r.get("projection_matrices") for r in recs]
+        result = self.average(densities, psis, errors, cfg, meta,
+                              proj_per_file=proj_per_file)
         path, run = self.db.save("average_results", result)
         print(f"average: aligned {len(result['aligned'])} of {len(densities)} "
               f"reconstructions; saved to {path}")
@@ -55,7 +63,7 @@ class ProjectWorker(ProjectWorkerInterface):
         sel = self.settings.get("selection", {})
         limit = float(sel.get("error_limit", 1.0))
         n_max = sel.get("n_reconstructions", "all")
-        densities, errors, meta = [], [], []
+        densities, psis, errors, meta = [], [], [], []
         for fi, rec in enumerate(recs):
             for key, res in rec["reconstruction_results"].items():
                 err = float(np.asarray(res["error_dict"]["final"]))
@@ -65,16 +73,24 @@ class ProjectWorker(ProjectWorkerInterface):
                 elif err > limit:
                     continue
                 densities.append(np.asarray(res["real_density"]))
+                psi = res.get("reciprocal_density")
+                psis.append(None if psi is None else np.asarray(psi))
                 errors.append(err)
                 meta.append({"file_index": fi, "result_key": key, "error": err})
         order = np.argsort(errors)
         if not (isinstance(n_max, str) and n_max == "all"):
             order = order[: int(n_max)]
-        return ([densities[i] for i in order], [errors[i] for i in order],
+        if any(p is None for p in psis):
+            psis = None          # legacy files without stored amplitudes
+        else:
+            psis = [psis[i] for i in order]
+        return ([densities[i] for i in order],
+                psis,
+                [errors[i] for i in order],
                 [meta[i] for i in order])
 
     # -------------------------------------------------------------- averaging
-    def average(self, densities, errors, cfg, meta, proj_matrices=None):
+    def average(self, densities, psis, errors, cfg, meta, proj_per_file=None):
         opt = self.settings
         grid_cfg = cfg["internal_grid"]
         rs = np.asarray(grid_cfg["real_grid"])
@@ -115,75 +131,137 @@ class ProjectWorker(ProjectWorkerInterface):
             aligner = Aligner2D(ft, integ._w, r_limit_ids=r_ids)
             theta_weights = None
 
-        # center + normalize
+        have_psi = psis is not None
+        rho_stack = to_device_complex(
+            np.stack(densities).astype(np.complex64))
+        psi_stack = to_device_complex(
+            np.stack(psis).astype(np.complex64)) if have_psi else None
+
+        # center (one vmapped call; companions phase-shifted identically)
+        if bool(opt.get("center_reconstructions", True)):
+            rho_stack, psi_stack, _ = aligner.center_batch(rho_stack,
+                                                           psi_stack)
+
+        # normalize: reference scales Ï AND its companion by the same factor
+        # and keeps the factors for projection-matrix averaging
+        # (reference average.py:165-186)
         mode = str(opt.get("normalize_reconstructions", {}).get("mode", "max"))
         use_norm = bool(opt.get("normalize_reconstructions", {}).get("use", True))
-        centered = []
-        for rho in densities:
-            rho_d = to_device_complex(rho)
-            if bool(opt.get("center_reconstructions", True)):
-                rho_d, _ = aligner.center(rho_d)
-            rho_h = to_host(rho_d)
-            if use_norm:
-                scale = np.abs(rho_h).max() if mode == "max" \
-                    else max(np.abs(rho_h).mean(), 1e-30)
-                rho_h = rho_h / max(scale, 1e-30)
-            centered.append(rho_h)
+        rho_h = to_host(rho_stack)
+        psi_h = to_host(psi_stack) if have_psi else None
+        scaling_factors = np.ones(len(densities))
+        if use_norm:
+            mags = np.abs(rho_h)
+            scales = mags.max(axis=tuple(range(1, rho_h.ndim))) if mode == "max" \
+                else np.maximum(mags.mean(axis=tuple(range(1, rho_h.ndim))),
+                                1e-30)
+            scales = np.maximum(scales, 1e-30)
+            scaling_factors = scales
+            rho_h = rho_h / scales.reshape((-1,) + (1,) * (rho_h.ndim - 1))
+            if have_psi:
+                psi_h = psi_h / scales.reshape((-1,) + (1,) * (psi_h.ndim - 1))
 
         # reference = lowest error (list already error-sorted)
-        ref = centered[0]
-        ref_coeff = aligner.coefficients(to_device_complex(ref))
+        ref = rho_h[0]
+        ref_d = to_device_complex(ref)
+        ref_coeff = aligner.coefficients(ref_d)
 
         l2_limit = float(opt.get("l2_error_limit", 0.5))
         check_inv = bool(opt.get("find_rotation", {})
                          .get("check_point_inversion", True))
-        aligned, align_info, used_meta = [ref], [
-            {"angles": (0.0, 0.0, 0.0), "score": np.inf, "inverted": False,
-             "l2_to_ref": 0.0}], [meta[0]]
-        for i, rho in enumerate(centered[1:], start=1):
-            rho_d = to_device_complex(rho)
-            rho_rot, _, info = aligner.align(rho_d, ref_coeff,
-                                             check_point_inversion=check_inv)
-            dist = aligner.l2_distance(rho_rot,
-                                       to_device_complex(ref))
-            info["l2_to_ref"] = dist
-            if dist > l2_limit:
-                continue
-            aligned.append(to_host(rho_rot))
-            align_info.append(info)
-            used_meta.append(meta[i])
+        aligned = [ref]
+        aligned_psi = [psi_h[0]] if have_psi else None
+        align_info = [{"angles": (0.0, 0.0, 0.0), "score": np.inf,
+                       "inverted": False, "l2_to_ref": 0.0}]
+        used_meta = [meta[0]]
+        if len(rho_h) > 1:
+            cand = to_device_complex(rho_h[1:])
+            cand_psi = to_device_complex(psi_h[1:]) if have_psi else None
+            rho_rot, psi_rot, l2s, infos = aligner.align_batch(
+                cand, ref_coeff, ref_rho=ref_d, psis=cand_psi,
+                check_point_inversion=check_inv)
+            rho_rot_h = to_host(rho_rot)
+            psi_rot_h = to_host(psi_rot) if have_psi else None
+            for i, info in enumerate(infos):
+                info["l2_to_ref"] = float(l2s[i])
+                if l2s[i] > l2_limit:
+                    continue
+                aligned.append(rho_rot_h[i])
+                if have_psi:
+                    aligned_psi.append(psi_rot_h[i])
+                align_info.append(info)
+                used_meta.append(meta[i + 1])
 
         avg = np.mean(aligned, axis=0)
         avg_d = to_device_complex(avg)
         centered_avg = to_host(aligner.center(avg_d)[0])
-        psi_avg = to_host(aligner._ft_fwd(avg_d))
+        psi_avg = to_host(aligner._ft_fwd(avg_d))      # FT of the average
 
-        # resolution metrics from the aligned reciprocal amplitudes
-        psis = np.stack([to_host(aligner._ft_fwd(to_device_complex(a)))
-                         for a in aligned])
+        # reciprocal amplitudes of every aligned density â€” one vmapped call
+        import jax
+        psis_from_rho = np.stack(to_host(jax.jit(jax.vmap(ft.forward))(
+            to_device_complex(np.stack(aligned)))))
+        # intensity averages (reference average.py:241-242)
+        intensity_from_density = np.mean(np.abs(psis_from_rho) ** 2, axis=0)
+        if have_psi:
+            avg_ft_density = np.mean(aligned_psi, axis=0)
+            intensity_from_ft_density = np.mean(
+                [np.abs(p) ** 2 for p in aligned_psi], axis=0)
+
         metrics = {}
         axes = None if dim == 3 else (-1,)
+        prtf_axes = None if dim == 3 else (1,)
         if bool(opt.get("resolution_metrics", {}).get("PRTF", True)):
-            prtf_vals = rm.prtf(psis, theta_weights=theta_weights, axes=axes)
+            prtf_vals = rm.prtf(psis_from_rho, theta_weights=theta_weights,
+                                axes=axes)
             q_res, d_res = rm.prtf_resolution(prtf_vals, qs)
             metrics["PRTF"] = prtf_vals
             metrics["PRTF_qs"] = qs
             metrics["PRTF_resolution_q"] = q_res
+            # data-relative variants (reference average.py:250-263 â†’
+            # resolution_metrics.PRTF_fxs :90-101)
+            p, s = rm.prtf_fxs(psi_avg, intensity_from_density,
+                               axes=prtf_axes)
+            metrics["PRTF_from_density"] = p
+            metrics["PRTF_from_density_std"] = s
+            if have_psi:
+                p, s = rm.prtf_fxs(psi_avg, intensity_from_density,
+                                   avg_ft_density, intensity_from_ft_density,
+                                   axes=prtf_axes)
+                metrics["PRTF_fxs"] = p
+                metrics["PRTF_fxs_std"] = s
+                p, s = rm.prtf_fxs(avg_ft_density, intensity_from_ft_density,
+                                   axes=prtf_axes)
+                metrics["PRTF_from_ft_density"] = p
+                metrics["PRTF_from_ft_density_std"] = s
+                p, s = rm.prtf_fxs(psi_avg, intensity_from_ft_density,
+                                   axes=prtf_axes)
+                metrics["PRTF_ftI"] = p
+                metrics["PRTF_ftI_std"] = s
+                # pseudo-FSC between the average's FT and the averaged
+                # projected amplitude (reference average.py:304)
+                metrics["pseudo_FSC"] = np.abs(rm.fsc(
+                    psi_avg, avg_ft_density, theta_weights, axes=axes))
         if bool(opt.get("resolution_metrics", {}).get("FSC", False)) \
                 and len(aligned) >= 2:
             half = len(aligned) // 2
-            psi_a = np.mean(psis[:half], axis=0)
-            psi_b = np.mean(psis[half:], axis=0)
+            psi_a = np.mean(psis_from_rho[:half], axis=0)
+            psi_b = np.mean(psis_from_rho[half:], axis=0)
             metrics["FSC"] = np.abs(rm.fsc(psi_a, psi_b, theta_weights,
                                            axes=axes))
             n_shell = max(len(thetas), 1) * len(phis) * np.ones(len(qs))
             metrics["FSC_half_bit"] = rm.half_bit_threshold(n_shell)
+
+        # projection matrices averaged over input files, rescaled by each
+        # file's mean density normalization (reference
+        # average.py:90-100,183-186 get_averaged_projection_matrices)
+        proj_matrices = self._averaged_projection_matrices(
+            proj_per_file, used_meta, scaling_factors, meta)
         if bool(opt.get("resolution_metrics", {}).get("FQCB", False)) \
                 and proj_matrices is not None:
             # invariant-space fidelity: B from the averaged density vs the
             # data's B = V Vâ€  (reference average.py:266-295 FQCB block)
             from xframe_tpu.projects.fxs import invariants as itools
-            import jax
             intensity = np.abs(psi_avg) ** 2
             if dim == 3:
                 coeff = to_host(jax.jit(ft.sht.forward)(
@@ -206,17 +284,24 @@ class ProjectWorker(ProjectWorkerInterface):
             metrics["FQCB_from_density_with_zero_order_std"] = f_stdz
 
         norm_avg = avg / max(np.abs(avg).max(), 1e-30)
+        avg_group = {
+            "real_density": avg,
+            "normalized_real_density": norm_avg,
+            # reference semantics: the average's reciprocal density is the
+            # mean of the aligned PROJECTED amplitudes when available
+            # (average.py:239,316), else the FT of the averaged density
+            "reciprocal_density": (avg_ft_density if have_psi else psi_avg),
+            "intensity_from_densities": intensity_from_density,
+        }
+        if have_psi:
+            avg_group["intensity_from_ft_densities"] = intensity_from_ft_density
         return {
-            "average": {
-                "real_density": avg,
-                "normalized_real_density": norm_avg,
-                "reciprocal_density": psi_avg,
-                "intensity_from_densities": np.abs(psi_avg) ** 2,
-            },
+            "average": avg_group,
             "centered_average": centered_avg,
             "aligned": {str(i): a for i, a in enumerate(aligned)},
             "input": {str(i): d for i, d in enumerate(densities)},
             "input_meta": {str(i): m for i, m in enumerate(used_meta)},
+            "scaling_factors": scaling_factors,
             "resolution_metrics": metrics,
             "rotation_metric": {
                 "angles": np.asarray([list(i["angles"]) for i in align_info]),
@@ -230,3 +315,38 @@ class ProjectWorker(ProjectWorkerInterface):
                          else {"alphas": aligner.alphas}),
             "grid": {"rs": rs, "thetas": thetas, "phis": phis, "qs": qs},
         }
+
+    @staticmethod
+    def _averaged_projection_matrices(proj_per_file, used_meta,
+                                      scaling_factors, all_meta):
+        """VÌ„_l = mean_files V_l^{(f)} / s_fÂ², s_f the mean normalization
+        scale of file f's used reconstructions (reference
+        get_averaged_projection_matrices, average.py:90-100)."""
+        if not proj_per_file or proj_per_file[0] is None:
+            return None
+        used_files = sorted({m["file_index"] for m in used_meta})
+        usable = [f for f in used_files if proj_per_file[f] is not None]
+        if not usable:
+            return None
+        # per-file mean scale over the candidates that entered the average
+        file_scale = {}
+        for f in usable:
+            ids = [i for i, m in enumerate(all_meta) if m["file_index"] == f]
+            file_scale[f] = float(np.mean(scaling_factors[ids])) if ids else 1.0
+
+        def as_list(pm):
+            if isinstance(pm, dict):
+                return [np.asarray(pm[k]) for k in
+                        sorted(pm, key=lambda x: int(x))]
+            return [np.asarray(v) for v in pm]
+
+        stacks = {f: as_list(proj_per_file[f]) for f in usable}
+        n_l = min(len(s) for s in stacks.values())
+        out = []
+        for l in range(n_l):
+            acc = None
+            for f in usable:
+                v = stacks[f][l] / file_scale[f] ** 2
+                acc = v if acc is None else acc + v
+            out.append(acc / len(usable))
+        return out

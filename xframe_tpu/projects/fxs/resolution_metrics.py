@@ -43,6 +43,40 @@ def prtf_resolution(prtf_values, qs, criterion=1 / np.e):
     return q_c, (2 * np.pi / q_c if q_c > 0 else None)
 
 
+def prtf_fxs(avg_amplitude, avg_intensity, avg_proj_amplitude=None,
+             avg_proj_intensity=None, axes=None):
+    """Data-relative PRTF (reference PRTF_fxs + PRTF,
+    resolution_metrics.py:63-101): pointwise
+
+        prtf_nd = sqrt( a1·a2* / (b1·b2*) )
+
+    with a1 the averaged scattering amplitude and b1 = sqrt(averaged
+    intensity) — i.e. the amplitude retained by averaging relative to the
+    measured/projected power. With the projected pair (a2, b2) given this is
+    the cross variant comparing the density-average against the averaged
+    PROJECTED amplitudes; without it a2=a1, b2=b1 (the reference's
+    PRTF_from_density / PRTF_from_ft_density forms).
+
+    → (prtf (n_q,) complex, prtf_std (n_q,)) — angular mean/std, matching
+    the reference's unweighted np.average over the angular axes."""
+    a1 = np.asarray(avg_amplitude)
+    if avg_proj_amplitude is not None:
+        a2 = np.asarray(avg_proj_amplitude)
+        b1 = np.sqrt(np.asarray(avg_intensity))
+        b2 = np.sqrt(np.asarray(avg_proj_intensity))
+    else:
+        a2 = a1
+        b1 = b2 = np.sqrt(np.asarray(avg_intensity))
+    if axes is None:
+        axes = tuple(range(1, a1.ndim))
+    prtf_nd = np.ones(a1.shape, dtype=complex)
+    nz = (b1 != 0) & (b2 != 0)
+    prtf_nd[nz] = (a1[nz] * a2[nz].conj()) / (b1[nz] * b2[nz].conj())
+    prtf_nd[~nz & (a1 != 0) & (a2 != 0)] = 0
+    prtf_nd = np.sqrt(prtf_nd)
+    return np.average(prtf_nd, axis=axes), np.std(prtf_nd, axis=axes)
+
+
 def fsc(psi1, psi2, theta_weights=None, axes=None):
     """Fourier shell/ring correlation over angular shells."""
     psi1, psi2 = np.asarray(psi1), np.asarray(psi2)
