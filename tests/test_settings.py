@@ -95,3 +95,48 @@ def test_home_settings_precedence(tmp_path, monkeypatch):
     # defaults still merged from the install tree
     assert ns.grid.n_radial_points == 128
     assert ns.density_guess.radius == 42  # _copy picks up the override
+
+
+def test_archival_preserves_comments_and_doc_fields(tmp_path, monkeypatch):
+    """Archived settings.yaml byte-compares to the source file (comments and
+    _description fields intact); runtime overrides are recorded alongside;
+    settings_merged.yaml carries the full in-effect tree (VERDICT r2 #10)."""
+    import os
+    import yaml as _yaml
+    from xframe_tpu.settings import loader
+    home = tmp_path / "home"
+    folder = home / "settings" / "projects" / "demo" / "work"
+    folder.mkdir(parents=True)
+    src = """\
+# tuning for the pytest run — keep me
+structure_name: pytest   # inline comment
+grid:
+  n_radial_points: 8     # coarse on purpose
+_description: archival fidelity fixture
+"""
+    (folder / "t.yaml").write_text(src)
+    (folder / "default_0.1.yaml").write_text(
+        "grid:\n  max_order: {_value: 4}\n")
+    monkeypatch.setenv("XFRAME_TPU_HOME", str(home))
+
+    ns, raw = loader.load_project_settings("demo", "work", "t")
+    run_folder = tmp_path / "run_1"
+    loader.archive_settings(str(run_folder), raw)
+    assert (run_folder / "settings.yaml").read_text() == src   # byte-equal
+    merged = _yaml.safe_load((run_folder / "settings_merged.yaml").read_text())
+    assert merged["grid"]["max_order"] == 4       # defaults are in the merge
+    assert merged["grid"]["n_radial_points"] == 8
+
+    # with overrides: source text intact + overrides appended, parseable
+    ns2, raw2 = loader.load_project_settings(
+        "demo", "work", "t", overrides={"grid": {"n_radial_points": 16}})
+    run2 = tmp_path / "run_2"
+    loader.archive_settings(str(run2), raw2)
+    text = (run2 / "settings.yaml").read_text()
+    assert text.startswith(src)
+    assert "# tuning for the pytest run" in text
+    reparsed = _yaml.safe_load(text)
+    assert reparsed["_runtime_overrides"]["grid"]["n_radial_points"] == 16
+    merged2 = _yaml.safe_load((run2 / "settings_merged.yaml").read_text())
+    assert merged2["grid"]["n_radial_points"] == 16
+    del os

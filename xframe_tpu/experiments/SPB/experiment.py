@@ -26,6 +26,7 @@ import numpy as np
 
 from xframe_tpu.interfaces import ExperimentWorkerInterface
 from xframe_tpu.experiments.SPB.detectors.agipd import AGIPD
+from xframe_tpu.logger import log
 
 BAD_ID = 65535  # EuXFEL sentinel for missing pulse/cell ids (uint16 max)
 
@@ -38,6 +39,8 @@ class DataSelection:
     batch_size: int = 32
     good_cells_only: bool = True            # drop frames failing the id rules
     cells: tuple | None = None              # explicit cellId selection
+    trains: tuple | None = None             # explicit trainId selection
+    train_range: tuple | None = None        # [lo, hi) trainId window
 
 
 @dataclass
@@ -102,7 +105,10 @@ class ExperimentWorker(ExperimentWorkerInterface):
         return files
 
     def _find_dataset(self, h5file, key):
-        """Locate `…/image/data`-style keys anywhere under INSTRUMENT."""
+        """Locate `…/image/data`-style keys. Deterministic (VERDICT r2 #9):
+        collects ALL matches; with several, a unique INSTRUMENT/-rooted one
+        wins, otherwise the ambiguity is an error listing the candidates —
+        never a silent first-visititems-hit choice."""
         cache_key = (h5file.filename, key)
         if cache_key in self._key_cache:
             return self._key_cache[cache_key]
@@ -116,6 +122,15 @@ class ExperimentWorker(ExperimentWorkerInterface):
         h5file.visititems(visit)
         if not hits:
             raise KeyError(f"no dataset ending in {key!r} in {h5file.filename}")
+        if len(hits) > 1:
+            instrument = [h for h in hits if h.startswith("INSTRUMENT/")]
+            if len(instrument) == 1:
+                hits = instrument
+            else:
+                raise ValueError(
+                    f"ambiguous dataset key {key!r} in {h5file.filename}: "
+                    f"{sorted(hits)} — pass an unambiguous image_key "
+                    f"(e.g. the full INSTRUMENT/... path)")
         self._key_cache[cache_key] = hits[0]
         return hits[0]
 
@@ -185,13 +200,24 @@ class ExperimentWorker(ExperimentWorkerInterface):
                           frame_mask=mask, n_pulses=n_pulses)
 
     def _frame_mask(self, train_ids, pulse_ids, cell_ids):
-        """Reference VDS bad-frame rules (_database_.py:366, :560-590)."""
+        """Reference VDS bad-frame rules (_database_.py:366, :560-590).
+
+        Every rule's marginal drop count is recorded in self.drop_counts and
+        logged — real runs need to see WHAT was silently excluded and why
+        (VERDICT r2 #9)."""
         has_ids = bool(train_ids.any())
         mask = np.ones(len(train_ids), dtype=bool)
         n_pulses = 0
+        drops = {}
+
+        def apply(rule, keep):
+            nonlocal mask
+            drops[rule] = int((mask & ~keep).sum())
+            mask = mask & keep
+
         if has_ids:
             positive = train_ids > 0
-            mask &= positive
+            apply("trainId_zero", positive)
             if positive.any():
                 # pulses per train = median multiplicity of unique pulse ids
                 # (reference get_general_vds_data :439-441)
@@ -201,7 +227,8 @@ class ExperimentWorker(ExperimentWorkerInterface):
                 n_pulses = int(np.median(pcounts))
                 first = int(train_ids[positive].min())
                 last = first + n_trains - 1
-                mask &= (train_ids >= first) & (train_ids <= last)
+                apply("trainId_out_of_range",
+                      (train_ids >= first) & (train_ids <= last))
                 # repeated trainIds: keep only the first n_pulses occurrences
                 uniq, counts = np.unique(train_ids, return_counts=True)
                 if (counts > n_pulses).any():
@@ -209,11 +236,17 @@ class ExperimentWorker(ExperimentWorkerInterface):
                     for u in uniq[counts > n_pulses]:
                         idx = np.nonzero(train_ids == u)[0]
                         occurrence[idx] = np.arange(len(idx))
-                    mask &= occurrence < n_pulses
-        mask &= pulse_ids != np.uint64(BAD_ID)
-        mask &= cell_ids != np.uint16(BAD_ID)
+                    apply("trainId_repeats", occurrence < n_pulses)
+        apply("pulseId_sentinel", pulse_ids != np.uint64(BAD_ID))
+        apply("cellId_sentinel", cell_ids != np.uint16(BAD_ID))
         if self.good_cells is not None:
-            mask &= np.isin(cell_ids, self.good_cells)
+            apply("good_cells", np.isin(cell_ids, self.good_cells))
+        self.drop_counts = drops
+        n_dropped = int((~mask).sum())
+        if n_dropped:
+            detail = ", ".join(f"{k}: {v}" for k, v in drops.items() if v)
+            log.info("SPB frame index: dropped %d of %d frames (%s)",
+                     n_dropped, len(mask), detail)
         return mask, n_pulses
 
     def n_frames(self):
@@ -270,6 +303,14 @@ class ExperimentWorker(ExperimentWorkerInterface):
                     good = good & idx.frame_mask[lo:hi]
                 if sel.cells is not None:
                     good = good & np.isin(cells, np.asarray(sel.cells))
+                if sel.trains is not None:
+                    good = good & np.isin(
+                        idx.train_ids[lo:hi],
+                        np.asarray(sel.trains, dtype=np.uint64))
+                if sel.train_range is not None:
+                    t = idx.train_ids[lo:hi]
+                    good = good & (t >= np.uint64(sel.train_range[0])) \
+                        & (t < np.uint64(sel.train_range[1]))
                 chunk = {"data": batch,
                          "mask": np.ones(batch.shape, dtype=bool),
                          "good": good,

@@ -66,9 +66,7 @@ class ProjectDB(DefaultDB):
         from xframe_tpu import settings
         raw = getattr(settings, "raw_project", None)
         if raw:
-            settings_loader.save_yaml(os.path.join(run_folder, "settings.yaml"),
-                                      {k: v for k, v in raw.items()
-                                       if not str(k).startswith("_")})
+            settings_loader.archive_settings(run_folder, raw)
 
     def _save_archived(self, name, data, run=None):
         path, run = self._resolve(name, run=run, new_run=True)

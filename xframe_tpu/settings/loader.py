@@ -268,4 +268,49 @@ def load_project_settings(project, worker, settings_name=None, overrides=None,
     merged["_default_settings_path"] = default_path or ""
     merged["_settings_name"] = settings_name or ""
     raw = copy.deepcopy(merged)
+    # keep the source text verbatim for comment/doc-preserving archival
+    # (reference round-trips via ruamel, settings/tools.py:75-155; this
+    # environment has no ruamel, so fidelity comes from archiving the
+    # original bytes + the applied overrides separately)
+    if settings_path:
+        try:
+            with open(settings_path) as f:
+                raw["_settings_text"] = f.read()
+        except OSError:
+            pass
+    if overrides:
+        raw["_overrides"] = _plain(overrides)
     return DictNamespace(merged), raw
+
+
+def archive_settings(run_folder, raw):
+    """Write the as-run settings snapshot into a run folder:
+
+    settings.yaml        — source file BYTES verbatim (comments and
+                           _description/_possible_values preserved); runtime
+                           overrides appended under `_runtime_overrides`
+    settings_merged.yaml — the fully merged tree actually in effect
+                           (settings + versioned defaults + commands), for
+                           reproducibility when defaults later change
+    """
+    if not raw:
+        return
+    os.makedirs(run_folder, exist_ok=True)
+    text = raw.get("_settings_text")
+    overrides = raw.get("_overrides")
+    snap = os.path.join(run_folder, "settings.yaml")
+    if text is not None:
+        out = text
+        if overrides:
+            out += ("\n# --- runtime overrides applied after load ---\n"
+                    + yaml.safe_dump({"_runtime_overrides": _plain(overrides)},
+                                     sort_keys=False))
+        with open(snap, "w") as f:
+            f.write(out)
+    else:
+        body = {k: v for k, v in raw.items() if not str(k).startswith("_")}
+        if overrides:
+            body["_runtime_overrides"] = _plain(overrides)
+        save_yaml(snap, body)
+    save_yaml(os.path.join(run_folder, "settings_merged.yaml"),
+              {k: v for k, v in raw.items() if not str(k).startswith("_")})
