@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Production-grid scale proof (VERDICT r2 item 3): run the fused MTIP
+pipeline at N_q >= 256, L = 128 on the chip; record s/iteration and device
+memory. Usage: python scripts/prod_scale.py [--nq 256 --L 128] [--iters 10]
+"""
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nq", type=int, default=256)
+    ap.add_argument("--L", type=int, default=128)
+    ap.add_argument("--ntheta", type=int, default=None)
+    ap.add_argument("--nphi", type=int, default=None)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--restarts", type=int, default=1)
+    ap.add_argument("--no-fused", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    from xframe_tpu.library.compile_cache import enable as enable_cache
+    enable_cache()
+    from xframe_tpu.projects.fxs.demo import make_demo_problem
+    from xframe_tpu.projects.fxs.phasing import Segment
+
+    n_theta = args.ntheta or 2 * (args.L + 1)
+    n_phi = args.nphi or 4 * (args.L + 1)
+    # round to MXU-friendly sizes
+    n_theta = -(-n_theta // 64) * 64
+    n_phi = -(-n_phi // 128) * 128
+    print(f"building problem nq={args.nq} L={args.L} grid "
+          f"{n_theta}x{n_phi} ...", flush=True)
+    t0 = time.perf_counter()
+    p = make_demo_problem(args.nq, args.L, n_theta=n_theta, n_phi=n_phi,
+                          procrustes_method="newton_schulz",
+                          fused_sht=not args.no_fused)
+    print(f"setup {time.perf_counter() - t0:.1f} s "
+          f"(fused q_block={getattr(p.ft.sht, 'q_block', None)})", flush=True)
+
+    schedule = [Segment("HIO", args.iters,
+                        betas=np.full(args.iters, 0.5), ft_stab=True)]
+    rho0s = p.initial_density_batch(0, args.restarts)
+    run = jax.jit(lambda r: p.mtip.run_batch(r, schedule))
+    t0 = time.perf_counter()
+    states, errors = run(rho0s)
+    jax.block_until_ready(errors)
+    print(f"compile+first run {time.perf_counter() - t0:.1f} s", flush=True)
+    t0 = time.perf_counter()
+    states, errors = run(rho0s)
+    jax.block_until_ready(errors)
+    dt = time.perf_counter() - t0
+    sec_per_iter = dt / (args.iters * args.restarts)
+
+    mem = {}
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        if stats:
+            mem = {"peak_bytes_in_use": stats.get("peak_bytes_in_use"),
+                   "bytes_in_use": stats.get("bytes_in_use")}
+    except Exception:
+        pass
+    from xframe_tpu.library.hostio import to_host
+    errs = np.asarray(to_host(errors))
+    out = {
+        "metric": "sec_per_mtip_iteration_production",
+        "value": sec_per_iter,
+        "unit": f"s/iteration/restart (N_q={args.nq}, L_max={args.L}, "
+                f"{n_theta}x{n_phi} angular grid)",
+        "restarts": args.restarts,
+        "errors_finite": bool(np.isfinite(errs).all()),
+        "memory": mem,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

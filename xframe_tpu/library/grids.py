@@ -44,18 +44,76 @@ def regrid(data, old_coords, new_coords, axis=0):
     return np.moveaxis(out.reshape((len(new),) + moved.shape[1:]), 0, axis)
 
 
-class SampledFunction:
-    """Data + the grid it is sampled on (reference SampledFunction :752)."""
+def _to_cartesian(grid, coord):
+    """Coordinate grid (..., dim) in `coord` system → cartesian."""
+    from xframe_tpu.library.shapes import spherical_to_cartesian
+    if coord == "cartesian":
+        return np.asarray(grid, dtype=float)
+    if coord in ("spherical", "polar"):
+        # shapes.spherical_to_cartesian handles (r,θ,φ) and (r,φ) tails
+        return spherical_to_cartesian(np.asarray(grid, dtype=float))
+    raise ValueError(f"unknown coordinate system {coord!r}")
 
-    def __init__(self, data, coords, axis=0):
+
+def regrid_nd(data, grid, coord, new_grid, new_coord, method="linear",
+              fill_value=0.0, apply_over_axis=None):
+    """General coordinate-aware resampling (reference ReGrider.regrid,
+    gridLibrary.py:586-750): scatter-interpolate `data` sampled on `grid`
+    (coordinate system `coord` ∈ cartesian|spherical|polar) onto `new_grid`
+    in `new_coord`. Both grids carry the coordinate tuple in the trailing
+    dimension; interpolation happens in the common cartesian frame with
+    scipy.interpolate.griddata (host-side, setup-time — this is not a hot
+    path). Complex data is interpolated per plane; `apply_over_axis` maps
+    the regrid over a leading batch axis (reference options['apply_over_axis'])."""
+    from scipy.interpolate import griddata
+    data = np.asarray(data)
+    if apply_over_axis is not None:
+        moved = np.moveaxis(data, apply_over_axis, 0)
+        out = np.stack([
+            regrid_nd(d, grid, coord, new_grid, new_coord, method=method,
+                      fill_value=fill_value) for d in moved])
+        return np.moveaxis(out, 0, apply_over_axis)
+    grid_c = _to_cartesian(grid, coord)
+    new_c = _to_cartesian(new_grid, new_coord)
+    dim = grid_c.shape[-1]
+    pts = grid_c.reshape(-1, dim)
+    new_pts = new_c.reshape(-1, dim)
+    shape = new_c.shape[:-1]
+    if np.iscomplexobj(data):
+        re = griddata(pts, data.real.reshape(-1), new_pts, method=method,
+                      fill_value=fill_value)
+        im = griddata(pts, data.imag.reshape(-1), new_pts, method=method,
+                      fill_value=fill_value)
+        return (re + 1j * im).reshape(shape)
+    return griddata(pts, data.reshape(-1), new_pts, method=method,
+                    fill_value=fill_value).reshape(shape)
+
+
+class SampledFunction:
+    """Data + the grid it is sampled on (reference SampledFunction :752).
+
+    1-D form (coords a 1-D axis): linear resampling along `axis`.
+    N-D form (coords with a trailing coordinate tuple + coord_sys given):
+    coordinate-aware regrid_nd onto any target grid/system."""
+
+    def __init__(self, data, coords, axis=0, coord_sys=None):
         self.data = np.asarray(data)
         self.coords = np.asarray(coords, dtype=float)
         self.axis = int(axis)
+        self.coord_sys = coord_sys
 
-    def regrid(self, new_coords):
+    def regrid(self, new_coords, new_coord_sys=None, **kw):
+        if self.coord_sys is not None:
+            out = regrid_nd(self.data, self.coords, self.coord_sys,
+                            new_coords, new_coord_sys or self.coord_sys, **kw)
+            return SampledFunction(out, new_coords, axis=self.axis,
+                                   coord_sys=new_coord_sys or self.coord_sys)
         return SampledFunction(
             regrid(self.data, self.coords, new_coords, axis=self.axis),
             new_coords, axis=self.axis)
 
     def __call__(self, points):
+        if self.coord_sys is not None:
+            return regrid_nd(self.data, self.coords, self.coord_sys,
+                             points, self.coord_sys)
         return regrid(self.data, self.coords, points, axis=self.axis)
