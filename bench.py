@@ -40,20 +40,29 @@ def main():
     rho0s = p.initial_density_batch(0, n_restarts)
     run = jax.jit(lambda r: p.mtip.run_batch(r, schedule))
 
-    states, errors = run(rho0s)  # compile + warmup
-    jax.block_until_ready(errors)
-    t0 = time.perf_counter()
-    states, errors = run(rho0s)
-    jax.block_until_ready(errors)
-    dt = time.perf_counter() - t0
+    if os.environ.get("XF_BENCH_SKIP_SHORT"):
+        # sweep mode: only the full schedule below is measured (its first
+        # call is its own compile+warmup) — saves one big tunnel compile
+        # per restart-batch size
+        out = {"metric": "full_schedule_only", "value": None,
+               "unit": "", "vs_baseline": None, "restarts": n_restarts}
+    else:
+        states, errors = run(rho0s)  # compile + warmup
+        jax.block_until_ready(errors)
+        t0 = time.perf_counter()
+        states, errors = run(rho0s)
+        jax.block_until_ready(errors)
+        dt = time.perf_counter() - t0
 
-    sec_per_iter = dt / (n_iter * n_restarts)
-    out = {
-        "metric": "sec_per_mtip_iteration_tutorial",
-        "value": sec_per_iter,
-        "unit": "s/iteration/restart (N_q=128, L_max=64, 256x512 angular grid)",
-        "vs_baseline": BASELINE_SEC_PER_ITER / sec_per_iter,
-    }
+        sec_per_iter = dt / (n_iter * n_restarts)
+        out = {
+            "metric": "sec_per_mtip_iteration_tutorial",
+            "value": sec_per_iter,
+            "unit": "s/iteration/restart (N_q=128, L_max=64, 256x512 "
+                    "angular grid)",
+            "vs_baseline": BASELINE_SEC_PER_ITER / sec_per_iter,
+            "restarts": n_restarts,
+        }
 
     if os.environ.get("XF_BENCH_FULL"):
         # full tutorial schedule incl. shrink-wrap: 5×(60 HIO + 1 SW + 40 ER)

@@ -452,3 +452,59 @@ class TestFusedIteration:
         assert rel.max() < 0.05
         d0, d1 = np.asarray(s0.rho), np.asarray(s1.rho)
         assert np.abs(d0 - d1).max() < 0.05 * np.abs(d0).max()
+
+
+def test_lazy_best_state_matches_eager():
+    """The in-kernel lazy best-state tracking (best' selected inside the
+    NEXT step's K4) must reproduce the eager per-iteration XLA select
+    bitwise: same best_rho, best_err, best_mask, last_err."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from xframe_tpu.projects.fxs.demo import make_demo_problem
+    from xframe_tpu.projects.fxs.phasing import Segment, PhasingState
+
+    p = make_demo_problem(16, 8, fused_sht=True)
+    mtip = p.mtip
+    assert mtip._fi is not None
+    schedule = [Segment("HIO", 5, betas=np.full(5, 0.5), ft_stab=True),
+                Segment("SW", sigma=mtip.sw.default_sigma, threshold=0.1),
+                Segment("ER", 3, betas=np.zeros(3), ft_stab=True)]
+    rho0 = p.initial_density_batch(0, 1)[0]
+
+    state, errs = jax.jit(lambda r: mtip.run(r, schedule))(rho0)
+
+    # eager reference: same fused kernels, per-iteration XLA best select
+    def eager_run(rho0):
+        st = mtip.initial_state(rho0)
+        all_errs = []
+        for seg in schedule:
+            if seg.method == "SW":
+                st = mtip._shrink_wrap(st, seg)
+                continue
+            sup_f = st.support.astype(mtip.rdtype)
+            z, z2 = mtip._anchor_stats(st.rho)
+            rho, best_rho, best_mask = st.rho, st.best_rho, st.best_mask
+            best_err, last = st.best_err, st.last_err
+            for beta in np.asarray(seg.betas):
+                rho_new, err, err_rec, z, z2 = mtip._mtip_iteration_fused(
+                    rho, sup_f, jnp.asarray(beta, mtip.rdtype),
+                    seg.method, seg.ft_stab, z, z2)
+                better = err < best_err
+                best_rho = jnp.where(better, rho_new, best_rho)
+                best_mask = jnp.where(better, st.support, best_mask)
+                best_err = jnp.minimum(err, best_err)
+                rho, last = rho_new, err
+                all_errs.append(jnp.stack([err, err_rec]))
+            st = PhasingState(rho, st.support, best_rho, best_mask,
+                              best_err, last)
+        return st, jnp.stack(all_errs)
+
+    state_e, errs_e = jax.jit(eager_run)(rho0)
+    assert np.array_equal(np.asarray(errs), np.asarray(errs_e))
+    assert np.array_equal(np.asarray(state.best_rho),
+                          np.asarray(state_e.best_rho))
+    assert float(state.best_err) == float(state_e.best_err)
+    assert np.array_equal(np.asarray(state.best_mask),
+                          np.asarray(state_e.best_mask))
+    assert float(state.last_err) == float(state_e.last_err)

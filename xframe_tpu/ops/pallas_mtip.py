@@ -172,17 +172,27 @@ def _inv_real_project_fwd_kernel(n_theta, n_phi, mp_blk, m_blk, eps,
 
 # ---------------------------------------------------------------- K4 kernel
 def _synth_update_kernel(n_theta, n_phi, m_blk, q_b,
-                         method, add_rin, flags, fix_phase,
-                         d_re, d_im, p_ref, ire_ref, iim_ref,
-                         rin_re, rin_im, sup_ref, w_ref, scal_ref,
-                         nre_ref, nim_ref, part_ref):
+                         method, add_rin, flags, fix_phase, track_best,
+                         *refs):
     """Inverse-FT synthesis + MTIP real-side epilogue for one q-block.
 
     d: combined coefficient planes (c_ρ − c_roundtrip with row 0 reset to
     c_ρ[0] under ft-stab, else plain c_ρ); add_rin: add ρ_in on rows q≠0
     (the ft-stab correction). flags: (apply_support, apply_tlow, apply_thigh,
-    apply_limit_imag, apply_assert_real) — static bools baked per-compile."""
+    apply_limit_imag, apply_assert_real) — static bools baked per-compile.
+
+    track_best: the best-iterate tracking rides inside the kernel — ρ_in is
+    LAST step's output whose error became known after its partials reduced,
+    so best' = flag ? ρ_in : best uses planes already streaming through VMEM
+    instead of a separate 3-grid-pass XLA select every iteration."""
     (apply_support, apply_tlow, apply_thigh, apply_limimag, assert_real) = flags
+    if track_best:
+        (d_re, d_im, p_ref, ire_ref, iim_ref, rin_re, rin_im, sup_ref,
+         w_ref, bre_ref, bim_ref, scal_ref,
+         nre_ref, nim_ref, obre_ref, obim_ref, part_ref) = refs
+    else:
+        (d_re, d_im, p_ref, ire_ref, iim_ref, rin_re, rin_im, sup_ref,
+         w_ref, scal_ref, nre_ref, nim_ref, part_ref) = refs
     i = pl.program_id(0)
     rp_re, rp_im = _synth_complex(d_re, d_im, p_ref[:], ire_ref[:],
                                   iim_ref[:], q_b, n_theta, n_phi, m_blk)
@@ -195,6 +205,11 @@ def _synth_update_kernel(n_theta, n_phi, m_blk, q_b,
     lim_imag = scal[0, 5]
     rinr = rin_re[:]
     rini = rin_im[:]
+    if track_best:
+        # candidate is the RAW (un-anchored) ρ_in exactly as stored in HBM
+        take = scal[0, 6] > 0.5
+        obre_ref[:] = jnp.where(take, rinr, bre_ref[:])
+        obim_ref[:] = jnp.where(take, rini, bim_ref[:])
     if add_rin:
         # ρ_p + (ρ_in − rt) on q≠0 rows = synth(d) + ρ_in·[q≠0]
         # (reconstruct.py:585-595; phasing.mtip_iteration)
@@ -503,7 +518,8 @@ class FusedIteration:
     # ------------------------------------------------------------------- K4
     def synthesize_update(self, d, rho_in, support_f32, w,
                           beta, c_phase, *, method: str, ft_stab: bool,
-                          real_constraint, fix_phase: bool = True):
+                          real_constraint, fix_phase: bool = True,
+                          best_rho=None, best_flag=None):
         """ρ_new = update(real_constraint(iSHT(d) + ft_stab·ρ_in·[q≠0]))
         with the global-phase anchor scalar c_phase folded in; also returns
         (real-error numerator, denominator, z, z2) where z = Σwρ_new²,
@@ -513,9 +529,16 @@ class FusedIteration:
         (c_ρ − c_roundtrip) with row 0 reset to c_ρ[0], exploiting the
         linearity of the per-q synthesis; without ft-stab just c_ρ.
         support_f32: 0/1 float mask; w: integration weights (real error +
-        anchor)."""
+        anchor).
+
+        With best_rho + best_flag (traced 0/1 scalar) given, the kernel also
+        emits best' = flag ? ρ_in : best_rho (ρ_in is the previous iterate,
+        whose error the caller compared against the running best) and the
+        return grows to (ρ_new, best', num, den, z, z2) — saving the
+        3-grid-pass XLA best-state select per iteration."""
         f = self.f
         rc = real_constraint
+        track_best = best_rho is not None
         lead = rho_in.shape[:-2]
         rows = int(np.prod(lead)) if lead else 1
         qb, nt, nph = self.q_block, f.n_theta, f.n_phi
@@ -533,8 +556,12 @@ class FusedIteration:
         rin_im = rin.imag.astype(jnp.float32)
         sup = support_f32.reshape((rows, nt, nph)).astype(jnp.float32)
         w_r = w.reshape((rows, nt, nph)).astype(jnp.float32)
-        (d_re, d_im, rin_re, rin_im, sup, w_r), nrows = self._pad_rows_q(
-            (d_re, d_im, rin_re, rin_im, sup, w_r), qb)
+        pads = [d_re, d_im, rin_re, rin_im, sup, w_r]
+        if track_best:
+            b = best_rho.reshape((rows, nt, nph))
+            pads += [b.real.astype(jnp.float32), b.imag.astype(jnp.float32)]
+        padded, nrows = self._pad_rows_q(tuple(pads), qb)
+        d_re, d_im, rin_re, rin_im, sup, w_r = padded[:6]
         g = d_re.shape[0] // qb
         beta = jnp.asarray(beta, dtype=jnp.float32)
         cp = jnp.asarray(c_phase)
@@ -545,9 +572,12 @@ class FusedIteration:
                      jnp.float32(rc.threshold_high
                                  if rc.threshold_high is not None else 0.0),
                      jnp.float32(rc.limit_imag)]
+        if track_best:
+            scal_vals.append(jnp.asarray(best_flag, dtype=jnp.float32))
         scal = _scatter_scalars(scal_vals)[None]                  # (1, 8, 128)
         kern = partial(_synth_update_kernel, nt, nph, mb, qb,
-                       method, bool(ft_stab), flags, bool(fix_phase))
+                       method, bool(ft_stab), flags, bool(fix_phase),
+                       track_best)
         blk_c = pl.BlockSpec((qb, mb, L + 1), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
         p_spec = pl.BlockSpec((mb, L + 1, nt), lambda i: (0, 0, 0),
@@ -560,23 +590,40 @@ class FusedIteration:
                                  memory_space=pltpu.VMEM)
         part_spec = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
                                  memory_space=pltpu.VMEM)
-        n_re, n_im, parts = pl.pallas_call(
+        in_specs = [blk_c, blk_c, p_spec, i_spec, i_spec,
+                    blk_g, blk_g, blk_g, blk_g, scal_spec]
+        out_specs = [blk_g, blk_g, part_spec]
+        out_shape = [jax.ShapeDtypeStruct((g * qb, nt, nph), jnp.float32),
+                     jax.ShapeDtypeStruct((g * qb, nt, nph), jnp.float32),
+                     jax.ShapeDtypeStruct((g, 8, 128), jnp.float32)]
+        inputs = [d_re, d_im, jnp.asarray(f._P_t), jnp.asarray(f._I_re),
+                  jnp.asarray(f._I_im), rin_re, rin_im, sup, w_r, scal]
+        if track_best:
+            in_specs = in_specs[:-1] + [blk_g, blk_g, scal_spec]
+            inputs = inputs[:-1] + [padded[6], padded[7], scal]
+            out_specs = [blk_g, blk_g, blk_g, blk_g, part_spec]
+            out_shape = out_shape[:2] * 2 + out_shape[2:]
+        outs = pl.pallas_call(
             kern,
             grid=(g,),
-            in_specs=[blk_c, blk_c, p_spec, i_spec, i_spec,
-                      blk_g, blk_g, blk_g, blk_g, scal_spec],
-            out_specs=[blk_g, blk_g, part_spec],
-            out_shape=[jax.ShapeDtypeStruct((g * qb, nt, nph), jnp.float32),
-                       jax.ShapeDtypeStruct((g * qb, nt, nph), jnp.float32),
-                       jax.ShapeDtypeStruct((g, 8, 128), jnp.float32)],
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
             compiler_params=self._params,
             interpret=f._interp(),
-        )(d_re, d_im, jnp.asarray(f._P_t), jnp.asarray(f._I_re),
-          jnp.asarray(f._I_im), rin_re, rin_im, sup, w_r, scal)
+        )(*inputs)
+        if track_best:
+            n_re, n_im, b_re, b_im, parts = outs
+        else:
+            n_re, n_im, parts = outs
         rho_new = lax.complex(n_re[:nrows], n_im[:nrows]).astype(
             f.sht.complex_dtype).reshape(lead + (nt, nph))
         num = jnp.sum(parts[:, 0, 0])
         den = jnp.sum(parts[:, 0, 1])
         z = lax.complex(jnp.sum(parts[:, 0, 2]), jnp.sum(parts[:, 0, 3]))
         z2 = lax.complex(jnp.sum(parts[:, 0, 4]), jnp.sum(parts[:, 0, 5]))
+        if track_best:
+            best_new = lax.complex(b_re[:nrows], b_im[:nrows]).astype(
+                f.sht.complex_dtype).reshape(lead + (nt, nph))
+            return rho_new, best_new, num, den, z, z2
         return rho_new, num, den, z, z2

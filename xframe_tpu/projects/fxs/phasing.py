@@ -260,11 +260,14 @@ class MTIP:
         return jnp.sum(w * rho * rho), jnp.sum(w * rho)
 
     def _mtip_iteration_fused(self, rho_in, support_f32, beta, method: str,
-                              ft_stab: bool, z, z2):
+                              ft_stab: bool, z, z2, best_rho=None,
+                              best_flag=None):
         """One fused HIO/ER/RAAR step. rho_in is UN-anchored; the anchor
         scalar (from last iteration's z/z2 stats) rides through the linear
         reciprocal chain and is applied inside synthesize_update.
-        → (rho_new, err, err_rec, z', z2')."""
+        → (rho_new, err, err_rec, z', z2') — plus best' second when
+        best_rho/best_flag are given (lazy best-state tracking: rho_in is
+        the PREVIOUS iterate whose error the flag compared)."""
         if self.fix_global_phase:
             c_phase = self._anchor_scalar(z, z2)
         else:
@@ -289,15 +292,30 @@ class MTIP:
             d = (c_rho - ci).at[0].set(c_rho[0])
         else:
             d = c_rho
-        rho_new, num, den, z_n, z2_n = self._fi.synthesize_update(
+        outs = self._fi.synthesize_update(
             d, rho_in, support_f32, jnp.asarray(self._w_err),
             beta, c_phase, method=method, ft_stab=ft_stab,
-            real_constraint=self.real, fix_phase=self.fix_global_phase)
+            real_constraint=self.real, fix_phase=self.fix_global_phase,
+            best_rho=best_rho, best_flag=best_flag)
+        if best_rho is not None:
+            rho_new, best_new, num, den, z_n, z2_n = outs
+        else:
+            rho_new, num, den, z_n, z2_n = outs
         err = jnp.where(den > 0, num / den, jnp.inf).astype(self.rdtype)
         err_rec = jnp.where(rden > 0, rnum / rden, jnp.inf).astype(self.rdtype)
+        if best_rho is not None:
+            return rho_new, best_new, err, err_rec, z_n, z2_n
         return rho_new, err, err_rec, z_n, z2_n
 
     def _run_segment_fused(self, state: PhasingState, seg: Segment, betas):
+        """Lazy best-state tracking: the candidate rho_new_t is selected into
+        best_rho inside the NEXT step's K4 kernel (its ρ_in planes are
+        already streaming through VMEM; flag = err_t < best_err is a scalar
+        known after step t's partials reduce) instead of a 3-grid-pass XLA
+        select per iteration. The final iterate's pending comparison is one
+        select per SEGMENT, and best_mask — constant within a segment — is
+        resolved per segment too. Final (best_rho, best_mask, best_err) are
+        bitwise-identical to the eager per-iteration tracking."""
         sup_f = state.support.astype(self.rdtype)
         if self.fix_global_phase:
             z, z2 = self._anchor_stats(state.rho)
@@ -306,22 +324,30 @@ class MTIP:
             z, z2 = zero, zero
 
         def body(carry, beta):
-            rho, best_rho, best_mask, best_err, _, z, z2 = carry
-            rho_new, err, err_rec, z_n, z2_n = self._mtip_iteration_fused(
-                rho, sup_f, beta, seg.method, seg.ft_stab, z, z2)
-            better = err < best_err
-            best_rho = jnp.where(better, rho_new, best_rho)
-            best_mask = jnp.where(better, state.support, best_mask)
-            best_err = jnp.minimum(err, best_err)
-            return (rho_new, best_rho, best_mask, best_err, err, z_n, z2_n), \
+            rho, best_rho, best_err, pending_err, z, z2 = carry
+            flag = (pending_err < best_err).astype(self.rdtype)
+            rho_new, best_new, err, err_rec, z_n, z2_n = \
+                self._mtip_iteration_fused(rho, sup_f, beta, seg.method,
+                                           seg.ft_stab, z, z2,
+                                           best_rho=best_rho, best_flag=flag)
+            best_err = jnp.minimum(pending_err, best_err)
+            return (rho_new, best_new, best_err, err, z_n, z2_n), \
                 jnp.stack([err, err_rec])
 
-        carry = (state.rho, state.best_rho, state.best_mask, state.best_err,
-                 state.last_err, z, z2)
+        # entering the segment, state.rho's error was already resolved into
+        # best at the previous segment's fix-up → pending = +inf (no-op flag)
+        pending0 = jnp.asarray(np.inf, dtype=self.rdtype)
+        carry = (state.rho, state.best_rho, state.best_err, pending0, z, z2)
         carry, errs = jax.lax.scan(body, carry, betas)
-        rho, best_rho, best_mask, best_err, last_err = carry[:5]
+        rho, best_rho, best_err, pending_err = carry[:4]
+        # segment fix-up: the last iterate is still pending
+        better = pending_err < best_err
+        best_rho = jnp.where(better, rho, best_rho)
+        best_err = jnp.minimum(pending_err, best_err)
+        improved = best_err < state.best_err
+        best_mask = jnp.where(improved, state.support, state.best_mask)
         return PhasingState(rho, state.support, best_rho, best_mask,
-                            best_err, last_err), errs
+                            best_err, pending_err), errs
 
     # -------------------------------------------------------------- segments
     def _run_segment(self, state: PhasingState, seg: Segment, betas=None):
