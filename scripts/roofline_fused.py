@@ -35,6 +35,9 @@ def main():
     ap.add_argument("--sec-per-iter", type=float, default=None,
                     help="measured s/iteration/restart (bench.py) to convert "
                          "into achieved rates")
+    ap.add_argument("--eager-best", action="store_true",
+                    help="count the pre-r3 per-iteration XLA best-state "
+                         "select instead of the in-K4 lazy tracking")
     ap.add_argument("--restarts", type=int, default=1,
                     help="restart batch the measurement was taken at")
     args = ap.parse_args()
@@ -105,13 +108,19 @@ def main():
     add("Hankel inverse c_rho",       *hankel())
     add("Hankel inverse c_i (ft-stab)", *hankel())
     add("coeff combine d (XLA)", 2 * nq * nm * nl, 3 * 2 * CPm)
-    add("K4 synthesis + constraint + HIO update",
-        2 * 2 * mb * nq * nth * nl + 4 * 2 * R * mb * nph + 20 * R * nph,
-        2 * CPm + T_P + T_I + 2 * GP      # d, tables, rho_in
-        + GP + GP                          # support, weights
-        + 2 * GP)                          # rho_new out
-    add("best-state carry update (XLA select)", 0,
-        3 * 2 * GP)                        # read rho_new + best, write best
+    k4_flops = 2 * 2 * mb * nq * nth * nl + 4 * 2 * R * mb * nph \
+        + 20 * R * nph
+    k4_bytes = (2 * CPm + T_P + T_I + 2 * GP   # d, tables, rho_in
+                + GP + GP                       # support, weights
+                + 2 * GP)                       # rho_new out
+    if args.eager_best:
+        add("K4 synthesis + constraint + HIO update", k4_flops, k4_bytes)
+        add("best-state carry update (XLA select)", 0,
+            3 * 2 * GP)                    # read rho_new + best, write best
+    else:
+        # lazy best-state rides inside K4: +2 planes in (best), +2 out
+        add("K4 synth + constraint + update + lazy best",
+            k4_flops, k4_bytes + 4 * GP)
 
     tot_f = sum(f for _, f, _ in rows)
     tot_b = sum(b for _, _, b in rows)

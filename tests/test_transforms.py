@@ -487,9 +487,13 @@ def test_lazy_best_state_matches_eager():
             rho, best_rho, best_mask = st.rho, st.best_rho, st.best_mask
             best_err, last = st.best_err, st.last_err
             for beta in np.asarray(seg.betas):
-                rho_new, err, err_rec, z, z2 = mtip._mtip_iteration_fused(
+                # route through the SAME track_best kernel (flag=0 is a
+                # best pass-through) so the q-block — and hence reduction
+                # grouping — matches the lazy path bitwise
+                rho_new, _, err, err_rec, z, z2 = mtip._mtip_iteration_fused(
                     rho, sup_f, jnp.asarray(beta, mtip.rdtype),
-                    seg.method, seg.ft_stab, z, z2)
+                    seg.method, seg.ft_stab, z, z2,
+                    best_rho=best_rho, best_flag=jnp.asarray(0.0))
                 better = err < best_err
                 best_rho = jnp.where(better, rho_new, best_rho)
                 best_mask = jnp.where(better, st.support, best_mask)

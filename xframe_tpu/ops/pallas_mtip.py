@@ -541,7 +541,11 @@ class FusedIteration:
         track_best = best_rho is not None
         lead = rho_in.shape[:-2]
         rows = int(np.prod(lead)) if lead else 1
-        qb, nt, nph = self.q_block, f.n_theta, f.n_phi
+        # the lazy-best variant holds 4 more grid planes per block (best
+        # in/out) — at the default block the kernel measured 114.5 MB scoped
+        # VMEM against the 100 MB cap, so halve the q-block for it
+        qb = max(1, self.q_block // 2) if track_best else self.q_block
+        nt, nph = f.n_theta, f.n_phi
         mb, L = f.n_m_pad, f.l_max
         flags = (bool(rc.apply_support),
                  bool(rc.apply_value_threshold
