@@ -310,6 +310,25 @@ class FusedIteration:
             ((0, pad_p), (0, 0), (0, 0))).astype(np.float32))
 
     # -------------------------------------------------------------- helpers
+    def _update_q_block(self, track_best):
+        """Largest power-of-two q-block whose scoped-VMEM footprint fits the
+        compiler cap. Empirical model from the v5e Mosaic allocator: the K4
+        kernel's scoped bytes ≈ tables + k · qb·nθ·nφ·4 with k ≈ 21
+        grid-plane equivalents (I/O blocks + double buffering + epilogue
+        temporaries), +4 planes for the lazy-best variant (measured 97.7 MB
+        vs 114.5 MB at qb=8, tutorial scale, 100 MB cap)."""
+        f = self.f
+        limit = float(getattr(self._params, "vmem_limit_bytes", None)
+                      or 100 * 1024 * 1024)
+        tables = (f._P_t.nbytes if hasattr(f._P_t, "nbytes")
+                  else np.asarray(f._P_t).nbytes) + 2 * f.n_m_pad * f.n_phi * 4
+        k = 25 if track_best else 21
+        plane = f.n_theta * f.n_phi * 4
+        qb = self.q_block
+        while qb > 1 and tables + k * qb * plane > limit:
+            qb //= 2
+        return max(1, qb)
+
     def _pad_rows_q(self, arrs, qb):
         rows = arrs[0].shape[0]
         if rows % qb:
@@ -541,10 +560,7 @@ class FusedIteration:
         track_best = best_rho is not None
         lead = rho_in.shape[:-2]
         rows = int(np.prod(lead)) if lead else 1
-        # the lazy-best variant holds 4 more grid planes per block (best
-        # in/out) — at the default block the kernel measured 114.5 MB scoped
-        # VMEM against the 100 MB cap, so halve the q-block for it
-        qb = max(1, self.q_block // 2) if track_best else self.q_block
+        qb = self._update_q_block(track_best)
         nt, nph = f.n_theta, f.n_phi
         mb, L = f.n_m_pad, f.l_max
         flags = (bool(rc.apply_support),
