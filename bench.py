@@ -50,6 +50,7 @@ def main():
         states, errors = run(rho0s)  # compile + warmup
         jax.block_until_ready((states.rho, errors))
         rho0s_b2 = p.initial_density_batch(1, n_restarts)
+        jax.block_until_ready(rho0s_b2)   # keep input prep out of the timing
         t0 = time.perf_counter()
         states, errors = run(rho0s_b2)
         jax.block_until_ready((states.rho, errors))
@@ -84,6 +85,7 @@ def main():
         # (program, inputs) pair from cache without re-executing, which
         # once yielded a bogus 0.3 ms "measurement" of 600 iterations
         rho0s_b = p.initial_density_batch(1, n_restarts)
+        jax.block_until_ready(rho0s_b)
         t0 = time.perf_counter()
         states_f, errs = run_full(rho0s_b)
         jax.block_until_ready((states_f.rho, errs))

@@ -467,6 +467,7 @@ def test_lazy_best_state_matches_eager():
     p = make_demo_problem(16, 8, fused_sht=True)
     mtip = p.mtip
     assert mtip._fi is not None
+    mtip.lazy_best = True          # force the in-kernel tracking path
     schedule = [Segment("HIO", 5, betas=np.full(5, 0.5), ft_stab=True),
                 Segment("SW", sigma=mtip.sw.default_sigma, threshold=0.1),
                 Segment("ER", 3, betas=np.zeros(3), ft_stab=True)]

@@ -316,10 +316,14 @@ class FusedIteration:
         kernel's scoped bytes ≈ tables + k · qb·nθ·nφ·4 with k ≈ 21
         grid-plane equivalents (I/O blocks + double buffering + epilogue
         temporaries), +4 planes for the lazy-best variant (measured 97.7 MB
-        vs 114.5 MB at qb=8, tutorial scale, 100 MB cap)."""
+        vs 114.5 MB at qb=8, tutorial scale, 100 MB cap).
+
+        The track_best variant runs under its own raised cap (124 MB — the
+        v5e has 128 MB VMEM) so it can keep the full block: HALVING the
+        block instead measured 38% slower end-to-end (0.0079 vs 0.0058
+        s/iter), far worse than the ~134 MB/iter of saved HBM traffic."""
         f = self.f
-        limit = float(getattr(self._params, "vmem_limit_bytes", None)
-                      or 100 * 1024 * 1024)
+        limit = float(self._limit_for(track_best))
         tables = (f._P_t.nbytes if hasattr(f._P_t, "nbytes")
                   else np.asarray(f._P_t).nbytes) + 2 * f.n_m_pad * f.n_phi * 4
         k = 25 if track_best else 21
@@ -328,6 +332,17 @@ class FusedIteration:
         while qb > 1 and tables + k * qb * plane > limit:
             qb //= 2
         return max(1, qb)
+
+    def _limit_for(self, track_best):
+        base = getattr(self._params, "vmem_limit_bytes", None) \
+            or 100 * 1024 * 1024
+        return max(base, 124 * 1024 * 1024) if track_best else base
+
+    def _params_for(self, track_best):
+        if not track_best:
+            return self._params
+        return pltpu.CompilerParams(
+            vmem_limit_bytes=int(self._limit_for(True)))
 
     def _pad_rows_q(self, arrs, qb):
         rows = arrs[0].shape[0]
@@ -629,7 +644,7 @@ class FusedIteration:
             in_specs=in_specs,
             out_specs=out_specs,
             out_shape=out_shape,
-            compiler_params=self._params,
+            compiler_params=self._params_for(track_best),
             interpret=f._interp(),
         )(*inputs)
         if track_best:

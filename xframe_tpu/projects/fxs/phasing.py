@@ -160,6 +160,9 @@ class MTIP:
                 and isinstance(real, RealConstraint)):
             from xframe_tpu.ops.pallas_mtip import FusedIteration
             self._fi = FusedIteration(fused)
+        import os
+        self.lazy_best = os.environ.get("XF_LAZY_BEST", "0").lower() \
+            not in ("0", "false", "")
 
     # ------------------------------------------------------------- iteration
     def _real_error(self, rho_p, rho_proj):
@@ -308,20 +311,43 @@ class MTIP:
         return rho_new, err, err_rec, z_n, z2_n
 
     def _run_segment_fused(self, state: PhasingState, seg: Segment, betas):
-        """Lazy best-state tracking: the candidate rho_new_t is selected into
-        best_rho inside the NEXT step's K4 kernel (its ρ_in planes are
-        already streaming through VMEM; flag = err_t < best_err is a scalar
-        known after step t's partials reduce) instead of a 3-grid-pass XLA
-        select per iteration. The final iterate's pending comparison is one
-        select per SEGMENT, and best_mask — constant within a segment — is
-        resolved per segment too. Final (best_rho, best_mask, best_err) are
-        bitwise-identical to the eager per-iteration tracking."""
+        """Fused-kernel segment scan. Two best-state strategies, final
+        results identical (see tests/test_transforms.py lazy-vs-eager):
+
+        eager (default): per-iteration XLA select (3 grid passes, ~400 MB of
+        the ~1.9 GB iteration traffic) — MEASURED FASTER end-to-end.
+        lazy (XF_LAZY_BEST=1): the candidate is selected into best inside
+        the NEXT step's K4 kernel whose ρ_in planes already stream through
+        VMEM; the final iterate and the (segment-constant) best_mask resolve
+        once per segment. Saves ~134 MB/iter of traffic but costs K4 four
+        extra resident planes — under the raised 124 MB VMEM cap it keeps
+        the full q-block, yet measured no faster than eager (the XLA select
+        overlaps other kernels; K4's extra DMA does not)."""
         sup_f = state.support.astype(self.rdtype)
         if self.fix_global_phase:
             z, z2 = self._anchor_stats(state.rho)
         else:
             zero = jnp.zeros((), dtype=self.cdtype)
             z, z2 = zero, zero
+
+        if not self.lazy_best:
+            def body(carry, beta):
+                rho, best_rho, best_mask, best_err, _, z, z2 = carry
+                rho_new, err, err_rec, z_n, z2_n = self._mtip_iteration_fused(
+                    rho, sup_f, beta, seg.method, seg.ft_stab, z, z2)
+                better = err < best_err
+                best_rho = jnp.where(better, rho_new, best_rho)
+                best_mask = jnp.where(better, state.support, best_mask)
+                best_err = jnp.minimum(err, best_err)
+                return (rho_new, best_rho, best_mask, best_err, err,
+                        z_n, z2_n), jnp.stack([err, err_rec])
+
+            carry = (state.rho, state.best_rho, state.best_mask,
+                     state.best_err, state.last_err, z, z2)
+            carry, errs = jax.lax.scan(body, carry, betas)
+            rho, best_rho, best_mask, best_err, last_err = carry[:5]
+            return PhasingState(rho, state.support, best_rho, best_mask,
+                                best_err, last_err), errs
 
         def body(carry, beta):
             rho, best_rho, best_err, pending_err, z, z2 = carry
