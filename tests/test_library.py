@@ -132,3 +132,38 @@ class TestRegridND:
         new = construct_grid([new_ax, new_ax])
         out = sf.regrid(new)
         assert np.abs(out.data - new[..., 0] * new[..., 1]).max() < 5e-3
+
+
+def test_radial_integrator():
+    import numpy as np
+    from xframe_tpu.ops.integrate import RadialIntegrator
+    import jax.numpy as jnp
+    rs = np.linspace(0.0, 1.0, 201)
+    ri = RadialIntegrator(rs, dimension=3, real_dtype=jnp.float64)
+    # ∫_0^1 r^2 dr = 1/3
+    val = float(ri.integrate(jnp.ones(201)))
+    assert abs(val - 1 / 3) < 1e-4
+    # normalized: / pi (r_max^3 - r_min^3)
+    assert abs(float(ri.integrate_normed(jnp.ones(201))) - 1 / (3 * np.pi)) \
+        < 1e-4
+    # axis handling on 2-D data
+    data = jnp.broadcast_to(jnp.asarray(rs), (4, 201))     # f(r) = r
+    v = ri.integrate(data, axis=-1)                        # ∫ r^3 = 1/4
+    assert np.allclose(np.asarray(v), 0.25, atol=1e-4)
+
+
+def test_construct_grid_uniform_dependent():
+    from xframe_tpu.library.grids import construct_grid
+    rs = np.array([1.0, 2.0])
+    # per-radius angular sampling: finer ring for larger r
+    phis = np.array([[0.0, np.pi], [0.0, np.pi / 2]])   # (2, 2)
+    g = construct_grid([rs, phis], grid_type="uniform_dependent")
+    assert g.shape == (2, 2, 2)
+    assert np.allclose(g[0, :, 0], 1.0) and np.allclose(g[1, :, 0], 2.0)
+    assert np.allclose(g[0, :, 1], [0.0, np.pi])
+    assert np.allclose(g[1, :, 1], [0.0, np.pi / 2])
+    # 1-D later axis broadcasts like a uniform meshgrid
+    g2 = construct_grid([rs, np.array([5.0, 6.0, 7.0])],
+                        grid_type="uniform_dependent")
+    assert g2.shape == (2, 3, 2)
+    assert np.allclose(g2[:, :, 1], [[5, 6, 7], [5, 6, 7]])

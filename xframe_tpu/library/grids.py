@@ -11,12 +11,36 @@ from __future__ import annotations
 import numpy as np
 
 
-def construct_grid(axes) -> np.ndarray:
-    """Meshgrid of 1-D axes → (n_0, ..., n_k, k+1) coordinate array
-    (reference GridFactory.construct_grid('uniform', axes))."""
-    axes = [np.asarray(a, dtype=float) for a in axes]
-    mesh = np.meshgrid(*axes, indexing="ij")
-    return np.stack(mesh, axis=-1)
+def construct_grid(axes, grid_type="uniform") -> np.ndarray:
+    """Coordinate grid with trailing coordinate tuple
+    (reference GridFactory.construct_grid, gridLibrary.py:914-988).
+
+    'uniform': meshgrid of 1-D axes → (n_0, ..., n_k, k+1).
+    'uniform_dependent': axes[k] may instead be an array of shape
+    (n_0, ..., n_{k-1}, n_k) supplying that dimension's values PER point of
+    the previous dimensions (e.g. a per-radius angular sampling)."""
+    if grid_type == "uniform":
+        axes = [np.asarray(a, dtype=float) for a in axes]
+        mesh = np.meshgrid(*axes, indexing="ij")
+        return np.stack(mesh, axis=-1)
+    if grid_type != "uniform_dependent":
+        raise ValueError(f"unknown grid_type {grid_type!r}")
+    first = np.asarray(axes[0], dtype=float)
+    grid = first[:, None]
+    shape = first.shape
+    for ax in axes[1:]:
+        ax = np.asarray(ax, dtype=float)
+        if ax.ndim == 1:
+            ax = np.broadcast_to(ax, shape + ax.shape)
+        elif ax.shape[:-1] != shape:
+            raise ValueError(
+                f"dependent axis shape {ax.shape} does not extend previous "
+                f"grid shape {shape}")
+        n_k = ax.shape[-1]
+        grid = np.repeat(grid[..., None, :], n_k, axis=-2)
+        grid = np.concatenate([grid, ax[..., None]], axis=-1)
+        shape = shape + (n_k,)
+    return grid
 
 
 def uniform_grid(bounds, n_points, endpoint=True) -> np.ndarray:

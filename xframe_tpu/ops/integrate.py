@@ -73,3 +73,32 @@ class PolarIntegrator:
 def midpoint_rule(samples, uniform_points, axis=0):
     step = uniform_points[1] - uniform_points[0]
     return step * np.sum(samples, axis=axis)
+
+
+class RadialIntegrator:
+    """1-D radial integrator with r^(d-1) measure (reference
+    mathLibrary.py:1270-1294): trapezoidal ∫ f(r) r^{d-1} dr along `axis`,
+    normalized variant divides by π(r_max^d − r_min^d)."""
+
+    def __init__(self, rs: np.ndarray, dimension: int = 3,
+                 real_dtype=jnp.float32):
+        self.rs = np.asarray(rs, dtype=np.float64)
+        self.dimension = int(dimension)
+        self.norm = float(np.pi * self.rs.max() ** dimension
+                          - np.pi * self.rs.min() ** dimension)
+        w = _trapz_weights(self.rs) * self.rs ** (dimension - 1)
+        np_real = np.float32 if real_dtype == jnp.float32 else np.float64
+        self._w = np.asarray(w, dtype=np_real)
+
+    def integrate(self, values, axis=-1):
+        ndim = jnp.ndim(values)
+        shape = [1] * ndim
+        shape[axis % ndim] = len(self.rs)
+        return jnp.sum(values * jnp.asarray(self._w).reshape(shape),
+                       axis=axis)
+
+    def integrate_normed(self, values, axis=-1):
+        return self.integrate(values, axis=axis) / self.norm
+
+    def l2_norm(self, values, axis=-1):
+        return self.integrate((values * jnp.conj(values)).real, axis=axis)
