@@ -403,6 +403,47 @@ def test_fixed_volume_shrink_wrap(problem):
     assert np.isfinite(np.asarray(errors)).all()
 
 
+def test_fixed_volume_bucketed_matches_sort():
+    """The bucketed (histogram-refinement) fixed-volume selection must
+    reproduce the exact sort-based mask on generic data, land on the target
+    volume under heavy value degeneracy (quantized blur: rank tie-break),
+    and never overshoot by more than one point's weight."""
+    from xframe_tpu.projects.fxs.projections import (
+        ShrinkWrap, _fixed_volume_keep_bucketed)
+    rng = np.random.default_rng(7)
+    shape = (24, 18, 36)
+    conv = jnp.asarray(rng.gamma(2.0, 1.0, size=shape).astype(np.float32))
+    w_int = rng.uniform(0.5, 1.5, size=shape).astype(np.float32)
+    init = np.ones(shape, bool)
+    for frac in (0.1, 0.37, 0.8):
+        kw = dict(mode="fixed_volume", volume_fraction=frac,
+                  integration_weights=w_int, initial_support=init)
+        sw_s = ShrinkWrap.build(np.linspace(0.01, 1, 24), **kw)
+        sw_b = ShrinkWrap.build(np.linspace(0.01, 1, 24), **kw,
+                                fixed_volume_method="bucketed")
+        m_s = np.asarray(jax.jit(sw_s.new_support_fixed_volume)(conv))
+        m_b = np.asarray(jax.jit(sw_b.new_support_fixed_volume)(conv))
+        assert (m_s == m_b).all(), f"frac={frac}: masks differ"
+
+    # heavy ties: 8-level quantized values — the sort path breaks ties by
+    # rank; bucketed must still hit the target within one point's weight
+    conv_q = jnp.asarray(
+        np.floor(rng.uniform(0, 8, size=shape)).astype(np.float32))
+    target = 0.5 * w_int.sum()
+    keep = np.asarray(jax.jit(
+        lambda c: _fixed_volume_keep_bucketed(
+            c.ravel(), jnp.asarray(w_int.ravel()), target))(conv_q))
+    vol = (w_int.ravel() * keep).sum()
+    assert 0 <= vol - target < w_int.max() * 1.001, (vol, target)
+    # all-equal degenerate input: still well-formed, same volume contract
+    keep_eq = np.asarray(jax.jit(
+        lambda c: _fixed_volume_keep_bucketed(
+            c.ravel(), jnp.asarray(w_int.ravel()), target))(
+        jnp.ones(shape, jnp.float32)))
+    vol_eq = (w_int.ravel() * keep_eq).sum()
+    assert 0 <= vol_eq - target < w_int.max() * 1.001, (vol_eq, target)
+
+
 def test_pallas_polar_kernel_matches(problem):
     """The VMEM-resident pallas Newton-Schulz kernel (interpret mode on CPU)
     must reproduce the jnp polar iteration and drive phasing identically."""

@@ -416,6 +416,53 @@ class RealConstraint:
 
 
 # ---------------------------------------------------------------- shrink wrap
+def _fixed_volume_keep_bucketed(c, w, target, n_bins=512, n_levels=3):
+    """Keep-mask whose weighted volume first reaches `target`, taking points
+    in descending blur order — without sorting the grid.
+
+    Three rounds of 512-way weighted-histogram refinement locate the
+    boundary bin; bins above it are kept outright and the boundary set is
+    filled in flat-index order by a masked cumsum. Membership is decided by
+    the same bin INDEX the histogram counted (never by recomputed edge
+    values — float rounding at bin edges could silently shift a whole tie
+    level across the boundary), so the invariants
+    weight(kept) < target <= weight(kept) + weight(boundary) hold exactly.
+    Expected points in the final bin is n / n_bins**n_levels << 1, so this
+    matches the sort-based rank selection except when several distinct
+    values land in one final bin — a physically indistinguishable
+    deviation of relative width (max-min)/2^27."""
+    lo = jnp.min(c)
+    span = jnp.max(c) - lo
+    # width floor keeps the all-equal case (span == 0) well-formed; the
+    # initial interval covers every point (max lands in the top bin)
+    width = (span * (1.0 + 1e-6) + jnp.asarray(1e-30, c.dtype)) / n_bins
+    alive = jnp.ones(c.shape, bool)   # candidates for the boundary bin
+    kept = jnp.zeros(c.shape, bool)   # surely-kept (above the boundary bin)
+    w_kept = jnp.asarray(0.0, w.dtype)
+    for _ in range(n_levels):
+        # truncation toward 0 is fine: alive points sit in [lo, lo+K·width)
+        # up to float slop, and the clip bounds any stragglers
+        idx = jnp.clip(((c - lo) / width).astype(jnp.int32), 0, n_bins - 1)
+        histw = jnp.zeros((n_bins,), w.dtype).at[idx].add(
+            jnp.where(alive, w, 0.0))
+        suffix = jnp.cumsum(histw[::-1])[::-1]       # S[k] = Σ_{j>=k} histw
+        ok = (w_kept + suffix) >= target             # monotone prefix of True
+        b = jnp.maximum(jnp.sum(ok) - 1, 0)
+        promote = alive & (idx > b)
+        kept = kept | promote
+        w_kept = w_kept + jnp.sum(jnp.where(promote, w, 0.0))
+        alive = alive & (idx == b)
+        lo = lo + b * width
+        width = width / n_bins
+    # fill the boundary bin in flat-index order; ok[b] guaranteed the bin
+    # holds enough weight, ~ok[b+1] that residual > 0
+    residual = target - w_kept
+    cw = jnp.cumsum(jnp.where(alive, w, 0.0))
+    # an element is kept while the cumulative weight BEFORE it is < residual
+    # (same crossing-element-inclusive rule as searchsorted on the sort path)
+    return kept | (alive & (cw - w < residual))
+
+
 @dataclass
 class ShrinkWrap:
     """Gaussian-blur support update (ShrinkWrapParts, fxs_Projections.py:178-298).
@@ -436,11 +483,13 @@ class ShrinkWrap:
     vol_weights: Any = None   # host integration weights, zeroed outside the
     #                           initial support (fixed_volume mode only)
     initial_support: Any = None
+    fixed_volume_method: str = "sort"   # 'sort' (exact ranks) | 'bucketed'
+    #                                     (histogram refinement, O(n) passes)
 
     @classmethod
     def build(cls, qs, grid_rank=3, real_dtype=jnp.float32, mode="threshold",
               volume_fraction=0.5, integration_weights=None,
-              initial_support=None):
+              initial_support=None, fixed_volume_method="sort"):
         np_real = np.float32 if real_dtype == jnp.float32 else np.float64
         q = np.asarray(qs, dtype=np_real).reshape((-1,) + (1,) * (grid_rank - 1))
         if mode == "fixed_volume":
@@ -455,7 +504,8 @@ class ShrinkWrap:
                    mode=str(mode), volume_fraction=float(volume_fraction),
                    vol_weights=w,
                    initial_support=None if initial_support is None
-                   else np.asarray(initial_support))
+                   else np.asarray(initial_support),
+                   fixed_volume_method=str(fixed_volume_method))
 
     def gaussian_values(self, sigma):
         a = 1.0 / (2.0 * sigma ** 2)
@@ -471,20 +521,28 @@ class ShrinkWrap:
     def new_support_fixed_volume(self, conv):
         """Support = highest-blur points (inside the initial support) whose
         integrated volume reaches volume_fraction × initial-support volume.
-        Exact quantile by descending sort + weighted cumsum — jit-friendly,
-        no iterative search (reference fxs_Projections.py:260-283 uses
-        scipy golden-section per SW event)."""
+
+        'sort': exact quantile by descending sort + weighted cumsum —
+        jit-friendly, no iterative search (reference fxs_Projections.py:260-283
+        uses scipy golden-section per SW event). 'bucketed' avoids the
+        full-grid argsort (O(n log n) multi-pass on TPU at 16.8M points) with
+        three 512-way weighted-histogram refinements of the boundary value
+        (O(n) elementwise passes) + one masked cumsum for the boundary bin."""
         c = conv.real.ravel()
         w = jnp.asarray(self.vol_weights).ravel()
         target = self.volume_fraction * w.sum()
-        order = jnp.argsort(-c)
-        cum = jnp.cumsum(w[order])
-        pos = jnp.clip(jnp.searchsorted(cum, target), 0, c.size - 1)
-        # rank-based membership (scatter), not a value comparison: degenerate
-        # blur values (symmetric densities) would otherwise pull whole
-        # iso-surfaces across the threshold and overshoot the target volume
-        keep = jnp.zeros(c.size, dtype=bool).at[order].set(
-            jnp.arange(c.size) <= pos)
+        if self.fixed_volume_method == "bucketed":
+            keep = _fixed_volume_keep_bucketed(c, w, target)
+        else:
+            order = jnp.argsort(-c)
+            cum = jnp.cumsum(w[order])
+            pos = jnp.clip(jnp.searchsorted(cum, target), 0, c.size - 1)
+            # rank-based membership (scatter), not a value comparison:
+            # degenerate blur values (symmetric densities) would otherwise
+            # pull whole iso-surfaces across the threshold and overshoot the
+            # target volume
+            keep = jnp.zeros(c.size, dtype=bool).at[order].set(
+                jnp.arange(c.size) <= pos)
         return keep.reshape(conv.shape) & jnp.asarray(self.initial_support)
 
 

@@ -299,7 +299,9 @@ class ProjectWorker(ProjectWorkerInterface):
             volume_fraction=float(swopt.get("fixed_volume", {})
                                   .get("volume", 0.5)),
             integration_weights=np.asarray(integ._w),
-            initial_support=initial_support)
+            initial_support=initial_support,
+            fixed_volume_method=str(swopt.get("fixed_volume", {})
+                                    .get("method", "sort")))
         mtip = MTIP(ft, rc_constraint, real_constraint, sw, w_err,
                     initial_support,
                     enforce_initial_support_limit=enforce_limit,
@@ -453,7 +455,9 @@ class ProjectWorker(ProjectWorkerInterface):
             volume_fraction=float(swopt.get("fixed_volume", {})
                                   .get("volume", 0.5)),
             integration_weights=np.asarray(integ._w),
-            initial_support=initial_support)
+            initial_support=initial_support,
+            fixed_volume_method=str(swopt.get("fixed_volume", {})
+                                    .get("method", "sort")))
         cht = RealCircularHarmonics(n_phi, M)
         mtip = MTIP(ft, rc_constraint, real_constraint, sw, w_err,
                     initial_support,
