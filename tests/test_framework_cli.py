@@ -102,3 +102,36 @@ def test_cli_view_subcommand(home, tmp_path):
     assert main(["view", p, "-o", out, "-n", "1"]) == 0
     pngs = [f for f in os.listdir(out) if f.endswith(".png")]
     assert len(pngs) == 1
+
+
+def test_scripting_database_facade(home, monkeypatch, tmp_path):
+    """xf.database.project mirrors the reference's scripting DB access
+    (docs/fxs/scripting.md "Accessing project files"): populated by
+    select_project, re-built on re-selection, named artifact round-trip."""
+    monkeypatch.setenv("XFRAME_TPU_HOME", str(tmp_path / "fxs_home"))
+    import xframe_tpu as xf
+    from xframe_tpu.settings import loader as settings_loader
+    monkeypatch.setattr(settings_loader, "_home_cache", None, raising=False)
+
+    xf.select_project("fxs", "extract", "tutorial")
+    db = xf.database.project
+    assert type(db).__name__ == "ProjectDB"
+    assert db.structure_name == "tutorial"
+    path = db.get_path("ccd", run=1, structure_name=db.structure_name)
+    assert path.endswith("ccd/tutorial/run_1/ccd.h5")
+
+    # named save/load round-trip through the facade (run auto-numbering)
+    data = {"radial_points": np.linspace(0.01, 1.0, 4),
+            "angular_points": np.linspace(0, 2 * np.pi, 8, endpoint=False),
+            "xray_wavelength": 1.23,
+            "average_intensity": np.ones(4),
+            "cross_correlation": {"I1I1": np.ones((4, 4, 8))},
+            "num_images_processed": 1, "num_images_good": 1}
+    db.save("ccd", data)
+    back = db.load("ccd")
+    assert np.allclose(back["cross_correlation"]["I1I1"],
+                       data["cross_correlation"]["I1I1"])
+
+    # re-selection swaps the facade to the new project's DB
+    xf.select_project("tutorial", "get_started", None)
+    assert type(xf.database.project).__name__ == "DefaultDB"

@@ -19,6 +19,7 @@ Top-level API (mirrors the reference's scripting interface,
 __version__ = "0.1.0"
 
 from xframe_tpu import settings  # noqa: F401
+from xframe_tpu import database  # noqa: F401
 
 _selected = {"project": None, "worker": None, "settings_name": None}
 
@@ -32,6 +33,10 @@ def select_project(project, worker, settings_name=None, overrides=None):
 
     load_settings(project, worker, settings_name, overrides=overrides)
     _selected.update(project=project, worker=worker, settings_name=settings_name)
+    # expose the project database for scripting (reference
+    # docs/fxs/scripting.md "Accessing project files": xframe.database.project)
+    from xframe_tpu import database
+    database._select(project)
 
 
 def run():

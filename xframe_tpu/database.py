@@ -1,0 +1,38 @@
+"""Scripting-facade access to the selected project's database.
+
+Mirrors the reference's `xframe.database.project` (populated by
+select_project, reference startup_routines.py:206-218 `_load_db` and
+docs/fxs/scripting.md "Accessing project files"): after
+
+    import xframe_tpu as xf
+    xf.select_project('fxs', 'extract', 'tutorial')
+    db = xf.database.project
+    ccd = db.load('ccd')
+
+`project` is an instance of the project's ProjectDB (its `_database_`
+module) built from the live settings tree, or a DefaultDB when the project
+ships no custom database. Workers construct their own instance at run time
+(interfaces.ProjectWorkerInterface._load_db) — this module only serves
+interactive/scripting use; mutating it does not affect a running worker.
+"""
+from __future__ import annotations
+
+project = None
+
+
+def _select(project_name: str):
+    """(Re)build `project` for the newly selected project. Called by
+    xframe_tpu.select_project after the settings tree is loaded."""
+    global project
+    import importlib
+
+    from xframe_tpu import settings
+
+    try:
+        mod = importlib.import_module(
+            f"xframe_tpu.projects.{project_name}._database_")
+        project = mod.ProjectDB(settings.project)
+    except (ModuleNotFoundError, AttributeError):
+        from xframe_tpu.io.database import DefaultDB
+        project = DefaultDB()
+    return project
