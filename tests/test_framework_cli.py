@@ -135,3 +135,5 @@ def test_scripting_database_facade(home, monkeypatch, tmp_path):
     # re-selection swaps the facade to the new project's DB
     xf.select_project("tutorial", "get_started", None)
     assert type(xf.database.project).__name__ == "DefaultDB"
+    # framework-level DB (reference startup_routines.py:128)
+    assert type(xf.database.default).__name__ == "DefaultDB"

@@ -20,6 +20,17 @@ from __future__ import annotations
 project = None
 
 
+def __getattr__(name):
+    # `default` = framework-level DB (reference startup_routines.py:128),
+    # built lazily so importing the package stays side-effect free
+    if name == "default":
+        from xframe_tpu.io.database import DefaultDB
+        db = DefaultDB()
+        globals()["default"] = db
+        return db
+    raise AttributeError(name)
+
+
 def _select(project_name: str):
     """(Re)build `project` for the newly selected project. Called by
     xframe_tpu.select_project after the settings tree is loaded."""
