@@ -48,6 +48,11 @@ def run():
     import importlib.util
     import os
 
+    # persistent XLA compile cache: tutorial-scale programs take minutes to
+    # compile on this class of host — warm every worker run, not just bench
+    from xframe_tpu.library.compile_cache import enable as _enable_cache
+    _enable_cache()
+
     project, worker = _selected["project"], _selected["worker"]
     if project is None:
         raise RuntimeError("No project selected. Call select_project() first.")
