@@ -38,19 +38,29 @@ def main():
     p = make_demo_problem(args.nq, args.L, n_theta=n_theta, n_phi=n_phi,
                           procrustes_method="newton_schulz",
                           fused_sht=not args.no_fused)
+    fused = getattr(p.ft, "_fused", None)
     print(f"setup {time.perf_counter() - t0:.1f} s "
-          f"(fused q_block={getattr(p.ft.sht, 'q_block', None)})", flush=True)
+          f"(fused q_block={getattr(fused, 'q_block', None)})", flush=True)
 
     schedule = [Segment("HIO", args.iters,
                         betas=np.full(args.iters, 0.5), ft_stab=True)]
-    rho0s = p.initial_density_batch(0, args.restarts)
-    run = jax.jit(lambda r: p.mtip.run_batch(r, schedule))
+    # production scale: tables enter as jit ARGUMENTS (embedded constants
+    # exceed the tunnel's compile-payload limit — measured HTTP 413 at
+    # N_q=256/L=128 with ~480 MB of constants)
+    tables = p.mtip.arg_tables()
+    tab_mb = sum(v.size * v.dtype.itemsize for v in tables.values()) / 1e6
+    print(f"arg tables: {len(tables)} arrays, {tab_mb:.0f} MB", flush=True)
+    # device-resident ONCE: numpy arguments would re-ship ~½ GB per call
+    tables = jax.device_put(tables)
+    jax.block_until_ready(tables)
+    rho0s = p.initial_density_batch(0, args.restarts, tables=tables)
+    run = jax.jit(lambda t, r: p.mtip.run_batch(r, schedule, tables=t))
     t0 = time.perf_counter()
-    states, errors = run(rho0s)
+    states, errors = run(tables, rho0s)
     jax.block_until_ready(errors)
     print(f"compile+first run {time.perf_counter() - t0:.1f} s", flush=True)
     t0 = time.perf_counter()
-    states, errors = run(rho0s)
+    states, errors = run(tables, rho0s)
     jax.block_until_ready(errors)
     dt = time.perf_counter() - t0
     sec_per_iter = dt / (args.iters * args.restarts)

@@ -123,7 +123,9 @@ def fused_breakdown():
     t_hi = timed(hank_i, cf)
     from functools import partial
     sup = jnp.asarray(mtip.initial_support, dtype=jnp.float32)
-    w = jnp.asarray(mtip._w_err)
+    # materialize the (possibly separable) error weights under jit — eager
+    # broadcast ops are not reliable on the axon backend
+    w = jax.jit(lambda: jnp.broadcast_to(mtip._w_err, sup.shape))()
     k4 = jax.jit(lambda dd, r: fi.synthesize_update(
         dd, r, sup, w, jnp.float32(0.5),
         jnp.asarray(1.0 + 0.0j, dtype=mtip.cdtype),  # constant inside jit:

@@ -242,3 +242,54 @@ def test_multiprocess_distributed_mesh():
     for i, (pr, out) in enumerate(zip(procs, outs)):
         assert pr.returncode == 0, f"process {i} failed:\n{out[-3000:]}"
         assert f"DIST OK p{i}" in out, out[-3000:]
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_runner_arg_tables_sharded_matches_embedded(schedule):
+    """MultiStartRunner(arg_tables=True): the production-payload path (big
+    tables as replicated jit arguments) under a fused shard_map mesh must
+    reproduce the embedded-constant unsharded run bitwise."""
+    p = make_demo_problem(16, 8, fused_sht=True)
+    rho0s = p.initial_density_batch(5, 8)
+    sched = [
+        Segment("HIO", 6, betas=np.full(6, 0.5), ft_stab=True),
+        Segment("SW", sigma=p.mtip.sw.default_sigma, threshold=0.1),
+        Segment("ER", 4, betas=np.zeros(4), ft_stab=True),
+    ]
+    ref_states, ref_errors = MultiStartRunner(
+        p.mtip, sched, mesh=None, arg_tables=False)(rho0s)
+    mesh = make_mesh({"restarts": 8})
+    run = MultiStartRunner(p.mtip, sched, mesh=mesh, arg_tables=True)
+    assert run._tables, "arg_tables=True must produce a non-empty dict"
+    states, errors = run(rho0s)
+    # sharded vs unsharded differ at f32 rounding level (same tolerance as
+    # test_fused_pipeline_sharded_matches_unsharded); the bitwise
+    # tables-vs-embedded check (no mesh) lives in test_phasing
+    np.testing.assert_allclose(np.asarray(ref_errors), np.asarray(errors),
+                               atol=2e-5, rtol=2e-4)
+    scale = np.abs(np.asarray(ref_states.best_rho)).max()
+    assert np.abs(np.asarray(ref_states.best_rho)
+                  - np.asarray(states.best_rho)).max() / scale < 2e-4
+
+
+def test_checkpointing_runner_arg_tables(tmp_path, schedule):
+    """CheckpointingRunner(arg_tables=True) reproduces the embedded run and
+    still checkpoints/resumes."""
+    p = make_demo_problem(16, 8, fused_sht=True)
+    rho0s = p.initial_density_batch(7, 2)
+    sched = [
+        Segment("HIO", 4, betas=np.full(4, 0.5), ft_stab=True),
+        Segment("SW", sigma=p.mtip.sw.default_sigma, threshold=0.1),
+        Segment("ER", 2, betas=np.zeros(2), ft_stab=True),
+    ]
+    ref_states, ref_errors = MultiStartRunner(
+        p.mtip, sched, mesh=None, arg_tables=False)(rho0s)
+    ck = str(tmp_path / "ck.h5")
+    run = CheckpointingRunner(p.mtip, sched, checkpoint_path=ck,
+                              arg_tables=True)
+    assert run._tables
+    states, errors = run(rho0s, resume=False)
+    np.testing.assert_allclose(np.asarray(ref_errors), np.asarray(errors),
+                               rtol=0, atol=0)
+    np.testing.assert_array_equal(np.asarray(ref_states.best_rho),
+                                  np.asarray(states.best_rho))

@@ -403,6 +403,34 @@ def test_fixed_volume_shrink_wrap(problem):
     assert np.isfinite(np.asarray(errors)).all()
 
 
+def test_run_batch_with_arg_tables_matches_embedded():
+    """Production-scale payload path: threading every big table (Hankel,
+    fused SHT, fused-iteration positive-m, projection matrices) into jit as
+    ARGUMENTS (mtip.arg_tables + run_batch(tables=...)) must reproduce the
+    embedded-constant run bitwise — the only difference is where the bytes
+    live in the compiled artifact."""
+    from xframe_tpu.projects.fxs.demo import make_demo_problem
+    p = make_demo_problem(16, 8, fused_sht=True)
+    sched = [Segment("HIO", 4, betas=np.full(4, 0.5), ft_stab=True),
+             Segment("SW", sigma=p.mtip.sw.default_sigma, threshold=0.1),
+             Segment("ER", 2, betas=np.zeros(2), ft_stab=True)]
+    tables = p.mtip.arg_tables()
+    assert {"h_wf_re", "f_PW", "fi_Pp_t", "rc_V_re"} <= set(tables)
+    rho0s = p.initial_density_batch(3, 2)
+    rho0s_t = p.initial_density_batch(3, 2, tables=tables)
+    np.testing.assert_array_equal(np.asarray(rho0s), np.asarray(rho0s_t))
+
+    st_ref, err_ref = jax.jit(lambda r: p.mtip.run_batch(r, sched))(rho0s)
+    st_tab, err_tab = jax.jit(
+        lambda t, r: p.mtip.run_batch(r, sched, tables=t))(tables, rho0s)
+    np.testing.assert_array_equal(np.asarray(err_ref), np.asarray(err_tab))
+    np.testing.assert_array_equal(np.asarray(st_ref.rho),
+                                  np.asarray(st_tab.rho))
+    # the host objects were restored after tracing (no tracer leakage)
+    assert isinstance(p.mtip.ft.hankel._wf, np.ndarray)
+    assert isinstance(p.mtip.rc.V_pad, np.ndarray)
+
+
 def test_fixed_volume_bucketed_matches_sort():
     """The bucketed (histogram-refinement) fixed-volume selection must
     reproduce the exact sort-based mask on generic data, land on the target

@@ -8,6 +8,8 @@ whole chain fuses into one XLA computation.
 """
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -80,6 +82,68 @@ class SphericalFourierTransform:
     def _synthesis(self):
         return self._fused.inverse if self._fused is not None \
             else self.sht.inverse
+
+    # ---------------------------------------------- big tables as arguments
+    _FUSED_TABLE_ATTRS = ("_E_re", "_E_im", "_I_re", "_I_im", "_PW", "_P_t",
+                          "_Ep_re", "_Ep_im", "_PWp")
+
+    def arg_tables(self):
+        """The transform's big numeric tables as a flat dict of REAL host
+        arrays, to be passed into jit as ARGUMENTS instead of closed-over
+        constants. The axon tunnel ships compiled programs over HTTP with a
+        payload limit (~150–400 MB measured): at production scale
+        (N_q ≥ 256, L = 128) the Hankel weights (135 MB) + fused SHT tables
+        (~115 MB) alone exceed it as embedded constants, while arguments
+        stream to the device separately. Complex tables ship as re/im planes
+        and recombine in-trace (the axon backend cannot transfer complex
+        arrays outside jit). Use with `bound_tables`:
+
+            tables = ft.arg_tables()
+            out = jax.jit(lambda t, x: ft.bound_run(t, ft.forward, x)
+                          )(tables, x)
+        """
+        t = {}
+        h = self.hankel
+        t["h_wf_re"] = np.ascontiguousarray(h._wf.real)
+        t["h_wf_im"] = np.ascontiguousarray(h._wf.imag)
+        t["h_wi_re"] = np.ascontiguousarray(h._wi.real)
+        t["h_wi_im"] = np.ascontiguousarray(h._wi.imag)
+        if self._fused is not None:
+            for name in self._FUSED_TABLE_ATTRS:
+                t["f" + name] = getattr(self._fused, name)
+        return t
+
+    @contextmanager
+    def bound_tables(self, tables):
+        """Temporarily swap the held host tables for the given (traced)
+        values — call INSIDE the jitted function with the dict passed as an
+        argument. Missing entries keep the embedded-constant behavior
+        (degrades payload size, never correctness)."""
+        saves = []
+
+        def swap(obj, attr, val):
+            saves.append((obj, attr, getattr(obj, attr)))
+            setattr(obj, attr, val)
+
+        try:
+            if tables:
+                if "h_wf_re" in tables:
+                    swap(self.hankel, "_wf",
+                         tables["h_wf_re"] + 1j * tables["h_wf_im"])
+                    swap(self.hankel, "_wi",
+                         tables["h_wi_re"] + 1j * tables["h_wi_im"])
+                if self._fused is not None:
+                    for name in self._FUSED_TABLE_ATTRS:
+                        if "f" + name in tables:
+                            swap(self._fused, name, tables["f" + name])
+            yield
+        finally:
+            for obj, attr, val in reversed(saves):
+                setattr(obj, attr, val)
+
+    def bound_run(self, tables, fn, *args):
+        with self.bound_tables(tables):
+            return fn(*args)
 
     def forward(self, density):
         """ρ(r,θ,φ) → ψ(q,θ,φ)."""

@@ -31,10 +31,17 @@ class SphericalIntegrator:
         r_w = _trapz_weights(rs) * rs ** 2
         # full separable weight: (π/n_theta from dφ sum? — reference: π/n · Σ_φ)
         # reference integrate: (π/n_θ)·Σ_φ then GL in θ then trapz r²dr.
-        w = r_w[:, None, None] * w_theta[None, :, None] * (np.pi / n_theta) \
-            * np.ones((1, 1, n_phi))
         np_real = np.float32 if real_dtype == jnp.float32 else np.float64
-        self._w = np.asarray(w, dtype=np_real)  # host numpy jit constant
+        # φ-constant separable weights: keep the (n_r, n_θ, 1) broadcast form
+        # — at production scale the dense grid is a 100s-of-MB array that
+        # must NOT become an embedded jit constant (the axon tunnel rejects
+        # oversized compile payloads); `_w` stays a dense VIEW for shape-
+        # strict consumers (einsums, ravel)
+        self.w_broadcast = np.asarray(
+            r_w[:, None, None] * w_theta[None, :, None] * (np.pi / n_theta),
+            dtype=np_real)
+        self._w = np.broadcast_to(self.w_broadcast,
+                                  self.w_broadcast.shape[:2] + (n_phi,))
         self.max_r = float(rs.max())
         self.norm = 4 / 3 * np.pi * self.max_r ** 3
 

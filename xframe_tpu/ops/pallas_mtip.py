@@ -324,8 +324,11 @@ class FusedIteration:
         s/iter), far worse than the ~134 MB/iter of saved HBM traffic."""
         f = self.f
         limit = float(self._limit_for(track_best))
-        tables = (f._P_t.nbytes if hasattr(f._P_t, "nbytes")
-                  else np.asarray(f._P_t).nbytes) + 2 * f.n_m_pad * f.n_phi * 4
+        # shape arithmetic, not .nbytes: under bound_tables f._P_t may be a
+        # TRACER (np.asarray on it would fail)
+        p_t = f._P_t
+        tables = (int(np.prod(p_t.shape)) * p_t.dtype.itemsize
+                  + 2 * f.n_m_pad * f.n_phi * 4)
         k = 25 if track_best else 21
         plane = f.n_theta * f.n_phi * 4
         qb = self.q_block
@@ -336,13 +339,29 @@ class FusedIteration:
     def _limit_for(self, track_best):
         base = getattr(self._params, "vmem_limit_bytes", None) \
             or 100 * 1024 * 1024
-        return max(base, 124 * 1024 * 1024) if track_best else base
+        if track_best:
+            return max(base, 124 * 1024 * 1024)
+        # production-scale tables (L=128: ~45 MB of resident Legendre/DFT
+        # synthesis tables, ~55 MB after Mosaic lane padding) push the K4
+        # scoped footprint past the 100 MB default even at q_block 1 —
+        # measured 104.6 MB needed at N_q=256/L=128/320×640. Raise toward
+        # the physical 128 MB; at tutorial scale (tables ~10 MB) the base
+        # cap is kept (raising it there measured no effect on q-block
+        # choice or speed).
+        f = self.f
+        p_t = f._P_t
+        tables = (int(np.prod(p_t.shape)) * p_t.dtype.itemsize
+                  + 2 * f.n_m_pad * f.n_phi * 4)
+        if tables > 36 * 1024 * 1024:
+            return max(base, 124 * 1024 * 1024)
+        return base
 
     def _params_for(self, track_best):
-        if not track_best:
+        limit = int(self._limit_for(track_best))
+        base = getattr(self._params, "vmem_limit_bytes", None)
+        if base is not None and limit <= base:
             return self._params
-        return pltpu.CompilerParams(
-            vmem_limit_bytes=int(self._limit_for(True)))
+        return pltpu.CompilerParams(vmem_limit_bytes=limit)
 
     def _pad_rows_q(self, arrs, qb):
         rows = arrs[0].shape[0]

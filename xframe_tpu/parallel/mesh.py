@@ -73,12 +73,23 @@ class MultiStartRunner:
     PhasingStates keep the restart sharding; error curves are gathered host-side.
     """
 
+    # embedded-constant payloads beyond this are at risk on the axon tunnel
+    # (measured HTTP 413 between ~150 and 432 MB of constants); 'auto' mode
+    # switches to argument tables above it
+    ARG_TABLES_AUTO_BYTES = 120 * 1024 * 1024
+
     def __init__(self, mtip, schedule, mesh: Mesh | None = None,
-                 restart_axis: str = "restarts", theta_axis: str | None = "theta"):
+                 restart_axis: str = "restarts", theta_axis: str | None = "theta",
+                 arg_tables: bool | str = "auto"):
+        """arg_tables: thread the big numeric tables (Hankel, fused SHT,
+        projection matrices — mtip.arg_tables) into jit as ARGUMENTS instead
+        of embedded constants. 'auto' enables it when the tables exceed
+        ~120 MB (production scale); bitwise-identical either way."""
         self.mtip = mtip
         self.schedule = schedule
         self.mesh = mesh
-        fn = jax.vmap(partial(mtip.run, schedule=schedule))
+        self._tables = self._resolve_tables(mtip, arg_tables, mesh)
+        fn = lambda rho, t: mtip.run_batch(rho, schedule, tables=t)  # noqa: E731
         grid_rank = np.ndim(mtip.initial_support)  # 3 for (r,θ,φ), 2 for (r,φ)
         fused = getattr(mtip, "_fi", None) is not None
         self._n_shards = None
@@ -95,7 +106,7 @@ class MultiStartRunner:
             spec = P(restart_axis)
             self.in_sharding = NamedSharding(sub, spec)
             self._n_shards = int(sub.devices.size)
-            fn = _shard_map_restarts(fn, sub, spec)
+            fn = _shard_map_restarts(fn, sub, spec, n_in=2)
             self._jitted = jax.jit(fn)
         elif mesh is not None:
             theta = theta_axis if (theta_axis in mesh.axis_names
@@ -103,10 +114,30 @@ class MultiStartRunner:
             spec = P(restart_axis, None, theta, None) if grid_rank == 3 \
                 else P(restart_axis, None, None)
             self.in_sharding = NamedSharding(mesh, spec)
-            self._jitted = jax.jit(fn, in_shardings=(self.in_sharding,))
+            repl = NamedSharding(mesh, P())
+            self._jitted = jax.jit(
+                fn, in_shardings=(self.in_sharding,
+                                  jax.tree.map(lambda _: repl, self._tables)))
         else:
             self.in_sharding = None
             self._jitted = jax.jit(fn)
+
+    @staticmethod
+    def _resolve_tables(mtip, arg_tables, mesh):
+        """→ device-resident tables dict ({} = embedded-constant mode)."""
+        if not arg_tables or not hasattr(mtip, "arg_tables"):
+            return {}
+        t = mtip.arg_tables()
+        total = sum(v.size * v.dtype.itemsize for v in t.values())
+        if arg_tables == "auto" \
+                and total < MultiStartRunner.ARG_TABLES_AUTO_BYTES:
+            return {}
+        if mesh is not None:
+            repl = NamedSharding(mesh, P())
+            t = {k: jax.device_put(v, repl) for k, v in t.items()}
+        else:
+            t = jax.device_put(t)
+        return t
 
     def __call__(self, rho0_batch):
         n = int(rho0_batch.shape[0])
@@ -116,7 +147,7 @@ class MultiStartRunner:
             rho0_batch = _pad_restarts(rho0_batch, self._n_shards)
         if self.in_sharding is not None:
             rho0_batch = jax.device_put(rho0_batch, self.in_sharding)
-        out = self._jitted(rho0_batch)
+        out = self._jitted(rho0_batch, self._tables)
         if self._n_shards and int(rho0_batch.shape[0]) != n:
             out = jax.tree.map(lambda x: x[:n], out)
         return out
@@ -166,7 +197,8 @@ class CheckpointingRunner:
 
     def __init__(self, mtip, schedule, mesh: Mesh | None = None,
                  checkpoint_path: str | None = None, save_every: int = 1,
-                 restart_axis: str = "restarts", theta_axis: str = "theta"):
+                 restart_axis: str = "restarts", theta_axis: str = "theta",
+                 arg_tables: bool | str = "auto"):
         self.mtip = mtip
         self.chunks = split_schedule_chunks(schedule)
         self.mesh = mesh
@@ -175,6 +207,7 @@ class CheckpointingRunner:
         self._compiled = {}
         self._n_shards = None
         self._fused_mesh = None
+        self._tables = MultiStartRunner._resolve_tables(mtip, arg_tables, mesh)
         fused = getattr(mtip, "_fi", None) is not None
         if mesh is not None and fused:
             # Same treatment as MultiStartRunner: pallas_call is opaque to
@@ -196,11 +229,14 @@ class CheckpointingRunner:
 
     def _step(self, structure):
         if structure not in self._compiled:
-            fn = lambda state, args: self.mtip.run_chunk(state, structure, args)  # noqa: E731
-            fn = jax.vmap(fn, in_axes=(0, None))
+            def fn(state, args, tables):
+                with self.mtip.bound_tables(tables):
+                    return jax.vmap(
+                        lambda s: self.mtip.run_chunk(s, structure, args))(
+                        state)
             if self._fused_mesh is not None:
                 fn = _shard_map_restarts(fn, self._fused_mesh,
-                                         P(self._restart_axis), n_in=2)
+                                         P(self._restart_axis), n_in=3)
             self._compiled[structure] = jax.jit(fn, static_argnums=())
         return self._compiled[structure]
 
@@ -269,7 +305,7 @@ class CheckpointingRunner:
             else min(start_chunk + int(max_chunks), len(self.chunks))
         for i in range(start_chunk, stop):
             structure, args = _chunk_structure_args(self.chunks[i])
-            state, errs = self._step(structure)(state, args)
+            state, errs = self._step(structure)(state, args, self._tables)
             errors.append(errs)
             if self.checkpoint_path and ((i + 1) % self.save_every == 0
                                          or i == stop - 1):

@@ -79,14 +79,15 @@ def make_demo_problem(n_radial: int = 32, l_max: int = 16, *, q_max: float = Non
                                     ns_iterations=ns_iterations)
     real = RealConstraint(limit_imag=2.0)
     sw = ShrinkWrap.build(ft.qs, real_dtype=real_dtype)
-    w_err = np.asarray(integ._w) * initial_support
-    mtip = MTIP(ft, rc, real, sw, w_err, initial_support,
+    # separable (n_r, n_θ, 1) weights: MTIP masks by the support in-trace,
+    # keeping the grid-sized product out of the compiled payload
+    mtip = MTIP(ft, rc, real, sw, integ.w_broadcast, initial_support,
                 enforce_initial_support_limit=6e-3, real_dtype=real_dtype)
 
     np_real = np.float32 if real_dtype == jnp.float32 else np.float64
     bump = get_test_function(support=[-radius, radius], slope=0.3)(ft.rs)
     bump = np.asarray(bump, dtype=np_real)
-    w_full = np.asarray(integ._w)
+    w_full = np.asarray(integ.w_broadcast)
     shape = (n_radial, ft.sht.n_theta, ft.sht.n_phi)
 
     def _guess(key):
@@ -111,8 +112,19 @@ def make_demo_problem(n_radial: int = 32, l_max: int = 16, *, q_max: float = Non
     def _batch_from_key(key, n_restarts):
         return jax.vmap(_guess)(jax.random.split(key, n_restarts))
 
-    def initial_density_batch(seed, n_restarts):
+    @partial(jax.jit, static_argnums=(1, 2))
+    def _batch_from_seed_tables(tables, seed, n_restarts):
+        # production scale: the guess's FT roundtrip references the Hankel +
+        # fused-SHT tables, which must enter as arguments (compile-payload
+        # limit — see ft.arg_tables)
+        with ft.bound_tables(tables):
+            key = jax.random.PRNGKey(seed)
+            return jax.vmap(_guess)(jax.random.split(key, n_restarts))
+
+    def initial_density_batch(seed, n_restarts, tables=None):
         """seed: python int (preferred on TPU) or a PRNG key array."""
+        if tables is not None:
+            return _batch_from_seed_tables(tables, int(seed), n_restarts)
         if isinstance(seed, (int, np.integer)):
             return _batch_from_seed(int(seed), n_restarts)
         return _batch_from_key(seed, n_restarts)

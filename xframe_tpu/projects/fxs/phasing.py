@@ -19,6 +19,7 @@ rule, and the `ft_stab` round-trip compensation (reconstruct.py:585-595).
 """
 from __future__ import annotations
 
+from contextlib import contextmanager
 from dataclasses import dataclass
 from functools import partial
 from typing import Any, NamedTuple
@@ -135,9 +136,17 @@ class MTIP:
         self.cdtype = cdtype
         self.rdtype = real_dtype
         np_real = np.float32 if real_dtype == jnp.float32 else np.float64
-        # host numpy constants (see ops.sht note on axon readback limits)
-        self._w_err = np.asarray(integration_weights, dtype=np_real)
+        # host numpy constants (see ops.sht note on axon readback limits).
+        # integration_weights may be FULL-GRID (legacy: already masked by the
+        # initial support) or any broadcastable shape such as the separable
+        # (n_r, n_θ, 1) form (ops.integrate w_broadcast) — then the support
+        # masking happens IN-TRACE, so the compiled payload carries only the
+        # small factors instead of a grid-sized constant (production scale:
+        # the dense masked weights alone are 210 MB at N_q=256/L=128)
+        self._w_err_host = np.asarray(integration_weights, dtype=np_real)
         self.initial_support = np.asarray(initial_support)
+        self._w_err_premasked = (
+            self._w_err_host.shape == self.initial_support.shape)
         self.enforce_limit = float(enforce_initial_support_limit)
         self.fix_global_phase = bool(fix_global_phase)
         self._r_cart = None
@@ -163,6 +172,73 @@ class MTIP:
         import os
         self.lazy_best = os.environ.get("XF_LAZY_BEST", "0").lower() \
             not in ("0", "false", "")
+
+    # ------------------------------------------- big tables as jit arguments
+    def arg_tables(self):
+        """All big numeric tables of the phasing program as a dict of REAL
+        host arrays, for threading into jit as ARGUMENTS (see
+        ops.fourier.SphericalFourierTransform.arg_tables — the axon tunnel
+        rejects compile payloads with embedded constants beyond
+        ~150–400 MB, which the production-scale tables exceed). Covers the
+        FT (Hankel + fused SHT), the fused-iteration positive-m tables, and
+        the reciprocal constraint's projection matrices. Usage:
+
+            tables = mtip.arg_tables()
+            run = jax.jit(lambda t, r: mtip.run_batch(r, schedule, tables=t))
+            states, errors = run(tables, rho0s)
+        """
+        t = self.ft.arg_tables() if hasattr(self.ft, "arg_tables") else {}
+        if self._fi is not None:
+            for name in ("_Ip_re", "_Ip_im", "_Pp_t"):
+                t["fi" + name] = getattr(self._fi, name)
+        rc = self.rc
+        if hasattr(rc, "V_pad"):
+            t["rc_V_re"] = np.ascontiguousarray(np.asarray(rc.V_pad).real)
+            t["rc_V_im"] = np.ascontiguousarray(np.asarray(rc.V_pad).imag)
+            t["rc_PD_re"] = np.ascontiguousarray(np.asarray(rc.PD).real)
+            t["rc_PD_im"] = np.ascontiguousarray(np.asarray(rc.PD).imag)
+        return t
+
+    @contextmanager
+    def bound_tables(self, tables):
+        """Swap the held host tables for traced values during tracing —
+        call inside the jitted function; missing entries just stay embedded
+        constants (payload degradation, never a correctness change)."""
+        saves = []
+
+        def swap(obj, attr, val):
+            saves.append((obj, attr, getattr(obj, attr)))
+            setattr(obj, attr, val)
+
+        ft_cm = self.ft.bound_tables(tables) \
+            if hasattr(self.ft, "bound_tables") else None
+        try:
+            if ft_cm is not None:
+                ft_cm.__enter__()
+            if tables:
+                if self._fi is not None and "fi_Ip_re" in tables:
+                    for name in ("_Ip_re", "_Ip_im", "_Pp_t"):
+                        swap(self._fi, name, tables["fi" + name])
+                if "rc_V_re" in tables:
+                    swap(self.rc, "V_pad",
+                         tables["rc_V_re"] + 1j * tables["rc_V_im"])
+                    swap(self.rc, "PD",
+                         tables["rc_PD_re"] + 1j * tables["rc_PD_im"])
+            yield
+        finally:
+            for obj, attr, val in reversed(saves):
+                setattr(obj, attr, val)
+            if ft_cm is not None:
+                ft_cm.__exit__(None, None, None)
+
+    @property
+    def _w_err(self):
+        """Support-masked error weights, broadcastable to the grid — formed
+        in-trace when the host weights are the small separable factors."""
+        w = jnp.asarray(self._w_err_host)
+        if not self._w_err_premasked:
+            w = w * jnp.asarray(self.initial_support, dtype=self.rdtype)
+        return w
 
     # ------------------------------------------------------------- iteration
     def _real_error(self, rho_p, rho_proj):
@@ -460,11 +536,15 @@ class MTIP:
             else jnp.zeros((0, self._err_cols), dtype=self.rdtype)
         return state, errors
 
-    def run_chunk(self, state: PhasingState, structure, args):
+    def run_chunk(self, state: PhasingState, structure, args, tables=None):
         """Execute one schedule chunk with the ramp values passed as traced
         arrays. structure: static tuple of ('SW',) | (method, n, ft_stab);
         args: matching tuple of (sigma, threshold) | betas-array. Chunks with
-        the same structure share one jit compilation."""
+        the same structure share one jit compilation. tables: optional
+        arg_tables() dict threaded through the enclosing jit."""
+        if tables:
+            with self.bound_tables(tables):
+                return self.run_chunk(state, structure, args)
         err_chunks = []
         for seg_s, a in zip(structure, args):
             if seg_s[0] in ('SW', 'SW_center'):
@@ -519,10 +599,15 @@ class MTIP:
         return psi_p, W
 
     # ------------------------------------------------------------ multi-start
-    def run_batch(self, rho0_batch, schedule):
-        """vmapped multi-start phasing: rho0_batch (n_restarts, n_q, nθ, nφ)."""
+    def run_batch(self, rho0_batch, schedule, tables=None):
+        """vmapped multi-start phasing: rho0_batch (n_restarts, n_q, nθ, nφ).
+
+        tables: optional arg_tables() dict passed through the ENCLOSING jit
+        as an argument — required at production scale where the embedded
+        tables exceed the compile-payload limit."""
         run = partial(self.run, schedule=schedule)
-        return jax.vmap(run)(rho0_batch)
+        with self.bound_tables(tables):
+            return jax.vmap(run)(rho0_batch)
 
 
 # ------------------------------------------------------------- density guess

@@ -70,7 +70,10 @@ class ReciprocalConstraint:
     """Device-resident constants of the reciprocal (data) projection."""
     V_pad: Any          # (L+1, n_q, n_m) padded projection matrices (centered window)
     PD: Any             # (L+1, n_m, n_q) = V_pad† D²
-    eye_pad: Any        # (L+1, n_m, n_m) identity on indices outside the l-window
+    eye_diag: Any       # (L+1, n_m) real diagonal of the identity on indices
+    #                       outside the l-window (materialized in-trace: the
+    #                       dense (L+1, n_m, n_m) form is a 68 MB jit constant
+    #                       at production scale)
     use_order: Any      # (L+1,) bool
     radial_mask: Any    # (L+1, n_q) bool
     n_particles: float
@@ -120,11 +123,9 @@ class ReciprocalConstraint:
         D2 = np.asarray(radial_points, dtype=float) ** 2
         PD = np.conj(np.swapaxes(V, 1, 2)) * D2[None, None, :]
         # identity on the complement of the centered window [L-l, L+l]
-        eye = np.zeros((L + 1, n_m, n_m), dtype=complex)
+        eye_diag = np.ones((L + 1, n_m))
         for l in range(L + 1):
-            outside = np.ones(n_m, dtype=bool)
-            outside[L - l: L + l + 1] = False
-            eye[l, outside, outside] = 1.0
+            eye_diag[l, L - l: L + l + 1] = 0.0
         use_order = np.zeros(L + 1, dtype=bool)
         if used_order_ids is None:
             used_order_ids = np.arange(L + 1)
@@ -146,7 +147,7 @@ class ReciprocalConstraint:
             pn_a = (np.abs(V[0, :, L].real) / (2 * np.sqrt(np.pi))
                     ).astype(np_r)
         return cls(V_pad=V.astype(np_c), PD=PD.astype(np_c),
-                   eye_pad=eye.astype(np_c),
+                   eye_diag=eye_diag.astype(np_r),
                    use_order=np.asarray(use_order),
                    radial_mask=np.asarray(radial_mask),
                    n_particles=float(n_particles), l_max=L,
@@ -156,6 +157,13 @@ class ReciprocalConstraint:
                    pn_project=bool(pn_project))
 
     # -- jittable ops ------------------------------------------------------
+    def _eye_mat(self, dtype):
+        """(L+1, n_m, n_m) complement identity, formed in-trace from the
+        stored diagonal."""
+        d = jnp.asarray(self.eye_diag)
+        return (d[:, :, None]
+                * jnp.eye(d.shape[1], dtype=d.dtype)).astype(dtype)
+
     def approximate_unknowns(self, Ilm):
         """Per-l Procrustes unitaries W_l from intensity coefficients.
 
@@ -175,7 +183,7 @@ class ReciprocalConstraint:
             sizes = 2 * jnp.arange(self.l_max + 1, dtype=B.real.dtype) + 1
             rms = jnp.sqrt(jnp.sum(jnp.abs(B) ** 2, axis=(-2, -1))
                            / sizes)[..., None, None]
-            M = B + self.eye_pad * (rms + 1e-20).astype(B.dtype)
+            M = B + self._eye_mat(B.dtype) * (rms + 1e-20).astype(B.dtype)
             L, n_m = self.l_max, 2 * self.l_max + 1
             if n_m > 128 and L >= 1:
                 # MXU alignment: the valid window of every l ≤ L-1 fits the
@@ -192,7 +200,8 @@ class ReciprocalConstraint:
                 W = eye_border.at[:, 1:-1, 1:-1].set(W_small)
                 return jnp.concatenate([W, W_last], axis=0)
             return polar_unitary_newton_schulz(M, self.ns_iterations)
-        u, _, vh = jnp.linalg.svd(B + self.eye_pad, full_matrices=False)
+        u, _, vh = jnp.linalg.svd(B + self._eye_mat(B.dtype),
+                                  full_matrices=False)
         return u @ vh
 
     def _unknowns_pallas(self, B):
@@ -206,7 +215,7 @@ class ReciprocalConstraint:
         sizes = 2 * jnp.arange(L + 1, dtype=B.real.dtype) + 1
         rms = jnp.sqrt(jnp.sum(jnp.abs(B) ** 2, axis=(-2, -1))
                        / sizes)[..., None, None]
-        M = B + self.eye_pad * (rms + 1e-20).astype(B.dtype)
+        M = B + self._eye_mat(B.dtype) * (rms + 1e-20).astype(B.dtype)
         if not (n_m > 128 and L >= 1):
             return polar_unitary_newton_schulz(M, self.ns_iterations)
         crop = M[:L, 1:-1, 1:-1]                           # (L, n_m-2, n_m-2)

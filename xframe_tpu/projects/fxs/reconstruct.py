@@ -291,7 +291,9 @@ class ProjectWorker(ProjectWorkerInterface):
 
         integ = SphericalIntegrator(ft.rs, ft.sht.n_theta, ft.sht.n_phi,
                                     real_dtype=real_dtype)
-        w_err = np.asarray(integ._w) * initial_support
+        # separable weights: MTIP masks by the support in-trace (keeps the
+        # grid-sized product out of the compiled payload at production scale)
+        w_err = integ.w_broadcast
         swopt = opt.projections.real.shrink_wrap
         sw = ShrinkWrap.build(
             ft.qs, real_dtype=real_dtype,
@@ -328,7 +330,7 @@ class ProjectWorker(ProjectWorkerInterface):
             snr = float("inf")  # uniform amplitude: deterministic envelope
         np_real = np.float32 if real_dtype == jnp.float32 else np.float64
         bump_host = np.asarray(bump, dtype=np_real)
-        w_full = np.asarray(integ._w)
+        w_full = np.asarray(integ.w_broadcast)
         shape = (N, ft.sht.n_theta, ft.sht.n_phi)
 
         def _guess(k):
