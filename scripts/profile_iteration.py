@@ -91,55 +91,75 @@ def ft_breakdown():
     print(f"  bare FFT over phi              : {t_f*1e3:8.2f} ms")
 
 
-def fused_breakdown():
+def fused_breakdown(nq=128, L=64, n_theta=256, n_phi=512):
     """Per-kernel attribution of the fully-fused pipeline (round 2b):
     times each Pallas kernel + the coefficient-space ops standalone,
-    single restart (the chip saturates at batch 1)."""
-    p = make_demo_problem(128, 64, n_theta=256, n_phi=512,
+    single restart (the chip saturates at batch 1). At production sizes the
+    big tables are threaded into every sub-jit as ARGUMENTS (bound_tables) —
+    embedded constants would exceed the tunnel's compile-payload limit."""
+    p = make_demo_problem(nq, L, n_theta=n_theta, n_phi=n_phi,
                           procrustes_method="newton_schulz", fused_sht=True)
     ft, mtip = p.ft, p.mtip
     fused, fi = ft._fused, mtip._fi
     assert fi is not None
-    rho = p.initial_density_batch(0, 1)[0]
+    tables = jax.device_put(mtip.arg_tables())
+    jax.block_until_ready(tables)
 
-    fwd = jax.jit(fused.forward)
+    def tj(fn, n_args=1):
+        """jit(fn) with the tables bound during tracing."""
+        def wrapped(t, *args):
+            with mtip.bound_tables(t):
+                return fn(*args)
+        j = jax.jit(wrapped)
+        return lambda *args: j(tables, *args[:n_args])
+
+    rho = p.initial_density_batch(0, 1, tables=tables)[0]
+
+    fwd = tj(lambda r: fused.forward(r))
     c0 = fwd(rho)
     t_k1 = timed(fwd, rho)
-    hank_f = jax.jit(ft.hankel.forward)
+    hank_f = tj(lambda c: ft.hankel.forward(c))
     cf = hank_f(c0)
     t_hf = timed(hank_f, c0)
-    synth = jax.jit(fused.inverse)
+    synth = tj(lambda c: fused.inverse(c))
     psi = synth(cf)
     t_k1i = timed(synth, cf)
-    abs2 = jax.jit(fused.forward_real_abs2)
+    abs2 = tj(lambda ps: fused.forward_real_abs2(ps))
     Ilm = abs2(psi)
     t_abs2 = timed(abs2, psi)
-    rc = jax.jit(lambda I: mtip.rc(I))
+    rc = tj(lambda I: mtip.rc(I))
     Ip = rc(Ilm)
     t_rc = timed(rc, Ilm)
-    k2 = jax.jit(fi.inverse_real_project)
+    proc = tj(lambda I: mtip.rc.approximate_unknowns(I))
+    t_proc = timed(proc, Ilm)
+    k2 = tj(lambda a, b: fi.inverse_real_project(a, b), n_args=2)
     t_k2 = timed(k2, Ip, psi)
-    hank_i = jax.jit(ft.hankel.inverse)
+    hank_i = tj(lambda c: ft.hankel.inverse(c))
     t_hi = timed(hank_i, cf)
-    from functools import partial
-    sup = jnp.asarray(mtip.initial_support, dtype=jnp.float32)
+    sup = jax.jit(lambda: jnp.asarray(mtip.initial_support,
+                                      dtype=jnp.float32))()
     # materialize the (possibly separable) error weights under jit — eager
-    # broadcast ops are not reliable on the axon backend
-    w = jax.jit(lambda: jnp.broadcast_to(mtip._w_err, sup.shape))()
-    k4 = jax.jit(lambda dd, r: fi.synthesize_update(
-        dd, r, sup, w, jnp.float32(0.5),
+    # broadcast ops are not reliable on the axon backend; pass the grid-sized
+    # support/weights as ARGUMENTS (as constants they are 210 MB each at
+    # production scale → HTTP 413)
+    w = jax.jit(lambda s: jnp.broadcast_to(mtip._w_err, s.shape))(sup)
+    k4 = tj(lambda dd, r, s, we: fi.synthesize_update(
+        dd, r, s, we, jnp.float32(0.5),
         jnp.asarray(1.0 + 0.0j, dtype=mtip.cdtype),  # constant inside jit:
         method="HIO", ft_stab=True,                  # axon can't move complex
-        real_constraint=mtip.real))
+        real_constraint=mtip.real), n_args=4)
     d = hank_i(fwd(k2(Ip, psi)[0]))
-    t_k4 = timed(k4, d, rho)
+    t_k4 = timed(k4, d, rho, sup, w)
 
-    step = jax.jit(lambda r: mtip.mtip_iteration(
+    step = tj(lambda r: mtip.mtip_iteration(
         r, jnp.asarray(mtip.initial_support), jnp.float32(0.5), "HIO", True)[0])
     t_full = timed(step, rho, n=10)
 
     total = 2 * t_k1 + t_hf + t_k1i + t_abs2 + t_rc + t_k2 + 2 * t_hi + t_k4
-    print("fused pipeline, 1 restart, tutorial scale — ms per call:")
+    print(f"fused pipeline, 1 restart, nq={nq} L={L} grid "
+          f"{n_theta}x{n_phi} — ms per call:")
+    print(f"  procrustes alone (NS polar)      : {t_proc*1e3:8.2f}"
+          "  (contained in data projection)")
     print(f"  K1 analysis (grid->coeff)        : {t_k1*1e3:8.2f}  (x2/iter)")
     print(f"  Hankel forward (coeff)           : {t_hf*1e3:8.2f}")
     print(f"  K1' synthesis psi (coeff->grid)  : {t_k1i*1e3:8.2f}")
@@ -153,10 +173,20 @@ def fused_breakdown():
 
 
 if __name__ == "__main__":
-    import sys
-    if "--ft" in sys.argv:
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ft", action="store_true")
+    ap.add_argument("--fused", action="store_true")
+    ap.add_argument("--nq", type=int, default=128)
+    ap.add_argument("--L", type=int, default=64)
+    ap.add_argument("--ntheta", type=int, default=None)
+    ap.add_argument("--nphi", type=int, default=None)
+    a = ap.parse_args()
+    n_theta = a.ntheta or (256 if a.L == 64 else -(-2 * (a.L + 1) // 64) * 64)
+    n_phi = a.nphi or (512 if a.L == 64 else -(-4 * (a.L + 1) // 128) * 128)
+    if a.ft:
         ft_breakdown()
-    elif "--fused" in sys.argv:
-        fused_breakdown()
+    elif a.fused:
+        fused_breakdown(a.nq, a.L, n_theta, n_phi)
     else:
         main()

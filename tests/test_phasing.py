@@ -262,6 +262,46 @@ def test_newton_schulz_procrustes_matches_svd(problem):
     assert errors[-1] < 0.3 * errors[:5].mean()
 
 
+def test_ns_bucketed_polar_matches_svd_multi_bucket():
+    """At L ≥ 65 the NS polar path splits orders into multiple MXU tile
+    buckets (l ≤ 63 on 1-tile 127-wide crops, l ≥ 64 on 2-tile crops); the
+    result must match the exact SVD polar factor on every valid window."""
+    from dataclasses import replace
+    from xframe_tpu.projects.fxs.projections import ReciprocalConstraint
+    rng = np.random.default_rng(7)
+    L = 66
+    n_q = 2 * L + 3  # > n_m so every order's B_l block is full-rank
+    mats = [rng.normal(size=(n_q, min(2 * l + 1, n_q)))
+            + 1j * rng.normal(size=(n_q, min(2 * l + 1, n_q)))
+            for l in range(L + 1)]
+    rc = ReciprocalConstraint.build(
+        mats, radial_points=np.linspace(0.1, 1.0, n_q), l_max=L,
+        odd_orders_to_0=False, use_averaged_intensity=False,
+        schmidt_scaling=False)
+    rc_ns = replace(rc, procrustes_method="newton_schulz", ns_iterations=16)
+    assert rc_ns._ns_buckets() == [(0, 63, 63), (64, 65, 65)]
+    n_m = 2 * L + 1
+    Ilm = (rng.normal(size=(n_q, n_m, L + 1))
+           + 1j * rng.normal(size=(n_q, n_m, L + 1))).astype(np.complex64)
+    # the SHT coefficient layout is zero outside |m| <= l — that structure
+    # is what makes the centered-window crop exact (B_l block-diagonal)
+    for l in range(L + 1):
+        Ilm[:, :L - l, l] = 0
+        Ilm[:, L + l + 1:, l] = 0
+    W_svd = np.asarray(jax.jit(rc.approximate_unknowns)(Ilm))
+    W_ns = np.asarray(jax.jit(rc_ns.approximate_unknowns)(Ilm))
+    for l in [2, 40, 63, 64, 65, 66]:  # samples from every bucket + l = L
+        win = slice(L - l, L + l + 1)
+        ref, got = W_svd[l][win, win], W_ns[l][win, win]
+        assert np.abs(ref - got).max() < 5e-2, l
+        # and identity outside the window
+        out = W_ns[l].copy()
+        out[win, win] = 0.0
+        eye_out = np.eye(n_m, dtype=out.dtype)
+        eye_out[win, win] = 0.0
+        np.testing.assert_allclose(out, eye_out, atol=1e-5)
+
+
 def test_checkpointing_runner_resumes(problem, tmp_path):
     """Chunked runner: (a) produces the same trajectory as the monolithic
     run, (b) resumes from a mid-run snapshot, (c) reuses compilations for

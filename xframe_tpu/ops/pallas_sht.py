@@ -138,12 +138,20 @@ class FusedSHT:
         self.sht = sht
         self.m_splits = int(m_splits)
         self.interpret = interpret
+        if q_block is None and _os.environ.get("XF_FUSED_QB"):
+            q_block = int(_os.environ["XF_FUSED_QB"])
         if q_block is None:
             # auto-size: grid tiles + double buffering + tables must stay
             # under the scoped-VMEM cap with headroom. Measured at tutorial
             # scale (256×512 θφ, L=64): q_block 16 fits ~100 MB, 32 OOMs.
+            # Each kernel resides ONE Legendre table (PW for analysis, P_t
+            # for synthesis) + the small DFT pair — counting both tables
+            # forced q_block=1 at production scale (L=128: 85 MB vs the
+            # actual 44 MB single-table footprint), tripling the per-grid-
+            # step table DMA.
             tile = sht.n_theta * sht.n_phi * 4 * 2          # re+im planes
-            tables = 2 * sht.n_m * sht.n_theta * (sht.l_max + 1) * 4
+            tables = (sht.n_m * sht.n_theta * (sht.l_max + 1) * 4
+                      + 2 * sht.n_m * sht.n_phi * 4)
             budget = int(vmem_limit_bytes * 0.55) - tables
             q_block = max(1, min(16, budget // (2 * tile)))
         self.q_block = int(q_block)

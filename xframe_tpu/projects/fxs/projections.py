@@ -156,6 +156,19 @@ class ReciprocalConstraint:
                    pn_s=pn_s, pn_Ns=pn_Ns, pn_x=pn_x, pn_a=pn_a,
                    pn_project=bool(pn_project))
 
+    def _ns_buckets(self):
+        """Tile-aligned NS crop buckets: [(l_lo, l_hi, h)] covering
+        l ∈ [0, L−1], where bucket k = orders [64(k−1), min(64k−1, L−1)] on
+        the centered window of half-width h = min(64k−1, L−1) (crop width
+        2h+1 = 127, 255, 383, … — each the widest that keeps every order in
+        the bucket within the same number of 128-lane MXU tiles)."""
+        L, buckets, k = self.l_max, [], 1
+        while 64 * (k - 1) <= L - 1:
+            buckets.append((64 * (k - 1), min(64 * k - 1, L - 1),
+                            min(64 * k - 1, L - 1)))
+            k += 1
+        return buckets
+
     # -- jittable ops ------------------------------------------------------
     def _eye_mat(self, dtype):
         """(L+1, n_m, n_m) complement identity, formed in-trace from the
@@ -186,19 +199,30 @@ class ReciprocalConstraint:
             M = B + self._eye_mat(B.dtype) * (rms + 1e-20).astype(B.dtype)
             L, n_m = self.l_max, 2 * self.l_max + 1
             if n_m > 128 and L >= 1:
-                # MXU alignment: the valid window of every l ≤ L-1 fits the
-                # (n_m-2)-wide inner crop (127 → one 128-lane tile); only the
-                # l = L block needs the full 2L+1 width. Splitting avoids the
-                # 129 → 256 lane padding (≈4× matmul waste) on most blocks.
-                W_small = polar_unitary_newton_schulz(M[:L, 1:-1, 1:-1],
-                                                      self.ns_iterations)
-                W_last = polar_unitary_newton_schulz(M[L:],
-                                                     self.ns_iterations)
-                eye_border = jnp.zeros((L, n_m, n_m), dtype=M.dtype)
-                eye_border = eye_border.at[:, 0, 0].set(1.0)
-                eye_border = eye_border.at[:, n_m - 1, n_m - 1].set(1.0)
-                W = eye_border.at[:, 1:-1, 1:-1].set(W_small)
-                return jnp.concatenate([W, W_last], axis=0)
+                # MXU tile bucketing: order l only needs the centered
+                # (2l+1)-wide window, and MXU matmul cost quantizes in
+                # 128-lane tiles — so orders are grouped into crops of
+                # half-width 64k−1 (127 → 1 tile, 255 → 2 tiles, …). At
+                # L = 128 this runs l ≤ 63 on 1-tile 127² blocks instead of
+                # 2-tile 255² (NS FLOPs ×1.75 down); at L = 64 it reduces to
+                # the single (n_m−2) crop. polar(blockdiag(A, rms·I)) =
+                # blockdiag(polar(A), I), so cropping is exact; the l = L
+                # block runs at full width.
+                parts = []
+                for (l_lo, l_hi, h) in self._ns_buckets():
+                    sl = slice(L - h, L + h + 1)
+                    Wb = polar_unitary_newton_schulz(
+                        M[l_lo:l_hi + 1, sl, sl], self.ns_iterations)
+                    idx = np.arange(n_m)
+                    outside = ((idx < L - h) | (idx > L + h)).astype(
+                        np.float32)
+                    base = jnp.asarray(np.diag(outside)).astype(M.dtype)
+                    W_full = jnp.broadcast_to(
+                        base, (l_hi - l_lo + 1, n_m, n_m))
+                    parts.append(W_full.at[:, sl, sl].set(Wb))
+                parts.append(polar_unitary_newton_schulz(
+                    M[L:], self.ns_iterations))
+                return jnp.concatenate(parts, axis=0)
             return polar_unitary_newton_schulz(M, self.ns_iterations)
         u, _, vh = jnp.linalg.svd(B + self._eye_mat(B.dtype),
                                   full_matrices=False)
