@@ -91,3 +91,35 @@ def test_vtk_output_parses(tmp_path):
     names = [d.attrib["Name"] for d in root.iter("DataArray")]
     assert "rho" in names and "psi_real" in names and "psi_imag" in names
     assert "Points" in names
+
+
+def test_pdb_protocol_and_py_access(tmp_path):
+    """DefaultDB access-method parity (reference database.py:178-199):
+    pdb:// protocol loads atom records / densities, .py loads a module,
+    shell extensions round-trip as text."""
+    from xframe_tpu.io.database import DefaultDB
+    db = DefaultDB()
+    pdb_file = tmp_path / "mol.pdb"
+    pdb_file.write_text(
+        "ATOM      1  N   ALA A   1      11.104   6.134  -6.504  1.00  0.0"
+        "0           N\n"
+        "HETATM    2  O   HOH A   2       1.000   2.000   3.000  0.50  0.0"
+        "0           O\n")
+    atoms = db.load_direct(f"pdb://{pdb_file}")
+    assert atoms["positions"].shape == (2, 3)
+    assert atoms["electrons"].tolist() == [7.0, 8.0]
+    assert atoms["occupancies"].tolist() == [1.0, 0.5]
+    grid = np.stack(np.meshgrid(*(np.linspace(-5, 5, 4),) * 3,
+                                indexing="ij"), axis=-1)
+    rho = db.load_direct(f"pdb://{pdb_file}", grid_cartesian=grid,
+                         resolution=6.0)
+    assert rho.shape == (4, 4, 4) and rho.sum() > 0
+
+    py_file = tmp_path / "snippet.py"
+    db.save_direct(str(py_file), "VALUE = 41 + 1\n")
+    mod = db.load_direct(str(py_file))
+    assert mod.VALUE == 42
+
+    sh = tmp_path / "run.sh"
+    db.save_direct(str(sh), "echo hi\n")
+    assert db.load_direct(str(sh)) == "echo hi\n"

@@ -65,6 +65,20 @@ class DefaultDB:
                                 data, **kwargs)
 
     def load_direct(self, path, **kwargs):
+        if str(path).startswith("pdb://"):
+            # reference PDB_loader protocol (database.py:197-199): electron
+            # density of a deposited structure. With grid_cartesian → density
+            # on that grid; without → the parsed atom records.
+            from xframe_tpu.library import pdb as pdb_io
+            file = str(path)[len("pdb://"):]
+            grid = kwargs.get("grid_cartesian")
+            if grid is None:
+                pos, zs, occ = pdb_io.parse_pdb(file)
+                return {"positions": pos, "electrons": zs, "occupancies": occ}
+            return pdb_io.pdb_density(
+                file, grid,
+                resolution=kwargs.get("resolution", 4.0),
+                center=kwargs.get("center", True))
         ext = os.path.splitext(path)[1].lower()
         if ext in (".h5", ".hdf5"):
             return hdf5_io.load(path)
@@ -72,9 +86,17 @@ class DefaultDB:
             return settings_loader.load_yaml(path)
         if ext == ".npy":
             return np.load(path)
-        if ext == ".txt":
+        if ext in (".txt", ".bash", ".sh", ".zsh", ".fish"):
             with open(path) as f:
                 return f.read()
+        if ext == ".py":
+            # reference PythonAccess: load a python file as a module
+            import importlib.util
+            name = os.path.splitext(os.path.basename(path))[0]
+            spec = importlib.util.spec_from_file_location(name, path)
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+            return mod
         if ext == ".raw":
             dtype = kwargs.get("dtype", np.float32)
             data = np.fromfile(path, dtype=dtype)
@@ -91,7 +113,7 @@ class DefaultDB:
             return settings_loader.save_yaml(path, data)
         if ext == ".npy":
             return np.save(path, np.asarray(data))
-        if ext == ".txt":
+        if ext in (".txt", ".bash", ".sh", ".zsh", ".fish", ".py"):
             with open(path, "w") as f:
                 f.write(str(data))
             return None

@@ -140,20 +140,39 @@ class FusedSHT:
         self.interpret = interpret
         if q_block is None and _os.environ.get("XF_FUSED_QB"):
             q_block = int(_os.environ["XF_FUSED_QB"])
+        # VMEM footprints must count Mosaic tile padding — f32 arrays tile
+        # as (8, 128), so the minor dim rounds up to 128 lanes and the
+        # second-minor to 8 sublanes. At L=128 the analysis table PW
+        # (m, θ, l=129) really occupies 86.5 MB in VMEM (129 → 256 lanes),
+        # exactly 2× its nominal bytes — ignoring this OOM'd the production
+        # run by the measured 2.49 MB.
+        def _padded(*shape):
+            lead = int(np.prod(shape[:-2])) if len(shape) > 2 else 1
+            sub = -(-shape[-2] // 8) * 8
+            lane = -(-shape[-1] // 128) * 128
+            return lead * sub * lane * 4
+        m8 = -(-sht.n_m // 8) * 8
+        tab_fwd = _padded(m8, sht.n_theta, sht.l_max + 1) \
+            + 2 * _padded(m8, sht.n_phi)
+        tab_inv = _padded(m8, sht.l_max + 1, sht.n_theta) \
+            + 2 * _padded(m8, sht.n_phi)
+        tab = max(tab_fwd, tab_inv)
+        # production-sized tables need the cap raised toward the physical
+        # 128 MB (same policy as FusedIteration._limit_for); at tutorial
+        # scale (≈18 MB padded) the base cap is kept
+        if tab > 36 * 1024 * 1024:
+            vmem_limit_bytes = max(vmem_limit_bytes, 124 * 1024 * 1024)
         if q_block is None:
-            # auto-size: grid tiles + double buffering + tables must stay
-            # under the scoped-VMEM cap with headroom. Measured at tutorial
-            # scale (256×512 θφ, L=64): q_block 16 fits ~100 MB, 32 OOMs.
-            # Each kernel resides ONE Legendre table (PW for analysis, P_t
-            # for synthesis) + the small DFT pair — counting both tables
-            # forced q_block=1 at production scale (L=128: 85 MB vs the
-            # actual 44 MB single-table footprint), tripling the per-grid-
-            # step table DMA.
-            tile = sht.n_theta * sht.n_phi * 4 * 2          # re+im planes
-            tables = (sht.n_m * sht.n_theta * (sht.l_max + 1) * 4
-                      + 2 * sht.n_m * sht.n_phi * 4)
-            budget = int(vmem_limit_bytes * 0.55) - tables
-            q_block = max(1, min(16, budget // (2 * tile)))
+            # per-q-block cost (Mosaic allocator, measured): ~6 grid-plane
+            # equivalents (2 I/O planes × double buffering + fm temporaries)
+            # + the 4 double-buffered coefficient blocks. Validated against
+            # measured scoped sizes: 102.5 MB at qb=3/L=128 (4.88 MB/qb) and
+            # qb=16 fitting under 100 MB at tutorial scale while 32 OOMs.
+            plane = sht.n_theta * sht.n_phi * 4
+            out_blk = _padded(m8, sht.l_max + 1)
+            per_q = 6 * plane + 4 * out_blk
+            budget = int(vmem_limit_bytes * 0.95) - tab
+            q_block = max(1, min(16, budget // per_q))
         self.q_block = int(q_block)
         # the mosaic default scoped-VMEM budget is 16 MB; the physical VMEM
         # on v5e is far larger — raise the cap so the full-m tables fit
