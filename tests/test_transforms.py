@@ -513,3 +513,20 @@ def test_lazy_best_state_matches_eager():
     assert np.array_equal(np.asarray(state.best_mask),
                           np.asarray(state_e.best_mask))
     assert float(state.last_err) == float(state_e.last_err)
+
+
+def test_fused_qblock_autosize_counts_mosaic_padding():
+    """The scoped-VMEM footprint model counts Mosaic tile padding (minor
+    dim -> 128 lanes): at production scale (L=128, 320x640) the analysis
+    table occupies 86.5 MB (2x nominal), the cap auto-raises to 124 MiB,
+    and q_block=5 fits (measured on chip: q_block=3 under the old unpadded
+    model OOM'd scoped VMEM by 2.49 MB). Tutorial scale keeps q_block=16
+    under the default 100 MB cap."""
+    from xframe_tpu.ops.sht import SphericalHarmonicTransform
+    from xframe_tpu.ops.pallas_sht import FusedSHT
+    tut = FusedSHT(SphericalHarmonicTransform(64, n_theta=256, n_phi=512))
+    assert tut.q_block == 16
+    assert tut._params.vmem_limit_bytes == 100 * 1024 * 1024
+    prod = FusedSHT(SphericalHarmonicTransform(128, n_theta=320, n_phi=640))
+    assert prod.q_block == 5
+    assert prod._params.vmem_limit_bytes == 124 * 1024 * 1024
