@@ -19,6 +19,10 @@ def main():
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--restarts", type=int, default=1)
     ap.add_argument("--no-fused", action="store_true")
+    ap.add_argument("--full", action="store_true",
+                    help="run the full 600-iteration tutorial-shaped "
+                         "schedule (5x(60 HIO + SW + 40 ER) + SW + 100 ER) "
+                         "and report restarts/hour at production scale")
     args = ap.parse_args()
 
     import jax
@@ -42,8 +46,20 @@ def main():
     print(f"setup {time.perf_counter() - t0:.1f} s "
           f"(fused q_block={getattr(fused, 'q_block', None)})", flush=True)
 
-    schedule = [Segment("HIO", args.iters,
-                        betas=np.full(args.iters, 0.5), ft_stab=True)]
+    if args.full:
+        schedule = []
+        for _ in range(5):
+            schedule += [
+                Segment("HIO", 60, betas=np.full(60, 0.5), ft_stab=True),
+                Segment("SW", sigma=p.mtip.sw.default_sigma, threshold=0.1),
+                Segment("ER", 40, betas=np.zeros(40), ft_stab=True)]
+        schedule += [Segment("SW", sigma=p.mtip.sw.default_sigma,
+                             threshold=0.1),
+                     Segment("ER", 100, betas=np.zeros(100), ft_stab=True)]
+        args.iters = sum(s.n for s in schedule if s.method != "SW")
+    else:
+        schedule = [Segment("HIO", args.iters,
+                            betas=np.full(args.iters, 0.5), ft_stab=True)]
     # production scale: tables enter as jit ARGUMENTS (embedded constants
     # exceed the tunnel's compile-payload limit — measured HTTP 413 at
     # N_q=256/L=128 with ~480 MB of constants)
@@ -88,6 +104,12 @@ def main():
         "errors_finite": bool(np.isfinite(errs).all()),
         "memory": mem,
     }
+    if args.full:
+        out["full_schedule"] = {
+            "iterations": args.iters,
+            "seconds_per_restart": dt / args.restarts,
+            "restarts_per_hour": args.restarts * 3600.0 / dt,
+        }
     print(json.dumps(out))
 
 
