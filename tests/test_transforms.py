@@ -250,6 +250,39 @@ class TestFusedSHT:
         assert np.abs(np.asarray(jax.jit(fused.inverse_real)(
             jnp.asarray(c_ref))) - ir_ref).max() < 1e-5 * np.abs(ir_ref).max()
 
+    def test_fused_bf16_tables(self):
+        """table_dtype=bfloat16 (the XF_FUSED_MXU_BF16 production mode):
+        tables are stored bf16 at the host — no in-kernel table copy, half
+        the table VMEM/HBM — and the kernels convert data operands to match.
+        Accuracy: ~bf16 mantissa (8 bits) relative error per transform."""
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+        import ml_dtypes
+        from xframe_tpu.ops.sht import SphericalHarmonicTransform
+        from xframe_tpu.ops.pallas_sht import FusedSHT
+        from xframe_tpu.ops.pallas_mtip import FusedIteration
+        sht = SphericalHarmonicTransform(10, n_theta=24, n_phi=48)
+        fused = FusedSHT(sht, q_block=4, m_splits=1,
+                         table_dtype=ml_dtypes.bfloat16)
+        assert fused._PW.dtype == ml_dtypes.bfloat16
+        assert fused._E_re.dtype == ml_dtypes.bfloat16
+        rng = np.random.default_rng(3)
+        f = (rng.normal(size=(6, 24, 48))
+             + 1j * rng.normal(size=(6, 24, 48))).astype(np.complex64)
+        c_ref = np.asarray(jax.jit(sht.forward)(jnp.asarray(f)))
+        c_bf = np.asarray(jax.jit(fused.forward)(jnp.asarray(f)))
+        rel = np.linalg.norm(c_bf - c_ref) / np.linalg.norm(c_ref)
+        assert rel < 2e-2, rel
+        g_ref = np.asarray(jax.jit(sht.inverse)(jnp.asarray(c_ref)))
+        g_bf = np.asarray(jax.jit(fused.inverse)(jnp.asarray(c_ref)))
+        rel = np.linalg.norm(g_bf - g_ref) / np.linalg.norm(g_ref)
+        assert rel < 2e-2, rel
+        # FusedIteration positive-m tables follow the FusedSHT dtype
+        fi = FusedIteration(fused, q_block=4)
+        assert fi._Pp_t.dtype == ml_dtypes.bfloat16
+        assert fi._Ip_re.dtype == ml_dtypes.bfloat16
+
     def test_fused_ft_and_mtip_track_reference(self):
         import numpy as np
         import jax

@@ -44,7 +44,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-from xframe_tpu.ops.pallas_sht import _mm, _bmm  # shared XF_FUSED_MXU_BF16 knob
+from xframe_tpu.ops.pallas_sht import _mm, _mmT, _bmm  # shared bf16-table knob
 
 
 def _scatter_scalars(values):
@@ -115,10 +115,8 @@ def _synth_abs2_kernel(n_theta, n_phi, m_blk, mp_blk,
     pre_ref[:] = p_re
     pim_ref[:] = p_im
     a = (p_re * p_re + p_im * p_im).reshape(q_b * n_theta, n_phi)
-    mmT = lambda x, e: lax.dot_general(  # noqa: E731
-        x, e, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    fm_re = mmT(a, epre_ref[:])
-    fm_im = mmT(a, epim_ref[:])
+    fm_re = _mmT(a, epre_ref[:])
+    fm_im = _mmT(a, epim_ref[:])
     fm_re = fm_re.reshape(q_b, n_theta, mp_blk).transpose(2, 0, 1)
     fm_im = fm_im.reshape(q_b, n_theta, mp_blk).transpose(2, 0, 1)
     pw = pwp_ref[:]
@@ -157,12 +155,10 @@ def _inv_real_project_fwd_kernel(n_theta, n_phi, mp_blk, m_blk, eps,
     # forward analysis of ψ_p (full centered-m): φ-DFT + Legendre quadrature
     a_re = ppr.reshape(q_b * n_theta, n_phi)
     a_im = ppi.reshape(q_b * n_theta, n_phi)
-    mmT = lambda x, e: lax.dot_general(  # noqa: E731
-        x, e, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
     e_re = ere_ref[:]
     e_im = eim_ref[:]
-    gm_re = mmT(a_re, e_re) - mmT(a_im, e_im)
-    gm_im = mmT(a_re, e_im) + mmT(a_im, e_re)
+    gm_re = _mmT(a_re, e_re) - _mmT(a_im, e_im)
+    gm_im = _mmT(a_re, e_im) + _mmT(a_im, e_re)
     gm_re = gm_re.reshape(q_b, n_theta, m_blk).transpose(2, 0, 1)
     gm_im = gm_im.reshape(q_b, n_theta, m_blk).transpose(2, 0, 1)
     pw = pw_ref[:]
@@ -300,14 +296,15 @@ class FusedIteration:
         ms = np.arange(L + 1)
         wgt = np.where(ms == 0, 1.0, 2.0)[:, None]
         pad_p = f._mp_pad - (L + 1)
+        tdt = f.table_dtype  # follow the FusedSHT table dtype (bf16 knob)
         Ip = np.exp(1j * np.outer(ms, phi))
         self._Ip_re = np.ascontiguousarray(np.pad(
-            (wgt * Ip.real), ((0, pad_p), (0, 0))).astype(np.float32))
+            (wgt * Ip.real), ((0, pad_p), (0, 0))).astype(tdt))
         self._Ip_im = np.ascontiguousarray(np.pad(
-            (wgt * Ip.imag), ((0, pad_p), (0, 0))).astype(np.float32))
+            (wgt * Ip.imag), ((0, pad_p), (0, 0))).astype(tdt))
         self._Pp_t = np.ascontiguousarray(np.pad(
-            np.asarray(f._P_t[L: L + L + 1]),
-            ((0, pad_p), (0, 0), (0, 0))).astype(np.float32))
+            np.asarray(f._P_t, dtype=np.float32)[L: L + L + 1],
+            ((0, pad_p), (0, 0), (0, 0))).astype(tdt))
 
     # -------------------------------------------------------------- helpers
     def _update_q_block(self, track_best):
@@ -327,9 +324,14 @@ class FusedIteration:
         # shape arithmetic, not .nbytes: under bound_tables f._P_t may be a
         # TRACER (np.asarray on it would fail)
         p_t = f._P_t
-        tables = (int(np.prod(p_t.shape)) * p_t.dtype.itemsize
-                  + 2 * f.n_m_pad * f.n_phi * 4)
+        tsize = f.table_dtype.itemsize
+        tables = (int(np.prod(p_t.shape)) * tsize
+                  + 2 * f.n_m_pad * f.n_phi * tsize)
         k = 25 if track_best else 21
+        if tsize == 2:
+            # bf16 tables add in-kernel bf16 copies of the grid-plane
+            # temporaries (conservative pre-measurement estimate)
+            k += 5
         plane = f.n_theta * f.n_phi * 4
         qb = self.q_block
         while qb > 1 and tables + k * qb * plane > limit:
@@ -350,8 +352,9 @@ class FusedIteration:
         # choice or speed).
         f = self.f
         p_t = f._P_t
-        tables = (int(np.prod(p_t.shape)) * p_t.dtype.itemsize
-                  + 2 * f.n_m_pad * f.n_phi * 4)
+        tsize = f.table_dtype.itemsize
+        tables = (int(np.prod(p_t.shape)) * tsize
+                  + 2 * f.n_m_pad * f.n_phi * tsize)
         if tables > 36 * 1024 * 1024:
             return max(base, 124 * 1024 * 1024)
         return base

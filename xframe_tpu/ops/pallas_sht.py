@@ -37,26 +37,44 @@ from jax.experimental.pallas import tpu as pltpu
 
 import os as _os
 
-# XF_FUSED_MXU_BF16=1: feed the in-kernel DFT/Legendre matmuls to the MXU as
-# bfloat16 with float32 accumulation (~4e-3 relative per transform; read at
-# import time so bench can A/B without code edits)
+# XF_FUSED_MXU_BF16=1: store the DFT/Legendre TABLES as bfloat16 at the host
+# and run the in-kernel matmuls on the MXU in bf16 with float32 accumulation
+# (~4e-3 relative per transform). Host-side table conversion matters: an
+# in-kernel astype of the 86.5 MB production Legendre table materialized a
+# full bf16 copy in VMEM and OOM'd scoped memory — with bf16-resident tables
+# the copy is a no-op and the table footprint HALVES. Read at import time so
+# bench can A/B without code edits.
 _MXU_BF16 = _os.environ.get("XF_FUSED_MXU_BF16", "0").lower() \
     not in ("0", "false", "")
 
 
-def _mm(a, b):
+def _cast_operands(a, b):
+    """Match the data operand to the table dtype: bf16 tables pull the data
+    block down to bf16 (free for the table — it is already bf16); the legacy
+    both-f32 path under the env knob converts both."""
+    if b.dtype == jnp.bfloat16:
+        return a.astype(jnp.bfloat16), b
     if _MXU_BF16:
-        a = a.astype(jnp.bfloat16)
-        b = b.astype(jnp.bfloat16)
+        return a.astype(jnp.bfloat16), b.astype(jnp.bfloat16)
+    return a, b
+
+
+def _mm(a, b):
+    a, b = _cast_operands(a, b)
     return lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                           preferred_element_type=jnp.float32)
+
+
+def _mmT(x, e):
+    """Contract dim 1 of both operands (DFT with (m, φ)-stored tables)."""
+    x, e = _cast_operands(x, e)
+    return lax.dot_general(x, e, (((1,), (1,)), ((), ())),
                            preferred_element_type=jnp.float32)
 
 
 def _bmm(a, b):
     """Batched matmul: (g, m, k) @ (g, k, n) → (g, m, n)."""
-    if _MXU_BF16:
-        a = a.astype(jnp.bfloat16)
-        b = b.astype(jnp.bfloat16)
+    a, b = _cast_operands(a, b)
     return lax.dot_general(a, b, (((2,), (1,)), ((0,), (0,))),
                            preferred_element_type=jnp.float32)
 
@@ -78,10 +96,8 @@ def _fwd_kernel(n_theta, n_phi, m_blk,
     # on the second-to-last axis for mosaic's blocked-dim alignment rules
     e_re = ere_ref[:]
     e_im = eim_ref[:]
-    mmT = lambda x, e: lax.dot_general(  # noqa: E731
-        x, e, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    fm_re = mmT(a_re, e_re) - mmT(a_im, e_im)      # (q_b·θ, m_blk)
-    fm_im = mmT(a_re, e_im) + mmT(a_im, e_re)
+    fm_re = _mmT(a_re, e_re) - _mmT(a_im, e_im)    # (q_b·θ, m_blk)
+    fm_im = _mmT(a_re, e_im) + _mmT(a_im, e_re)
     fm_re = fm_re.reshape(q_b, n_theta, m_blk).transpose(2, 0, 1)
     fm_im = fm_im.reshape(q_b, n_theta, m_blk).transpose(2, 0, 1)
     pw = pw_ref[:]                                  # (m_blk, θ, l)
@@ -134,28 +150,36 @@ class FusedSHT:
 
     def __init__(self, sht, q_block: int | None = None, m_splits: int = 1,
                  interpret: bool | None = None,
-                 vmem_limit_bytes: int = 100 * 1024 * 1024):
+                 vmem_limit_bytes: int = 100 * 1024 * 1024,
+                 table_dtype=None):
         self.sht = sht
         self.m_splits = int(m_splits)
         self.interpret = interpret
+        if table_dtype is None:
+            import ml_dtypes
+            table_dtype = ml_dtypes.bfloat16 if _MXU_BF16 else np.float32
+        self.table_dtype = np.dtype(table_dtype)
+        _tsize = self.table_dtype.itemsize
         if q_block is None and _os.environ.get("XF_FUSED_QB"):
             q_block = int(_os.environ["XF_FUSED_QB"])
         # VMEM footprints must count Mosaic tile padding — f32 arrays tile
-        # as (8, 128), so the minor dim rounds up to 128 lanes and the
-        # second-minor to 8 sublanes. At L=128 the analysis table PW
-        # (m, θ, l=129) really occupies 86.5 MB in VMEM (129 → 256 lanes),
-        # exactly 2× its nominal bytes — ignoring this OOM'd the production
-        # run by the measured 2.49 MB.
-        def _padded(*shape):
+        # as (8, 128) and bf16 as (16, 128), so the minor dim rounds up to
+        # 128 lanes and the second-minor to the sublane count. At L=128 the
+        # f32 analysis table PW (m, θ, l=129) really occupies 86.5 MB in
+        # VMEM (129 → 256 lanes), exactly 2× its nominal bytes — ignoring
+        # this OOM'd the production run by the measured 2.49 MB. bf16
+        # tables halve it (same lane padding, 2-byte elements).
+        def _padded(*shape, itemsize=4):
             lead = int(np.prod(shape[:-2])) if len(shape) > 2 else 1
-            sub = -(-shape[-2] // 8) * 8
+            sub_n = 8 * 4 // itemsize
+            sub = -(-shape[-2] // sub_n) * sub_n
             lane = -(-shape[-1] // 128) * 128
-            return lead * sub * lane * 4
+            return lead * sub * lane * itemsize
         m8 = -(-sht.n_m // 8) * 8
-        tab_fwd = _padded(m8, sht.n_theta, sht.l_max + 1) \
-            + 2 * _padded(m8, sht.n_phi)
-        tab_inv = _padded(m8, sht.l_max + 1, sht.n_theta) \
-            + 2 * _padded(m8, sht.n_phi)
+        tab_fwd = _padded(m8, sht.n_theta, sht.l_max + 1, itemsize=_tsize) \
+            + 2 * _padded(m8, sht.n_phi, itemsize=_tsize)
+        tab_inv = _padded(m8, sht.l_max + 1, sht.n_theta, itemsize=_tsize) \
+            + 2 * _padded(m8, sht.n_phi, itemsize=_tsize)
         tab = max(tab_fwd, tab_inv)
         # production-sized tables need the cap raised toward the physical
         # 128 MB (same policy as FusedIteration._limit_for); at tutorial
@@ -168,9 +192,14 @@ class FusedSHT:
             # + the 4 double-buffered coefficient blocks. Validated against
             # measured scoped sizes: 102.5 MB at qb=3/L=128 (4.88 MB/qb) and
             # qb=16 fitting under 100 MB at tutorial scale while 32 OOMs.
+            # bf16 tables add in-kernel bf16 copies of the data planes and
+            # fm temporaries (~2 extra plane equivalents + 1 out block,
+            # conservative pre-measurement estimate).
             plane = sht.n_theta * sht.n_phi * 4
             out_blk = _padded(m8, sht.l_max + 1)
             per_q = 6 * plane + 4 * out_blk
+            if _tsize == 2:
+                per_q = 8 * plane + 5 * out_blk
             budget = int(vmem_limit_bytes * 0.95) - tab
             q_block = max(1, min(16, budget // per_q))
         self.q_block = int(q_block)
@@ -185,38 +214,43 @@ class FusedSHT:
         # blocked second-to-last dims to be 8-aligned); padded rows are zero
         # in every table so they produce/consume zero coefficients
         self.m_blk = -(-(-(-n_m // self.m_splits)) // 8) * 8
+        if _tsize == 2 and self.m_splits > 1 and self.m_blk % 16:
+            # bf16 tiles are (16, 128): a split m-block must be 16-aligned
+            # (full-dim blocks, i.e. m_splits=1, are exempt)
+            self.m_blk = -(-self.m_blk // 16) * 16
         self.n_m_pad = self.m_blk * self.m_splits
         pad_m = self.n_m_pad - n_m
         phi = 2 * np.pi * np.arange(n_phi) / n_phi
         ms = np.arange(-L, L + 1)
         # analysis DFT stored TRANSPOSED (m, φ): m on the second-to-last axis
+        tdt = self.table_dtype
         Et = np.exp(-1j * np.outer(ms, phi)) * (2 * np.pi / n_phi)
         Et = np.pad(Et, ((0, pad_m), (0, 0)))
-        self._E_re = np.ascontiguousarray(Et.real, dtype=np.float32)
-        self._E_im = np.ascontiguousarray(Et.imag, dtype=np.float32)
+        self._E_re = np.ascontiguousarray(Et.real.astype(tdt))
+        self._E_im = np.ascontiguousarray(Et.imag.astype(tdt))
         # synthesis DFT rows: f(φ) = Σ_m fm e^{+imφ} (padded rows multiply
         # zero coefficients — keep them zero for safety)
         I = np.exp(1j * np.outer(ms, phi))
         I = np.pad(I, ((0, pad_m), (0, 0)))
-        self._I_re = np.ascontiguousarray(I.real, dtype=np.float32)
-        self._I_im = np.ascontiguousarray(I.imag, dtype=np.float32)
+        self._I_re = np.ascontiguousarray(I.real.astype(tdt))
+        self._I_im = np.ascontiguousarray(I.imag.astype(tdt))
         PW = np.pad(np.asarray(sht._PW, dtype=np.float32),
                     ((0, pad_m), (0, 0), (0, 0)))            # (m_pad, θ, l)
         P_t = np.pad(np.swapaxes(np.asarray(sht._P, dtype=np.float32), 1, 2),
                      ((0, pad_m), (0, 0), (0, 0)))           # (m_pad, l, θ)
-        self._PW = np.ascontiguousarray(PW)
-        self._P_t = np.ascontiguousarray(P_t)
+        self._PW = np.ascontiguousarray(PW.astype(tdt))
+        self._P_t = np.ascontiguousarray(P_t.astype(tdt))
         # positive-m tables (m = 0..L) for the real-field analysis
         self._mp_blk = -(-(-(-(L + 1) // self.m_splits)) // 8) * 8
         self._mp_pad = self._mp_blk * self.m_splits
         pad_p = self._mp_pad - (L + 1)
         Ep = np.exp(-1j * np.outer(np.arange(L + 1), phi)) * (2 * np.pi / n_phi)
         Ep = np.pad(Ep, ((0, pad_p), (0, 0)))
-        self._Ep_re = np.ascontiguousarray(Ep.real, dtype=np.float32)
-        self._Ep_im = np.ascontiguousarray(Ep.imag, dtype=np.float32)
+        self._Ep_re = np.ascontiguousarray(Ep.real.astype(tdt))
+        self._Ep_im = np.ascontiguousarray(Ep.imag.astype(tdt))
         self._PWp = np.ascontiguousarray(np.pad(
             np.asarray(sht._PW[L:], dtype=np.float32),
-            ((0, pad_p), (0, 0), (0, 0))))
+            ((0, pad_p), (0, 0), (0, 0))).astype(tdt))
         self.n_theta, self.n_phi, self.n_m, self.l_max = (n_theta, n_phi,
                                                           n_m, L)
 
@@ -334,10 +368,8 @@ def _fwd_abs2_kernel(n_theta, n_phi, m_blk,
     pr = pre_ref[:].reshape(q_b * n_theta, n_phi)
     pi = pim_ref[:].reshape(q_b * n_theta, n_phi)
     a = pr * pr + pi * pi
-    mmT = lambda x, e: lax.dot_general(  # noqa: E731
-        x, e, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    fm_re = mmT(a, ere_ref[:])
-    fm_im = mmT(a, eim_ref[:])
+    fm_re = _mmT(a, ere_ref[:])
+    fm_im = _mmT(a, eim_ref[:])
     fm_re = fm_re.reshape(q_b, n_theta, m_blk).transpose(2, 0, 1)
     fm_im = fm_im.reshape(q_b, n_theta, m_blk).transpose(2, 0, 1)
     pw = pw_ref[:]
@@ -351,10 +383,8 @@ def _fwd_real_kernel(n_theta, n_phi, m_blk,
     fills m<0 outside): one real input plane halves the DFT matmuls."""
     q_b = a_ref.shape[0]
     a = a_ref[:].reshape(q_b * n_theta, n_phi)
-    mmT = lambda x, e: lax.dot_general(  # noqa: E731
-        x, e, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    fm_re = mmT(a, ere_ref[:])                      # (q_b·θ, m_blk)
-    fm_im = mmT(a, eim_ref[:])
+    fm_re = _mmT(a, ere_ref[:])                     # (q_b·θ, m_blk)
+    fm_im = _mmT(a, eim_ref[:])
     fm_re = fm_re.reshape(q_b, n_theta, m_blk).transpose(2, 0, 1)
     fm_im = fm_im.reshape(q_b, n_theta, m_blk).transpose(2, 0, 1)
     pw = pw_ref[:]
