@@ -70,7 +70,16 @@ def main():
     tables = jax.device_put(tables)
     jax.block_until_ready(tables)
     rho0s = p.initial_density_batch(0, args.restarts, tables=tables)
-    run = jax.jit(lambda t, r: p.mtip.run_batch(r, schedule, tables=t))
+    if args.full:
+        # One mega-jit of the 11-segment schedule serializes a 2.65 GB
+        # executable proto at this scale — over the tunnel's AOT limit.
+        # Run shrink-wrap-bounded chunks instead: identical chunk
+        # structures share one (small) compiled program.
+        from xframe_tpu.parallel.mesh import CheckpointingRunner
+        runner = CheckpointingRunner(p.mtip, schedule, arg_tables=True)
+        run = lambda t, r: runner(r, resume=False)  # noqa: E731
+    else:
+        run = jax.jit(lambda t, r: p.mtip.run_batch(r, schedule, tables=t))
     t0 = time.perf_counter()
     states, errors = run(tables, rho0s)
     jax.block_until_ready(errors)

@@ -329,9 +329,11 @@ class FusedIteration:
                   + 2 * f.n_m_pad * f.n_phi * tsize)
         k = 25 if track_best else 21
         if tsize == 2:
-            # bf16 tables add in-kernel bf16 copies of the grid-plane
-            # temporaries (conservative pre-measurement estimate)
-            k += 5
+            # bf16 tables force bf16 copies of grid-plane temporaries AND
+            # blow up register-allocator spill slots (measured 62.3 MB of
+            # spills at qb=4, N_q=256/L=128: 130.24 MB total with 27 MB of
+            # resident tables → ~31.5 plane equivalents per q-block)
+            k += 11
         plane = f.n_theta * f.n_phi * 4
         qb = self.q_block
         while qb > 1 and tables + k * qb * plane > limit:

@@ -193,13 +193,16 @@ class FusedSHT:
             # measured scoped sizes: 102.5 MB at qb=3/L=128 (4.88 MB/qb) and
             # qb=16 fitting under 100 MB at tutorial scale while 32 OOMs.
             # bf16 tables add in-kernel bf16 copies of the data planes and
-            # fm temporaries (~2 extra plane equivalents + 1 out block,
-            # conservative pre-measurement estimate).
+            # fm temporaries. Measured on chip at N_q=256/L=128: the bf16
+            # forward kernel needs 125.48 MB at q_block=9 with 44.7 MB of
+            # resident tables → 8.98 MB/q-block ≈ 9 plane equivalents + 6
+            # out blocks (the 8·plane+5·out estimate under-counted by 1.5 MB
+            # and OOM'd scoped VMEM).
             plane = sht.n_theta * sht.n_phi * 4
             out_blk = _padded(m8, sht.l_max + 1)
             per_q = 6 * plane + 4 * out_blk
             if _tsize == 2:
-                per_q = 8 * plane + 5 * out_blk
+                per_q = 9 * plane + 6 * out_blk
             budget = int(vmem_limit_bytes * 0.95) - tab
             q_block = max(1, min(16, budget // per_q))
         self.q_block = int(q_block)
