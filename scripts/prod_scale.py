@@ -104,6 +104,7 @@ def main():
         pass
     from xframe_tpu.library.hostio import to_host
     errs = np.asarray(to_host(errors))
+    best = np.asarray(to_host(states.best_err))
     out = {
         "metric": "sec_per_mtip_iteration_production",
         "value": sec_per_iter,
@@ -111,6 +112,7 @@ def main():
                 f"{n_theta}x{n_phi} angular grid)",
         "restarts": args.restarts,
         "errors_finite": bool(np.isfinite(errs).all()),
+        "best_err": [float(b) for b in np.atleast_1d(best)],
         "memory": mem,
     }
     if args.full:

@@ -563,3 +563,53 @@ def test_fused_qblock_autosize_counts_mosaic_padding():
     prod = FusedSHT(SphericalHarmonicTransform(128, n_theta=320, n_phi=640))
     assert prod.q_block == 5
     assert prod._params.vmem_limit_bytes == 124 * 1024 * 1024
+
+
+def test_vmem_plans_match_measured_chip_boundaries():
+    """The pure sizing models (fused_sht_vmem_plan / k4_vmem_plan) pinned to
+    every scoped-VMEM boundary measured on the v5e chip, at TUTORIAL and
+    PRODUCTION dimensions, f32 and bf16 table residency. These are the
+    models the production run (N_q=256, L=128) relies on to pick kernel
+    q-blocks that compile; each assertion encodes an on-chip OOM-or-fit
+    measurement (see docs/performance.md, production section)."""
+    from xframe_tpu.ops.pallas_sht import fused_sht_vmem_plan
+    from xframe_tpu.ops.pallas_mtip import k4_vmem_plan
+    MiB = 1024 * 1024
+    # f32 production forward/inverse SHT: chip ran q_block=5 under the
+    # auto-raised 124 MiB cap (87.9 MB of Mosaic-padded resident tables)
+    assert fused_sht_vmem_plan(320, 640, 128, 257, 4) == (5, 124 * MiB)
+    # bf16 production: q_block=9 measured 125.48 MiB needed > 124 MiB cap
+    # (OOM); q_block=8 compiled and ran -> the plan must pick exactly 8
+    assert fused_sht_vmem_plan(320, 640, 128, 257, 2) == (8, 124 * MiB)
+    # f32 tutorial: q_block=16 fits the default 100 MB cap (32 OOM'd)
+    assert fused_sht_vmem_plan(256, 512, 64, 129, 4) == (16, 100 * MiB)
+    # K4 f32 production (P_t (264,129,320), 44.9 MB resident): the cap
+    # auto-raises (measured 104.6 MB needed at q_block 1) and the fused
+    # start block 5//2=2 survives
+    assert k4_vmem_plan(320, 640, (264, 129, 320), 264, 4,
+                        124 * MiB, 2, False) == (2, 124 * MiB)
+    # K4 bf16 production: q_block=4 measured 130.24 MiB used > 128 MiB
+    # physical VMEM (62.3 MiB of register spills) -> must halve to 2
+    assert k4_vmem_plan(320, 640, (264, 129, 320), 264, 2,
+                        124 * MiB, 4, False) == (2, 124 * MiB)
+    # K4 tutorial track_best: measured 114.5 MB at q_block=8 under the
+    # raised cap -> keeps the full block (halving measured 38% slower)
+    assert k4_vmem_plan(256, 512, (136, 65, 256), 136, 4,
+                        100 * MiB, 8, True) == (8, 124 * MiB)
+
+
+def test_fused_table_dtype_plumbs_through_ft_and_demo():
+    """fused_bf16_tables wiring: SphericalFourierTransform(fused_table_dtype=)
+    reaches FusedSHT (and so FusedIteration) without the env knob — the
+    settings-driven path the reconstruct worker uses."""
+    import ml_dtypes
+    from xframe_tpu.projects.fxs.demo import make_demo_problem
+    from xframe_tpu.projects.fxs.phasing import Segment
+    p = make_demo_problem(12, 6, fused_sht=True,
+                          fused_table_dtype=ml_dtypes.bfloat16)
+    assert p.ft._fused._PW.dtype == ml_dtypes.bfloat16
+    assert p.mtip._fi._Pp_t.dtype == ml_dtypes.bfloat16
+    sched = [Segment("HIO", 2, betas=np.full(2, 0.5), ft_stab=True)]
+    r0 = p.initial_density_batch(0, 1)
+    _, errs = jax.jit(lambda r: p.mtip.run_batch(r, sched))(r0)
+    assert np.isfinite(np.asarray(errs)).all()

@@ -27,7 +27,7 @@ class SphericalFourierTransform:
                  n_theta: int = None, n_phi: int = None, real_dtype=jnp.float32,
                  weights_dict: dict = None, mxu_dtype=None,
                  fused_sht: bool = False, fused_q_block: int | None = None,
-                 fused_m_splits: int = 1):
+                 fused_m_splits: int = 1, fused_table_dtype=None):
         if q_max is None:
             q_max = float(np.pi * n_radial_points / 250.0)
         self.mode = mode
@@ -52,7 +52,8 @@ class SphericalFourierTransform:
         if fused_sht:
             from xframe_tpu.ops.pallas_sht import FusedSHT
             self._fused = FusedSHT(self.sht, q_block=fused_q_block,
-                                   m_splits=fused_m_splits)
+                                   m_splits=fused_m_splits,
+                                   table_dtype=fused_table_dtype)
 
     @property
     def grid_shape(self):

@@ -166,6 +166,43 @@ def _inv_real_project_fwd_kernel(n_theta, n_phi, mp_blk, m_blk, eps,
     ocim_ref[:] = _bmm(gm_im, pw).transpose(1, 0, 2)
 
 
+def k4_vmem_plan(n_theta, n_phi, p_t_shape, n_m_pad, table_itemsize,
+                 base_limit_bytes, start_q_block, track_best):
+    """Pure sizing model for the K4 epilogue kernel → (q_block, limit_bytes).
+
+    Largest power-of-two q-block whose scoped-VMEM footprint fits the cap.
+    Chip-calibrated on the v5e Mosaic allocator: scoped bytes ≈ tables +
+    k·qb·nθ·nφ·4 with k ≈ 21 grid-plane equivalents (I/O blocks + double
+    buffering + epilogue temporaries), +4 planes for the lazy-best variant
+    (measured 97.7 MB vs 114.5 MB at qb=8, tutorial scale, 100 MB cap).
+    bf16 tables force bf16 copies of grid-plane temporaries AND blow up
+    register-allocator spill slots (measured 62.3 MiB of spills at qb=4,
+    N_q=256/L=128: 130.24 MiB total with 27 MiB of resident tables → 33.0
+    plane equivalents per q-block; +1 margin since spills are not under
+    our control).
+
+    The track_best variant runs under its own raised cap (124 MiB — the
+    v5e has 128 MiB VMEM) so it can keep the full block: HALVING the block
+    instead measured 38% slower end-to-end (0.0079 vs 0.0058 s/iter), far
+    worse than the ~134 MB/iter of saved HBM traffic. Production-scale
+    tables (>36 MB resident) raise the cap the same way — measured
+    104.6 MB needed at N_q=256/L=128 even at q_block 1.
+    """
+    tables = (int(np.prod(p_t_shape)) * table_itemsize
+              + 2 * n_m_pad * n_phi * table_itemsize)
+    limit = int(base_limit_bytes)
+    if track_best or tables > 36 * 1024 * 1024:
+        limit = max(limit, 124 * 1024 * 1024)
+    k = 25 if track_best else 21
+    if table_itemsize == 2:
+        k += 13
+    plane = n_theta * n_phi * 4
+    qb = int(start_q_block)
+    while qb > 1 and tables + k * qb * plane > limit:
+        qb //= 2
+    return max(1, qb), limit
+
+
 # ---------------------------------------------------------------- K4 kernel
 def _synth_update_kernel(n_theta, n_phi, m_blk, q_b,
                          method, add_rin, flags, fix_phase, track_best,
@@ -308,58 +345,25 @@ class FusedIteration:
 
     # -------------------------------------------------------------- helpers
     def _update_q_block(self, track_best):
-        """Largest power-of-two q-block whose scoped-VMEM footprint fits the
-        compiler cap. Empirical model from the v5e Mosaic allocator: the K4
-        kernel's scoped bytes ≈ tables + k · qb·nθ·nφ·4 with k ≈ 21
-        grid-plane equivalents (I/O blocks + double buffering + epilogue
-        temporaries), +4 planes for the lazy-best variant (measured 97.7 MB
-        vs 114.5 MB at qb=8, tutorial scale, 100 MB cap).
-
-        The track_best variant runs under its own raised cap (124 MB — the
-        v5e has 128 MB VMEM) so it can keep the full block: HALVING the
-        block instead measured 38% slower end-to-end (0.0079 vs 0.0058
-        s/iter), far worse than the ~134 MB/iter of saved HBM traffic."""
+        """K4 q-block from the pure chip-calibrated model (k4_vmem_plan;
+        unit-tested at tutorial AND production dims). Shape arithmetic, not
+        .nbytes: under bound_tables f._P_t may be a TRACER."""
         f = self.f
-        limit = float(self._limit_for(track_best))
-        # shape arithmetic, not .nbytes: under bound_tables f._P_t may be a
-        # TRACER (np.asarray on it would fail)
-        p_t = f._P_t
-        tsize = f.table_dtype.itemsize
-        tables = (int(np.prod(p_t.shape)) * tsize
-                  + 2 * f.n_m_pad * f.n_phi * tsize)
-        k = 25 if track_best else 21
-        if tsize == 2:
-            # bf16 tables force bf16 copies of grid-plane temporaries AND
-            # blow up register-allocator spill slots (measured 62.3 MB of
-            # spills at qb=4, N_q=256/L=128: 130.24 MB total with 27 MB of
-            # resident tables → ~31.5 plane equivalents per q-block)
-            k += 11
-        plane = f.n_theta * f.n_phi * 4
-        qb = self.q_block
-        while qb > 1 and tables + k * qb * plane > limit:
-            qb //= 2
-        return max(1, qb)
+        qb, _ = k4_vmem_plan(f.n_theta, f.n_phi, f._P_t.shape, f.n_m_pad,
+                             f.table_dtype.itemsize, self._base_limit(),
+                             self.q_block, track_best)
+        return qb
+
+    def _base_limit(self):
+        return getattr(self._params, "vmem_limit_bytes", None) \
+            or 100 * 1024 * 1024
 
     def _limit_for(self, track_best):
-        base = getattr(self._params, "vmem_limit_bytes", None) \
-            or 100 * 1024 * 1024
-        if track_best:
-            return max(base, 124 * 1024 * 1024)
-        # production-scale tables (L=128: ~45 MB of resident Legendre/DFT
-        # synthesis tables, ~55 MB after Mosaic lane padding) push the K4
-        # scoped footprint past the 100 MB default even at q_block 1 —
-        # measured 104.6 MB needed at N_q=256/L=128/320×640. Raise toward
-        # the physical 128 MB; at tutorial scale (tables ~10 MB) the base
-        # cap is kept (raising it there measured no effect on q-block
-        # choice or speed).
         f = self.f
-        p_t = f._P_t
-        tsize = f.table_dtype.itemsize
-        tables = (int(np.prod(p_t.shape)) * tsize
-                  + 2 * f.n_m_pad * f.n_phi * tsize)
-        if tables > 36 * 1024 * 1024:
-            return max(base, 124 * 1024 * 1024)
-        return base
+        _, limit = k4_vmem_plan(f.n_theta, f.n_phi, f._P_t.shape, f.n_m_pad,
+                                f.table_dtype.itemsize, self._base_limit(),
+                                self.q_block, track_best)
+        return limit
 
     def _params_for(self, track_best):
         limit = int(self._limit_for(track_best))

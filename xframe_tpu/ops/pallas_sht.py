@@ -48,6 +48,51 @@ _MXU_BF16 = _os.environ.get("XF_FUSED_MXU_BF16", "0").lower() \
     not in ("0", "false", "")
 
 
+def padded_vmem_bytes(*shape, itemsize=4):
+    """VMEM bytes of an array window incl. Mosaic tile padding: the minor
+    dim rounds up to 128 lanes and the second-minor to the sublane count
+    (8 for f32 tiles, 16 for bf16)."""
+    lead = int(np.prod(shape[:-2])) if len(shape) > 2 else 1
+    sub_n = 8 * 4 // itemsize
+    sub = -(-shape[-2] // sub_n) * sub_n
+    lane = -(-shape[-1] // 128) * 128
+    return lead * sub * lane * itemsize
+
+
+def fused_sht_vmem_plan(n_theta, n_phi, l_max, n_m, table_itemsize,
+                        vmem_limit_bytes=100 * 1024 * 1024):
+    """Pure sizing model for the fused-SHT kernels → (q_block, limit_bytes).
+
+    Chip-calibrated (v5e Mosaic allocator):
+      * f32 tutorial (256×512, L=64): q_block 16 fits under 100 MB, 32 OOMs.
+      * f32 production (320×640, L=128): measured 102.5 MB at qb=3
+        (4.88 MB/qb); the padded analysis table is 86.5 MB — 2× its nominal
+        bytes (l=129 → 256 lanes) — so tables >36 MB raise the cap to
+        124 MiB (physical VMEM is 128 MiB).
+      * bf16 production: measured 125.48 MiB needed at qb=9 with 44.7 MB
+        of resident tables → 8.98 MB/q-block ≈ 9 plane equivalents + 6
+        out blocks (bf16 data-plane copies + fm temporaries).
+    """
+    m8 = -(-n_m // 8) * 8
+    tab_fwd = padded_vmem_bytes(m8, n_theta, l_max + 1,
+                                itemsize=table_itemsize) \
+        + 2 * padded_vmem_bytes(m8, n_phi, itemsize=table_itemsize)
+    tab_inv = padded_vmem_bytes(m8, l_max + 1, n_theta,
+                                itemsize=table_itemsize) \
+        + 2 * padded_vmem_bytes(m8, n_phi, itemsize=table_itemsize)
+    tab = max(tab_fwd, tab_inv)
+    if tab > 36 * 1024 * 1024:
+        vmem_limit_bytes = max(vmem_limit_bytes, 124 * 1024 * 1024)
+    plane = n_theta * n_phi * 4
+    out_blk = padded_vmem_bytes(m8, l_max + 1)
+    per_q = 6 * plane + 4 * out_blk
+    if table_itemsize == 2:
+        per_q = 9 * plane + 6 * out_blk
+    budget = int(vmem_limit_bytes * 0.95) - tab
+    q_block = max(1, min(16, budget // per_q))
+    return int(q_block), int(vmem_limit_bytes)
+
+
 def _cast_operands(a, b):
     """Match the data operand to the table dtype: bf16 tables pull the data
     block down to bf16 (free for the table — it is already bf16); the legacy
@@ -162,49 +207,15 @@ class FusedSHT:
         _tsize = self.table_dtype.itemsize
         if q_block is None and _os.environ.get("XF_FUSED_QB"):
             q_block = int(_os.environ["XF_FUSED_QB"])
-        # VMEM footprints must count Mosaic tile padding — f32 arrays tile
-        # as (8, 128) and bf16 as (16, 128), so the minor dim rounds up to
-        # 128 lanes and the second-minor to the sublane count. At L=128 the
-        # f32 analysis table PW (m, θ, l=129) really occupies 86.5 MB in
-        # VMEM (129 → 256 lanes), exactly 2× its nominal bytes — ignoring
-        # this OOM'd the production run by the measured 2.49 MB. bf16
-        # tables halve it (same lane padding, 2-byte elements).
-        def _padded(*shape, itemsize=4):
-            lead = int(np.prod(shape[:-2])) if len(shape) > 2 else 1
-            sub_n = 8 * 4 // itemsize
-            sub = -(-shape[-2] // sub_n) * sub_n
-            lane = -(-shape[-1] // 128) * 128
-            return lead * sub * lane * itemsize
-        m8 = -(-sht.n_m // 8) * 8
-        tab_fwd = _padded(m8, sht.n_theta, sht.l_max + 1, itemsize=_tsize) \
-            + 2 * _padded(m8, sht.n_phi, itemsize=_tsize)
-        tab_inv = _padded(m8, sht.l_max + 1, sht.n_theta, itemsize=_tsize) \
-            + 2 * _padded(m8, sht.n_phi, itemsize=_tsize)
-        tab = max(tab_fwd, tab_inv)
-        # production-sized tables need the cap raised toward the physical
-        # 128 MB (same policy as FusedIteration._limit_for); at tutorial
-        # scale (≈18 MB padded) the base cap is kept
-        if tab > 36 * 1024 * 1024:
-            vmem_limit_bytes = max(vmem_limit_bytes, 124 * 1024 * 1024)
+        # VMEM plan: q-block auto-sizing + scoped-VMEM cap from the pure,
+        # chip-calibrated model (see fused_sht_vmem_plan for the measured
+        # boundaries; unit-tested at tutorial AND production dims in
+        # tests/test_transforms.py)
+        auto_qb, vmem_limit_bytes = fused_sht_vmem_plan(
+            sht.n_theta, sht.n_phi, sht.l_max, sht.n_m, _tsize,
+            vmem_limit_bytes)
         if q_block is None:
-            # per-q-block cost (Mosaic allocator, measured): ~6 grid-plane
-            # equivalents (2 I/O planes × double buffering + fm temporaries)
-            # + the 4 double-buffered coefficient blocks. Validated against
-            # measured scoped sizes: 102.5 MB at qb=3/L=128 (4.88 MB/qb) and
-            # qb=16 fitting under 100 MB at tutorial scale while 32 OOMs.
-            # bf16 tables add in-kernel bf16 copies of the data planes and
-            # fm temporaries. Measured on chip at N_q=256/L=128: the bf16
-            # forward kernel needs 125.48 MB at q_block=9 with 44.7 MB of
-            # resident tables → 8.98 MB/q-block ≈ 9 plane equivalents + 6
-            # out blocks (the 8·plane+5·out estimate under-counted by 1.5 MB
-            # and OOM'd scoped VMEM).
-            plane = sht.n_theta * sht.n_phi * 4
-            out_blk = _padded(m8, sht.l_max + 1)
-            per_q = 6 * plane + 4 * out_blk
-            if _tsize == 2:
-                per_q = 9 * plane + 6 * out_blk
-            budget = int(vmem_limit_bytes * 0.95) - tab
-            q_block = max(1, min(16, budget // per_q))
+            q_block = auto_qb
         self.q_block = int(q_block)
         # the mosaic default scoped-VMEM budget is 16 MB; the physical VMEM
         # on v5e is far larger — raise the cap so the full-m tables fit

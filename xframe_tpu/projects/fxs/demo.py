@@ -33,7 +33,8 @@ def make_demo_problem(n_radial: int = 32, l_max: int = 16, *, q_max: float = Non
                       real_dtype=jnp.float32,
                       procrustes_method: str = "svd",
                       ns_iterations: int = 16, mxu_dtype=None,
-                      fused_sht: bool = False) -> SimpleNamespace:
+                      fused_sht: bool = False,
+                      fused_table_dtype=None) -> SimpleNamespace:
     """Two-ball density → invariants → MTIP, plus initial-density helpers."""
     if q_max is None:
         q_max = 0.4 * n_radial / 32.0
@@ -41,7 +42,8 @@ def make_demo_problem(n_radial: int = 32, l_max: int = 16, *, q_max: float = Non
                                    reciprocity_coefficient=reciprocity_coefficient,
                                    n_theta=n_theta, n_phi=n_phi,
                                    real_dtype=real_dtype, mxu_dtype=mxu_dtype,
-                                   fused_sht=fused_sht)
+                                   fused_sht=fused_sht,
+                                   fused_table_dtype=fused_table_dtype)
     cdtype = jnp.complex64 if real_dtype == jnp.float32 else jnp.complex128
     grid = spherical_grid(ft.rs, ft.sht.theta, ft.sht.phi)
     radius = ft.r_max / 2.2

@@ -208,12 +208,20 @@ class ProjectWorker(ProjectWorkerInterface):
                      and len(jax.devices()) == 1)
         else:
             fused = bool(fused_cfg)
+        # bf16-resident fused tables: MXU matmuls in bf16/f32-accumulate —
+        # measured 1.21× at production scale (MXU-bound kernels), parity at
+        # tutorial scale (DMA-bound); ~4e-3 relative per transform
+        fused_tdt = None
+        if bool(opt.fourier_transform.get("fused_bf16_tables", False)):
+            import ml_dtypes
+            fused_tdt = ml_dtypes.bfloat16
         ft = SphericalFourierTransform(N, L, q_max=q_max, mode=mode,
                                        reciprocity_coefficient=rc,
                                        n_theta=n_theta, n_phi=n_phi,
                                        real_dtype=real_dtype,
                                        weights_dict=weights,
-                                       fused_sht=fused)
+                                       fused_sht=fused,
+                                       fused_table_dtype=fused_tdt)
         grid = spherical_grid(ft.rs, ft.sht.theta, ft.sht.phi)
 
         # reciprocal constraint from the data — normalized so the intensity
