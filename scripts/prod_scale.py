@@ -18,6 +18,11 @@ def main():
     ap.add_argument("--nphi", type=int, default=None)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--restarts", type=int, default=1)
+    ap.add_argument("--seed", type=int, default=0,
+                    help="initial-density seed base; use a FRESH value per "
+                         "measurement - the tunnel serves repeated "
+                         "(program, inputs) pairs from a result cache "
+                         "without re-executing")
     ap.add_argument("--no-fused", action="store_true")
     ap.add_argument("--full", action="store_true",
                     help="run the full 600-iteration tutorial-shaped "
@@ -69,7 +74,8 @@ def main():
     # device-resident ONCE: numpy arguments would re-ship ~½ GB per call
     tables = jax.device_put(tables)
     jax.block_until_ready(tables)
-    rho0s = p.initial_density_batch(0, args.restarts, tables=tables)
+    rho0s = p.initial_density_batch(args.seed, args.restarts,
+                                   tables=tables)
     if args.full:
         # One mega-jit of the 11-segment schedule serializes a 2.65 GB
         # executable proto at this scale — over the tunnel's AOT limit.
@@ -86,7 +92,8 @@ def main():
     print(f"compile+first run {time.perf_counter() - t0:.1f} s", flush=True)
     # time on FRESH inputs: the tunnel can serve a repeated (program, inputs)
     # pair from its result cache without re-executing
-    rho0s = p.initial_density_batch(1, args.restarts, tables=tables)
+    rho0s = p.initial_density_batch(args.seed + 1, args.restarts,
+                                   tables=tables)
     jax.block_until_ready(rho0s)
     t0 = time.perf_counter()
     states, errors = run(tables, rho0s)

@@ -1,0 +1,190 @@
+"""Reference option-parity tests for the round-3 additions:
+
+* simulate_ccd `n_particles` (reference simulate_ccd.py:208-213)
+* extract low-resolution intensity coefficients
+  (reference extract.py calc_low_resolution_intensity_coefficients)
+* reconstruct `density_guess: low_resolution_autocorrelation`
+  (reference reconstruct.py:1175-1205)
+* reconstruct `initial_support: auto_correlation`
+  (reference fxs_Projections.py:141-146)
+* `best_density_not_in_first_n_iterations` reset-to-best
+  (reference reconstruct.py:945-951)
+"""
+import os
+
+import numpy as np
+import pytest
+
+import xframe_tpu as xf
+
+
+@pytest.fixture(scope="module")
+def home(tmp_path_factory):
+    path = tmp_path_factory.mktemp("xf_home_opts")
+    old = os.environ.get("XFRAME_TPU_HOME")
+    os.environ["XFRAME_TPU_HOME"] = str(path)
+    yield str(path)
+    if old is None:
+        os.environ.pop("XFRAME_TPU_HOME", None)
+    else:
+        os.environ["XFRAME_TPU_HOME"] = old
+
+
+N = 24
+L = 8
+
+SIM_BASE = {
+    "dimensions": 3,
+    "grid": {"n_radial_points": N, "max_order": L, "max_q": 0.5},
+    "shapes": {"types": ["sphere"], "centers": [[0, 0, 0]], "sizes": [20],
+               "densities": [1.0], "random_orientation": [False]},
+    "cross_correlation": {"method": "back_substitution",
+                          "xray_wavelength": 1.23984},
+}
+
+
+def _simulate(name, **extra):
+    xf.select_project("fxs", "simulate_ccd",
+                      overrides={**SIM_BASE, "structure_name": name, **extra})
+    return xf.run()
+
+
+@pytest.fixture(scope="module")
+def ccd1(home):
+    return _simulate("np1")
+
+
+@pytest.fixture(scope="module")
+def ccd3(home):
+    return _simulate("np3", n_particles=3)
+
+
+def test_simulate_n_particles_scaling(ccd1, ccd3):
+    """B_l scales by N and B_0 by N²: the CC difference cc_N − N·cc_1 is the
+    extra (N²−N)·B_0 term, whose P_0(cosΔ)=const Legendre kernel is
+    Δ-INDEPENDENT; the average intensity scales by N."""
+    cc1 = np.asarray(ccd1["cross_correlation"]["I1I1"])
+    cc3 = np.asarray(ccd3["cross_correlation"]["I1I1"])
+    a1 = np.asarray(ccd1["average_intensity"])
+    a3 = np.asarray(ccd3["average_intensity"])
+    assert np.allclose(a3, 3 * a1, rtol=1e-6)
+    extra = cc3 - 3 * cc1
+    # flat in Δ (l=0 only) and strictly positive on the diagonal
+    spread = np.ptp(extra, axis=-1)
+    scale = np.abs(cc3).max()
+    assert spread.max() < 1e-5 * scale
+    assert extra[np.arange(N), np.arange(N), 0].min() > 0
+
+
+@pytest.fixture(scope="module")
+def invariants_lowres(ccd1, home):
+    xf.select_project("fxs", "extract", overrides={
+        "structure_name": "np1",
+        "dimensions": 3,
+        "max_order": L,
+        "low_resolution_intensity_approximation": {"max_order": 4},
+    })
+    return xf.run()
+
+
+def test_extract_low_resolution_coefficients(invariants_lowres):
+    lr = invariants_lowres["data_low_resolution_intensity_coefficients"]
+    assert isinstance(lr, dict) and len(lr) == 5
+    proj = invariants_lowres["data_projection_matrices"]["I1I1"]
+    for l in range(5):
+        v = np.asarray(lr[str(l)])
+        assert v.shape == (N, min(2 * l + 1, N))
+        assert np.allclose(v, np.asarray(proj[l]))
+
+
+REC_LOOP = {"sub_loops": {
+    "order": ["main"],
+    "main": {"iterations": 1, "order": ["HIO", "SW", "ER"],
+             "methods": {"HIO": {"iterations": 8},
+                         "SW": {"iterations": 1},
+                         "ER": {"iterations": 6}}},
+}}
+
+
+def test_reconstruct_lowres_guess_and_autocorr_support(invariants_lowres,
+                                                       home):
+    xf.select_project("fxs", "reconstruct", overrides={
+        "structure_name": "np1",
+        "grid": {"n_radial_points": 16, "max_order": L},
+        "multi_start": {"n_reconstructions": 2, "seed": 3},
+        "density_guess": {"type": "low_resolution_autocorrelation"},
+        "projections": {"real": {"projections": {"support": {
+            "initial_support": {"type": "auto_correlation",
+                                "auto_correlation": {"threshold": 0.01}},
+        }}}},
+        "main_loop": REC_LOOP,
+    })
+    out = xf.run()
+    results = out["reconstruction_results"]
+    assert len(results) == 2
+    for res in results.values():
+        errs = np.asarray(res["error_dict"]["main"])
+        assert np.isfinite(errs).all()
+        sup = np.asarray(res["initial_support"]) \
+            if "initial_support" in res else None
+    # the auto-correlation support must be a nontrivial subset of the grid
+    sup = np.asarray(results["0"]["support_mask"])
+    assert 0 < sup.sum() < sup.size
+
+
+def test_best_density_reset_markers_and_semantics():
+    from xframe_tpu.projects.fxs.phasing import (build_schedule, Segment,
+                                                 PhasingState)
+    main_loop = {"order": ["main"], "main": {
+        "iterations": 3,
+        "best_density_not_in_first_n_iterations": 0,
+        "order": ["HIO"], "methods": {"HIO": {"iterations": 2}}}}
+    segs = build_schedule(main_loop, [[0.5, 0.5, -1.0, 10]], [False], [0.1],
+                          {}, 1.0)
+    methods = [s.method for s in segs]
+    # SNAPSHOT right after sub-loop iteration 0, RESET at loop end
+    assert methods == ["HIO", "SNAPSHOT", "HIO", "HIO", "RESET_TO_BEST"]
+    # n >= iterations disables the feature entirely
+    main_loop["main"]["best_density_not_in_first_n_iterations"] = 3
+    segs = build_schedule(main_loop, [[0.5, 0.5, -1.0, 10]], [False], [0.1],
+                          {}, 1.0)
+    assert [s.method for s in segs] == ["HIO"] * 3
+
+    # semantics on crafted states (no transforms needed)
+    import types
+    import jax.numpy as jnp
+    from xframe_tpu.projects.fxs.phasing import MTIP
+    mtip = MTIP.__new__(MTIP)  # only _snapshot/_reset_to_best are exercised
+    rho = jnp.ones((4,), jnp.complex64)
+    best = 2.0 * jnp.ones((4,), jnp.complex64)
+    sup = jnp.array([True, True, False, False])
+    bmask = jnp.array([False, True, True, False])
+    late = PhasingState(rho, sup, best, bmask,
+                        best_err=jnp.float32(0.1), last_err=jnp.float32(0.5),
+                        err_snapshot=jnp.float32(0.4))
+    out = mtip._reset_to_best(late)  # best improved after snapshot → reset
+    assert np.allclose(np.asarray(out.rho), np.asarray(best))
+    assert np.array_equal(np.asarray(out.support), np.asarray(bmask))
+    assert out.err_snapshot is None
+    early = late._replace(err_snapshot=jnp.float32(0.1))  # best ≤ snapshot
+    out = mtip._reset_to_best(early)
+    assert np.allclose(np.asarray(out.rho), np.asarray(rho))
+    assert np.array_equal(np.asarray(out.support), np.asarray(sup))
+    assert mtip._reset_to_best(late._replace(err_snapshot=None)) \
+        .err_snapshot is None
+
+    # end-to-end through run(): markers execute inside the jitted schedule
+    from xframe_tpu.projects.fxs.demo import make_demo_problem
+    import jax
+    p = make_demo_problem(12, 6)
+    sched = [Segment("HIO", 3, betas=np.full(3, 0.5), ft_stab=True),
+             Segment("SNAPSHOT"),
+             Segment("HIO", 3, betas=np.full(3, 0.5), ft_stab=True),
+             Segment("RESET_TO_BEST")]
+    rho0 = p.initial_density_batch(0, 1)
+    state, errs = jax.jit(lambda r: p.mtip.run_batch(r, sched))(rho0)
+    errs = np.asarray(errs)
+    assert errs.shape == (1, 6, 2) and np.isfinite(errs).all()
+    # errors keep improving in this demo → the reset selects the best iterate
+    if errs[0, :, 0].argmin() >= 3:
+        assert np.allclose(np.asarray(state.rho), np.asarray(state.best_rho))

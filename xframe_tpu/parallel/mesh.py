@@ -182,6 +182,9 @@ def _chunk_structure_args(chunk):
         if seg.method in ("SW", "SW_center"):
             structure.append((seg.method,))
             args.append((np.float32(seg.sigma), np.float32(seg.threshold)))
+        elif seg.method in ("SNAPSHOT", "RESET_TO_BEST"):
+            structure.append((seg.method,))
+            args.append(())
         else:
             structure.append((seg.method, int(seg.n), bool(seg.ft_stab)))
             args.append(np.asarray(seg.betas, dtype=np.float32))
@@ -258,6 +261,8 @@ class CheckpointingRunner:
             "errors": np.concatenate([to_host(e) for e in errors_list], axis=1)
             if errors_list else np.zeros((0, 0, 2), dtype=np.float32),
         }
+        if h.err_snapshot is not None:  # mid-loop SNAPSHOT (reset-to-best)
+            data["err_snapshot"] = np.asarray(h.err_snapshot)
         tmp = self.checkpoint_path + ".tmp"
         os.makedirs(os.path.dirname(os.path.abspath(tmp)), exist_ok=True)
         hdf5_io.save(tmp, data)
@@ -281,7 +286,9 @@ class CheckpointingRunner:
                                        self.mtip.cdtype),
             best_mask=jnp_bool(np.asarray(d["best_mask"])),
             best_err=np.asarray(d["best_err"], dtype=np.float32),
-            last_err=np.asarray(d["last_err"], dtype=np.float32))
+            last_err=np.asarray(d["last_err"], dtype=np.float32),
+            err_snapshot=np.asarray(d["err_snapshot"], dtype=np.float32)
+            if "err_snapshot" in d else None)
         prev = np.asarray(d["errors"], dtype=np.float32)
         errors = [prev] if prev.ndim == 3 and prev.shape[1] > 0 else []
         return state, int(d["chunk_index"]), errors

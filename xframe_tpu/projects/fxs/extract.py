@@ -315,7 +315,29 @@ class ProjectWorker(ProjectWorkerInterface):
                 method=str(eopt.get("method", "onset")))
             print(f"extract: estimated number_of_particles = {n_particles:.3g}")
 
-        low_res = avg_intensity * 2 * np.sqrt(np.pi)
+        # --- low-resolution intensity coefficients: the first
+        # low-res orders of V_l, optionally SHT-positivity-optimized
+        # (reference extract.py calc_low_resolution_intensity_coefficients
+        # + settings low_resolution_intensity_approximation /
+        # optimize_projection_matrices). Consumed by reconstruct's
+        # 'low_resolution_autocorrelation' density guess. With max_order=0
+        # (default) only the isotropic I_00 = a(q)·2√π column is stored.
+        lr_opt = opt.get("low_resolution_intensity_approximation", {})
+        lr_max = min(int(lr_opt.get("max_order", 0)), bl.shape[0] - 1)
+        if dim == 3 and lr_max > 0:
+            lr = [np.asarray(p).copy() for p in proj[: lr_max + 1]]
+            if bool(opt.get("optimize_projection_matrices", {})
+                    .get("use", False)):
+                from xframe_tpu.ops.sht import SphericalHarmonicTransform
+                sht_lr = SphericalHarmonicTransform(lr_max)
+                lr, _ = itools.enforce_sht_constraint(
+                    lr, sht_lr,
+                    iterations=int(lr_opt.get("n_iterations", 100)),
+                    rel_err_limit=float(lr_opt.get("error_change_limit",
+                                                   1e-5)))
+            low_res = {str(l): np.asarray(v) for l, v in enumerate(lr)}
+        else:
+            low_res = avg_intensity * 2 * np.sqrt(np.pi)
         out = {
             "dimensions": dim,
             "xray_wavelength": wavelength,

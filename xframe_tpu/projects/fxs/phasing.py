@@ -77,7 +77,21 @@ def build_schedule(main_loop_opt, hio_beta_opt, sw_sigmas_opt, sw_thresholds_opt
 
         step = 0      # counts HIO/ER repeats within this loop (β argument)
         sw_step = 0   # counts SW events within this loop (σ/threshold argument)
-        for _ in range(int(loop['iterations'])):
+        # best_density_not_in_first_n_iterations (reference
+        # reconstruct.py:945-951): after this loop, continue from the best
+        # state found — unless the best stems from sub-loop iteration ≤ n.
+        # Realized as a SNAPSHOT of best_err after iteration n plus a
+        # RESET_TO_BEST at loop end (strict improvements make
+        # "best found later than n" ⟺ "best_err dropped below the snapshot").
+        n_first = loop.get('best_density_not_in_first_n_iterations', None) \
+            if hasattr(loop, 'get') else None
+        if n_first is not None and (n_first is False
+                                    or not np.isfinite(float(n_first))):
+            n_first = None
+        n_iters = int(loop['iterations'])
+        if n_first is not None and int(n_first) >= n_iters:
+            n_first = None
+        for it in range(n_iters):
             for method in loop['order']:
                 mopt = loop['methods'][method]
                 if hasattr(mopt, 'get'):  # dict or DictNamespace node
@@ -99,6 +113,10 @@ def build_schedule(main_loop_opt, hio_beta_opt, sw_sigmas_opt, sw_thresholds_opt
                     segments.append(Segment(
                         method=base, n=repeats, betas=betas,
                         ft_stab=bool(method_ft_stab.get(loop_name, {}).get(method, False))))
+            if n_first is not None and it == int(n_first):
+                segments.append(Segment(method='SNAPSHOT'))
+        if n_first is not None:
+            segments.append(Segment(method='RESET_TO_BEST'))
     return segments
 
 
@@ -109,6 +127,11 @@ class PhasingState(NamedTuple):
     best_mask: Any
     best_err: Any
     last_err: Any
+    # best_err snapshot taken by a SNAPSHOT schedule marker (None until one
+    # runs): RESET_TO_BEST compares against it to decide whether the best
+    # state was found late enough to continue from (reference
+    # best_density_not_in_first_n_iterations, reconstruct.py:945-951)
+    err_snapshot: Any = None
 
 
 class MTIP:
@@ -423,7 +446,8 @@ class MTIP:
             carry, errs = jax.lax.scan(body, carry, betas)
             rho, best_rho, best_mask, best_err, last_err = carry[:5]
             return PhasingState(rho, state.support, best_rho, best_mask,
-                                best_err, last_err), errs
+                                best_err, last_err,
+                                state.err_snapshot), errs
 
         def body(carry, beta):
             rho, best_rho, best_err, pending_err, z, z2 = carry
@@ -449,7 +473,8 @@ class MTIP:
         improved = best_err < state.best_err
         best_mask = jnp.where(improved, state.support, state.best_mask)
         return PhasingState(rho, state.support, best_rho, best_mask,
-                            best_err, pending_err), errs
+                            best_err, pending_err,
+                            state.err_snapshot), errs
 
     # -------------------------------------------------------------- segments
     def _run_segment(self, state: PhasingState, seg: Segment, betas=None):
@@ -478,7 +503,7 @@ class MTIP:
         carry, errs = jax.lax.scan(body, carry, betas)
         rho, best_rho, best_mask, best_err, last_err = carry
         return PhasingState(rho, state.support, best_rho, best_mask,
-                            best_err, last_err), errs
+                            best_err, last_err, state.err_snapshot), errs
 
     def _shrink_wrap(self, state: PhasingState, seg: Segment, sigma=None,
                      threshold=None):
@@ -499,7 +524,23 @@ class MTIP:
         enforce = state.last_err > self.enforce_limit
         support = jnp.where(enforce, new_support & self.initial_support, new_support)
         return PhasingState(rho, support, state.best_rho, state.best_mask,
-                            state.best_err, state.last_err)
+                            state.best_err, state.last_err,
+                            state.err_snapshot)
+
+    def _snapshot(self, state: PhasingState):
+        return state._replace(err_snapshot=state.best_err)
+
+    def _reset_to_best(self, state: PhasingState):
+        """RESET_TO_BEST marker: continue from the best state iff it improved
+        after the SNAPSHOT point (reference reconstruct.py:945-951 — best not
+        stuck in the first n sub-loop iterations). No-op without a snapshot."""
+        if state.err_snapshot is None:
+            return state
+        late = state.best_err < state.err_snapshot
+        rho = jnp.where(late, state.best_rho, state.rho)
+        support = jnp.where(late, state.best_mask, state.support)
+        return PhasingState(rho, support, state.best_rho, state.best_mask,
+                            state.best_err, state.last_err, None)
 
     # ------------------------------------------------------------------ run
     def initial_state(self, rho0):
@@ -529,6 +570,10 @@ class MTIP:
         for seg in schedule:
             if seg.method in ('SW', 'SW_center'):
                 state = self._shrink_wrap(state, seg)
+            elif seg.method == 'SNAPSHOT':
+                state = self._snapshot(state)
+            elif seg.method == 'RESET_TO_BEST':
+                state = self._reset_to_best(state)
             else:
                 state, errs = self._run_segment(state, seg)
                 err_chunks.append(errs)
@@ -552,6 +597,10 @@ class MTIP:
                     state, Segment(seg_s[0]),
                     sigma=jnp.asarray(a[0], dtype=self.rdtype),
                     threshold=jnp.asarray(a[1], dtype=self.rdtype))
+            elif seg_s[0] == 'SNAPSHOT':
+                state = self._snapshot(state)
+            elif seg_s[0] == 'RESET_TO_BEST':
+                state = self._reset_to_best(state)
             else:
                 method, n, ft_stab = seg_s
                 seg = Segment(method, n, ft_stab=ft_stab)
@@ -574,6 +623,10 @@ class MTIP:
         for seg in schedule:
             if seg.method in ('SW', 'SW_center'):
                 state = self._shrink_wrap(state, seg)
+            elif seg.method == 'SNAPSHOT':
+                state = self._snapshot(state)
+            elif seg.method == 'RESET_TO_BEST':
+                state = self._reset_to_best(state)
             else:
                 state, errs = self._run_segment(state, seg)
                 err_chunks.append(errs)

@@ -73,6 +73,21 @@ def regrid_projection_matrices(proj, qs_data, qs_new):
     return out
 
 
+def pad_coeff_dense(proj_list, n_q, l_max):
+    """Per-l (n_q, k≤2l+1) matrices → dense (n_q, 2L+1, L+1) coefficient
+    tensor in the centered-m layout (missing columns zero-padded, as the
+    reference pads before icht, reconstruct.py:404-420)."""
+    L = l_max
+    dense = np.zeros((n_q, 2 * L + 1, L + 1), dtype=complex)
+    for l, v in enumerate(proj_list[: L + 1]):
+        v = np.atleast_2d(np.asarray(v))
+        if v.shape[0] != n_q:
+            v = v.T
+        ncols = min(v.shape[1], 2 * l + 1)
+        dense[:, L - l: L - l + ncols, l] = v[:, :ncols]
+    return dense
+
+
 class ProjectWorker(ProjectWorkerInterface):
     database_class = ProjectDB
 
@@ -290,9 +305,33 @@ class ProjectWorker(ProjectWorkerInterface):
             limit_imag=float(popt.get("limit_imag", {}).get("threshold", 2.0))
             * unit,
             apply_assert_real="assert_real" in apply)
-        support_radius = float(popt.get("support", {}).get(
-            "initial_support", {}).get("max_radius", opt.particle_radius))
-        initial_support = grid[..., 0] < support_radius
+        is_opt = popt.get("support", {}).get("initial_support", {})
+        if str(is_opt.get("type", "max_radius")) == "auto_correlation":
+            # support from the data's autocorrelation-like synthesis
+            # A = iFT(iSHT(V_padded)): keep A ≥ threshold·max(A), clipped to
+            # the particle radius (reference fxs_Projections.py:141-146 with
+            # the autocorrelation built at reconstruct.py:400-425)
+            thr = float(is_opt.get("auto_correlation", {})
+                        .get("threshold", 0.01))
+            dense = pad_coeff_dense(proj, N, L)
+            np_r = np.float32 if real_dtype == jnp.float32 else np.float64
+
+            @jax.jit
+            def _autocorr(c_re, c_im):
+                a = ft.inverse(ft.sht.inverse(
+                    (c_re + 1j * c_im).astype(cdtype)))
+                return a.real.astype(real_dtype)
+
+            from xframe_tpu.library.hostio import to_host
+            A = np.asarray(to_host(_autocorr(
+                np.ascontiguousarray(dense.real, dtype=np_r),
+                np.ascontiguousarray(dense.imag, dtype=np_r))))
+            initial_support = (A >= thr * A.max()) \
+                & (np.asarray(grid[..., 0]) <= float(opt.particle_radius))
+        else:
+            support_radius = float(is_opt.get("max_radius",
+                                              opt.particle_radius))
+            initial_support = grid[..., 0] < support_radius
         enforce_opt = popt.get("support", {}).get("enforce_initial_support", {})
         enforce_limit = float(enforce_opt.get("if_error_bigger_than", np.inf)) \
             if enforce_opt.get("apply", False) else np.inf
@@ -326,9 +365,15 @@ class ProjectWorker(ProjectWorkerInterface):
         total_intensity = float(np.trapezoid(avg_intensity * ft.qs ** 2, ft.qs)
                                 * 2 * np.sqrt(np.pi))
         gopt = opt.density_guess
+        gtype = str(gopt.get("type", "bump"))
         radius = float(gopt.get("radius", opt.particle_radius))
-        if str(gopt.get("type", "bump")) == "ball":
+        if gtype == "ball":
             bump = (ft.rs < radius).astype(float)
+        elif gtype == "low_resolution_autocorrelation":
+            # reference uses a fixed gentle slope here (reconstruct.py:1196)
+            bump = get_test_function(support=[-radius, radius],
+                                     slope=float(gopt.get("bump", {})
+                                                 .get("slope", 0.1)))(ft.rs)
         else:
             slope = float(gopt.get("bump", {}).get("slope", 0.3))
             bump = get_test_function(support=[-radius, radius],
@@ -340,21 +385,69 @@ class ProjectWorker(ProjectWorkerInterface):
         bump_host = np.asarray(bump, dtype=np_real)
         w_full = np.asarray(integ.w_broadcast)
         shape = (N, ft.sht.n_theta, ft.sht.n_phi)
-
-        def _guess(k):
-            rho0 = bump_density_guess(k, bump_host, shape, snr=snr,
-                                      total_intensity=total_intensity,
-                                      integration_weights=w_full, cdtype=cdtype)
-            return ft.inverse(ft.forward(rho0))
-
         from functools import partial
 
-        @partial(jax.jit, static_argnums=(1,))
-        def initial_density_batch(seed, n):
-            # seed is TRACED (int32): new seeds reuse one compilation — chunked
-            # restarts would otherwise pay a tunnel recompile per chunk
-            # key made INSIDE jit (eager integer ops unimplemented on axon)
-            return jax.vmap(_guess)(jax.random.split(jax.random.PRNGKey(seed), n))
+        if gtype == "low_resolution_autocorrelation":
+            # ρ₀ ∝ clip(iFT(iSHT(V_low)), 0) · (1 + U/SNR) · bump(r),
+            # rescaled to the total intensity (reference
+            # reconstruct.py:1175-1205): the low-order projection matrices
+            # synthesize a low-resolution autocorrelation-like envelope.
+            lr = inv.get("data_low_resolution_intensity_coefficients")
+            if isinstance(lr, dict):  # per-l matrices (extract lr_max > 0)
+                lr_list = [np.atleast_2d(np.asarray(lr[k]))
+                           for k in sorted(lr, key=int)]
+            else:  # isotropic-only vector I_00 = a(q)·2√π
+                lr_list = [np.asarray(lr, dtype=complex)[:, None]]
+            lr_list = regrid_projection_matrices(lr_list, qs_data, ft.qs)
+            Ilm = pad_coeff_dense(lr_list, N, L) / data_scale
+
+            @jax.jit
+            def _lowres_env(c_re, c_im):
+                a = ft.inverse(ft.sht.inverse(
+                    (c_re + 1j * c_im).astype(cdtype)))
+                return jnp.clip(a.real, 0.0, None).astype(real_dtype)
+
+            from xframe_tpu.library.hostio import to_host
+            env_full = np.asarray(
+                to_host(_lowres_env(
+                    np.ascontiguousarray(Ilm.real, dtype=np_real),
+                    np.ascontiguousarray(Ilm.imag, dtype=np_real))),
+                dtype=np_real) * bump_host[:, None, None]
+            # envelope enters as a traced ARGUMENT (a grid-sized closed-over
+            # constant would blow the compile payload at production scale)
+            env_dev = jax.device_put(env_full)
+
+            def _guess_env(env, k):
+                amp = 1.0 + jax.random.uniform(k, shape,
+                                               dtype=real_dtype) / snr
+                rho = (env * amp).astype(real_dtype)
+                tot = jnp.sum(w_full * rho * rho)
+                rho = (rho * jnp.sqrt(total_intensity / tot)).astype(cdtype)
+                return ft.inverse(ft.forward(rho))
+
+            @partial(jax.jit, static_argnums=(2,))
+            def _batch_env(env, seed, n):
+                keys = jax.random.split(jax.random.PRNGKey(seed), n)
+                return jax.vmap(partial(_guess_env, env))(keys)
+
+            def initial_density_batch(seed, n):
+                return _batch_env(env_dev, seed, n)
+        else:
+            def _guess(k):
+                rho0 = bump_density_guess(k, bump_host, shape, snr=snr,
+                                          total_intensity=total_intensity,
+                                          integration_weights=w_full,
+                                          cdtype=cdtype)
+                return ft.inverse(ft.forward(rho0))
+
+            @partial(jax.jit, static_argnums=(1,))
+            def initial_density_batch(seed, n):
+                # seed is TRACED (int32): new seeds reuse one compilation —
+                # chunked restarts would otherwise pay a tunnel recompile per
+                # chunk; key made INSIDE jit (eager integer ops unimplemented
+                # on axon)
+                return jax.vmap(_guess)(
+                    jax.random.split(jax.random.PRNGKey(seed), n))
 
         aux = dict(grid=grid, initial_support=initial_support,
                    initial_density_batch=initial_density_batch,

@@ -106,6 +106,12 @@ class ProjectWorker(ProjectWorkerInterface):
         ).astype(complex)
         # Friedel symmetry of |F|² kills odd orders exactly; enforce
         bl[1::2] = 0
+        # N dilute identical particles: every B_l scales by N and the
+        # l=0 (mean-intensity) invariant by N² (reference
+        # simulate_ccd.py:208-213 `bl*=N; bl[0]*=N`)
+        n_part = float(opt.get("n_particles", 1) or 1)
+        bl *= n_part
+        bl[0] *= n_part
 
         n_phi = int(opt.grid.get("n_phi") or 0)
         if n_phi <= 0:
@@ -113,8 +119,9 @@ class ProjectWorker(ProjectWorkerInterface):
         cc = self._synthesize_cc_device(bl, wavelength, ft.qs, n_phi)
 
         cc = self._apply_noise(cc, opt)
-        # angular mean of the intensity: a(q) = I_00(q)·Y_00 = I_00/(2√π)
-        avg_intensity = coeff[:, L, 0].real / (2 * np.sqrt(np.pi))
+        # angular mean of the intensity: a(q) = I_00(q)·Y_00 = I_00/(2√π);
+        # consistent with the scaled invariants: √(diag B_0·N²) = N·a(q)
+        avg_intensity = n_part * coeff[:, L, 0].real / (2 * np.sqrt(np.pi))
         return {
             "dimensions": 3,
             "radial_points": ft.qs,
@@ -198,8 +205,12 @@ class ProjectWorker(ProjectWorkerInterface):
         coeff_m = coeff[:, : M + 1]
         bm = itools.harmonic_coeff_to_deg2_invariants_2d(coeff_m)
         bm[1::2] = 0
+        # N-particle scaling as in 3D (reference simulate_ccd.py:208-213)
+        n_part = float(opt.get("n_particles", 1) or 1)
+        bm *= n_part
+        bm[0] *= n_part
         cc = itools.deg2_invariant_to_cc_2d(bm, n_phi=n_phi)
-        avg_intensity = coeff[:, 0].real
+        avg_intensity = n_part * coeff[:, 0].real
         return {
             "dimensions": 2,
             "radial_points": ft.qs,
