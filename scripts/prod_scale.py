@@ -86,19 +86,38 @@ def main():
         run = lambda t, r: runner(r, resume=False)  # noqa: E731
     else:
         run = jax.jit(lambda t, r: p.mtip.run_batch(r, schedule, tables=t))
+    from xframe_tpu.library.hostio import to_host
     t0 = time.perf_counter()
     states, errors = run(tables, rho0s)
     jax.block_until_ready(errors)
     print(f"compile+first run {time.perf_counter() - t0:.1f} s", flush=True)
-    # time on FRESH inputs: the tunnel can serve a repeated (program, inputs)
-    # pair from its result cache without re-executing
-    rho0s = p.initial_density_batch(args.seed + 1, args.restarts,
-                                   tables=tables)
-    jax.block_until_ready(rho0s)
-    t0 = time.perf_counter()
-    states, errors = run(tables, rho0s)
-    jax.block_until_ready(errors)
-    dt = time.perf_counter() - t0
+    # Timing protocol hardened against the tunnel's result cache (observed
+    # serving anomalously fast results even for fresh seeds): run THREE
+    # fresh-seed measurements and use best_err as an execution witness —
+    # a repeated best_err means the run was served from cache, distinct
+    # values prove genuine execution. Report the median of witnessed runs;
+    # the readback is INSIDE the timed region so an async/cache-served
+    # dispatch cannot return before its result exists on the host.
+    seen = {float(b) for b in
+            np.atleast_1d(np.asarray(to_host(states.best_err)))}
+    runs = []
+    for k in range(1, 4):
+        rho0s = p.initial_density_batch(args.seed + k, args.restarts,
+                                        tables=tables)
+        jax.block_until_ready(rho0s)
+        t0 = time.perf_counter()
+        states, errors = run(tables, rho0s)
+        best_k = np.atleast_1d(np.asarray(to_host(states.best_err)))
+        jax.block_until_ready(errors)
+        dt_k = time.perf_counter() - t0
+        witnessed = not any(float(b) in seen for b in best_k)
+        seen.update(float(b) for b in best_k)
+        runs.append({"seconds": dt_k, "witnessed": witnessed,
+                     "best_err": [float(b) for b in best_k]})
+        print(f"run {k}: {dt_k:.3f} s witnessed={witnessed}", flush=True)
+    good = [r["seconds"] for r in runs if r["witnessed"]] \
+        or [r["seconds"] for r in runs]
+    dt = float(np.median(good))
     sec_per_iter = dt / (args.iters * args.restarts)
 
     mem = {}
@@ -109,7 +128,6 @@ def main():
                    "bytes_in_use": stats.get("bytes_in_use")}
     except Exception:
         pass
-    from xframe_tpu.library.hostio import to_host
     errs = np.asarray(to_host(errors))
     best = np.asarray(to_host(states.best_err))
     out = {
@@ -120,6 +138,7 @@ def main():
         "restarts": args.restarts,
         "errors_finite": bool(np.isfinite(errs).all()),
         "best_err": [float(b) for b in np.atleast_1d(best)],
+        "runs": runs,
         "memory": mem,
     }
     if args.full:

@@ -106,8 +106,8 @@ REC_LOOP = {"sub_loops": {
 }}
 
 
-def test_reconstruct_lowres_guess_and_autocorr_support(invariants_lowres,
-                                                       home):
+@pytest.fixture(scope="module")
+def reconstructions_opts(invariants_lowres, home):
     xf.select_project("fxs", "reconstruct", overrides={
         "structure_name": "np1",
         "grid": {"n_radial_points": 16, "max_order": L},
@@ -119,7 +119,11 @@ def test_reconstruct_lowres_guess_and_autocorr_support(invariants_lowres,
         }}}},
         "main_loop": REC_LOOP,
     })
-    out = xf.run()
+    return xf.run()
+
+
+def test_reconstruct_lowres_guess_and_autocorr_support(reconstructions_opts):
+    out = reconstructions_opts
     results = out["reconstruction_results"]
     assert len(results) == 2
     for res in results.values():
@@ -130,6 +134,39 @@ def test_reconstruct_lowres_guess_and_autocorr_support(invariants_lowres,
     # the auto-correlation support must be a nontrivial subset of the grid
     sup = np.asarray(results["0"]["support_mask"])
     assert 0 < sup.sum() < sup.size
+
+
+def test_average_option_tail(reconstructions_opts, home):
+    """selection.error_metric / max_density_range, pointinvert_reference,
+    use_masks + shifted_mask_threshold, average_normalization_min
+    (reference average.py:154-160,198-204,546,632,711)."""
+    xf.select_project("fxs", "average", overrides={
+        "structure_name": "np1",
+        "selection": {"error_metric": "main", "error_limit": 10.0,
+                      "max_density_range": [0.0, False],
+                      "n_reconstructions": "all"},
+        "pointinvert_reference": True,
+        "use_masks": True,
+        "shifted_mask_threshold": 0.5,
+        "average_normalization_min": 0.0,
+        "l2_error_limit": 10.0,
+    })
+    out = xf.run()
+    avg = out["average"]
+    d = np.asarray(avg["real_density"])
+    nd = np.asarray(avg["normalized_real_density"])
+    assert np.isfinite(d).all() and np.isfinite(nd).all()
+    # min-max normalization with the fixed d_min=0 floor: max(real) == 1
+    assert np.isclose(nd.real.max(), 1.0, atol=1e-5)
+    assert len(out["aligned"]) >= 1
+
+    # a prohibitive lower density bound filters everything out
+    xf.select_project("fxs", "average", overrides={
+        "structure_name": "np1",
+        "selection": {"max_density_range": [1e30, False]},
+    })
+    with pytest.raises(RuntimeError, match="selection filter"):
+        xf.run()
 
 
 def test_best_density_reset_markers_and_semantics():

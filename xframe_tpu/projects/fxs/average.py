@@ -33,12 +33,12 @@ class ProjectWorker(ProjectWorkerInterface):
     def run(self):
         opt = self.settings
         recs, cfg = self._load_reconstructions()
-        densities, psis, errors, meta = self._select(recs)
+        densities, psis, errors, meta, masks = self._select(recs)
         if len(densities) == 0:
             raise RuntimeError("no reconstructions pass the selection filter")
         proj_per_file = [r.get("projection_matrices") for r in recs]
         result = self.average(densities, psis, errors, cfg, meta,
-                              proj_per_file=proj_per_file)
+                              proj_per_file=proj_per_file, masks=masks)
         path, run = self.db.save("average_results", result)
         print(f"average: aligned {len(result['aligned'])} of {len(densities)} "
               f"reconstructions; saved to {path}")
@@ -63,18 +63,38 @@ class ProjectWorker(ProjectWorkerInterface):
         sel = self.settings.get("selection", {})
         limit = float(sel.get("error_limit", 1.0))
         n_max = sel.get("n_reconstructions", "all")
-        densities, psis, errors, meta = [], [], [], []
+        # which error_dict entry ranks/filters candidates (reference
+        # selection.error_metric, average.py:632,662); arrays use their
+        # final value
+        metric = str(sel.get("error_metric", "final"))
+        d_lo, d_hi = (sel.get("max_density_range", [None, None])
+                      or [None, None])
+        densities, psis, masks, errors, meta = [], [], [], [], []
         for fi, rec in enumerate(recs):
             for key, res in rec["reconstruction_results"].items():
-                err = float(np.asarray(res["error_dict"]["final"]))
+                e = np.asarray(res["error_dict"].get(
+                    metric, res["error_dict"]["final"]))
+                err = float(e.reshape(-1)[-1]) if e.ndim else float(e)
                 if str(sel.get("method", "least_error")) == "manual":
                     if int(key) not in [int(i) for i in sel.get("manual_ids", [])]:
                         continue
                 elif err > limit:
                     continue
-                densities.append(np.asarray(res["real_density"]))
+                rho = np.asarray(res["real_density"])
+                # validity window on the max density (reference
+                # valid_maximal_density, average.py:710-719)
+                dmax = float(np.abs(rho.real).max())
+                if not isinstance(d_lo, (bool, type(None))) \
+                        and dmax < float(d_lo):
+                    continue
+                if not isinstance(d_hi, (bool, type(None))) \
+                        and dmax > float(d_hi):
+                    continue
+                densities.append(rho)
                 psi = res.get("reciprocal_density")
                 psis.append(None if psi is None else np.asarray(psi))
+                m = res.get("support_mask")
+                masks.append(None if m is None else np.asarray(m))
                 errors.append(err)
                 meta.append({"file_index": fi, "result_key": key, "error": err})
         order = np.argsort(errors)
@@ -84,13 +104,17 @@ class ProjectWorker(ProjectWorkerInterface):
             psis = None          # legacy files without stored amplitudes
         else:
             psis = [psis[i] for i in order]
+        masks = None if any(m is None for m in masks) \
+            else [masks[i] for i in order]
         return ([densities[i] for i in order],
                 psis,
                 [errors[i] for i in order],
-                [meta[i] for i in order])
+                [meta[i] for i in order],
+                masks)
 
     # -------------------------------------------------------------- averaging
-    def average(self, densities, psis, errors, cfg, meta, proj_per_file=None):
+    def average(self, densities, psis, errors, cfg, meta, proj_per_file=None,
+                masks=None):
         opt = self.settings
         grid_cfg = cfg["internal_grid"]
         rs = np.asarray(grid_cfg["real_grid"])
@@ -139,8 +163,25 @@ class ProjectWorker(ProjectWorkerInterface):
 
         # center (one vmapped call; companions phase-shifted identically)
         if bool(opt.get("center_reconstructions", True)):
-            rho_stack, psi_stack, _ = aligner.center_batch(rho_stack,
-                                                           psi_stack)
+            rho_stack, psi_stack, coms = aligner.center_batch(rho_stack,
+                                                              psi_stack)
+            if bool(opt.get("use_masks", False)) and masks is not None:
+                # shift each support mask by its density's centering shift
+                # (via the same reciprocal phase ramp) and zero the density
+                # where the shifted mask falls below the threshold —
+                # suppresses the phase-ramp wrap-around (reference
+                # average.py:154-160)
+                import jax
+                import jax.numpy as jnp
+                thr = float(opt.get("shifted_mask_threshold", 0.5))
+                m = to_device_complex(
+                    np.stack(masks).astype(np.complex64))
+                m_psi = jax.jit(jax.vmap(ft.forward))(m)
+                m_psi = aligner._batch_psi_shift(m_psi, coms)
+                m_shift = jax.jit(jax.vmap(ft.inverse))(m_psi).real
+                rho_stack = jax.jit(
+                    lambda r, ms: jnp.where(ms >= thr, r, 0))(
+                    rho_stack, m_shift)
 
         # normalize: reference scales ρ AND its companion by the same factor
         # and keeps the factors for projection-matrix averaging
@@ -161,8 +202,18 @@ class ProjectWorker(ProjectWorkerInterface):
             if have_psi:
                 psi_h = psi_h / scales.reshape((-1,) + (1,) * (psi_h.ndim - 1))
 
-        # reference = lowest error (list already error-sorted)
+        # reference = lowest error (list already error-sorted); optionally
+        # point-inverted so every alignment (and so the average) lands on the
+        # opposite handedness (reference average.py:198-204)
         ref = rho_h[0]
+        if bool(opt.get("pointinvert_reference", False)):
+            import jax
+            ref = np.asarray(to_host(jax.jit(
+                lambda r: ft.inverse(ft.forward(r).conj()))(
+                to_device_complex(ref))))
+            rho_h[0] = ref
+            if have_psi:
+                psi_h[0] = np.conj(psi_h[0])
         ref_d = to_device_complex(ref)
         ref_coeff = aligner.coefficients(ref_d)
 
@@ -283,7 +334,14 @@ class ProjectWorker(ProjectWorkerInterface):
             metrics["FQCB_from_density_with_zero_order"] = f_qz
             metrics["FQCB_from_density_with_zero_order_std"] = f_stdz
 
-        norm_avg = avg / max(np.abs(avg).max(), 1e-30)
+        # normalized density: (d − d_min)/(d_max − d_min) with an optional
+        # fixed floor (reference normalize_density + average_normalization_min,
+        # average.py:546,721-727)
+        d_min = opt.get("average_normalization_min", False)
+        d_min = float(np.real(avg).min()) if isinstance(d_min, bool) \
+            else float(d_min)
+        d_max = float(np.real(avg).max())
+        norm_avg = (avg - d_min) / max(d_max - d_min, 1e-30)
         avg_group = {
             "real_density": avg,
             "normalized_real_density": norm_avg,
