@@ -225,3 +225,44 @@ def test_best_density_reset_markers_and_semantics():
     # errors keep improving in this demo → the reset selects the best iterate
     if errs[0, :, 0].argmin() >= 3:
         assert np.allclose(np.asarray(state.rho), np.asarray(state.best_rho))
+
+
+def test_bl_eig_sort_mode_median_of_scaled_eigenvector():
+    """sort_mode 1 ranks eigen-pairs by median(|sqrt(lam) v|): a spread-out
+    eigenvector with a slightly smaller eigenvalue beats a delta-like
+    eigenvector with the top eigenvalue (the degenerate-2D failure the
+    reference option exists for, fxs_invariant_tools.py:1114-1141)."""
+    from xframe_tpu.projects.fxs import invariants as itools
+    n = 16
+    v_spike = np.zeros(n); v_spike[0] = 1.0
+    v_flat = np.ones(n) / np.sqrt(n)
+    v_flat -= v_flat @ v_spike * v_spike
+    v_flat /= np.linalg.norm(v_flat)
+    B = (1.0 * np.outer(v_spike, v_spike)
+         + 0.9 * np.outer(v_flat, v_flat)).astype(complex)
+    vec0, eig0 = itools.deg2_invariant_to_projection_vectors_2d(B[None])
+    vec1, eig1 = itools.deg2_invariant_to_projection_vectors_2d(
+        B[None], sort_mode=1)
+    assert np.isclose(eig0[0], 1.0)          # eigenvalue order: spike wins
+    assert np.isclose(eig1[0], 0.9)          # median metric: flat mode wins
+    corr = np.abs(vec1[0] @ v_flat) / np.linalg.norm(vec1[0])
+    assert corr > 0.99
+    # 3D path: the selected leading column changes the same way
+    proj0, e3 = itools.deg2_invariant_to_projection_matrices(B[None])
+    proj1, e3b = itools.deg2_invariant_to_projection_matrices(B[None],
+                                                              sort_mode=1)
+    assert np.isclose(e3[0][0], 1.0) and np.isclose(e3b[0][0], 0.9)
+
+
+def test_simulate_oversampling_max_q(home):
+    """grid.max_q False: q_max from oversampling x outermost shape extent
+    via Q*R = c*N (reference simulate_ccd.py:109-123)."""
+    out = _simulate("ovs", grid={"n_radial_points": N, "max_order": L,
+                                 "max_q": False, "oversampling": 8})
+    qs = np.asarray(out["radial_points"])
+    from xframe_tpu.ops.hankel import reciprocity_relation
+    # single sphere at r=0, size 20 -> max extent 20; rc = 2.0 default
+    q_expect = reciprocity_relation(8 * 20.0, N, 2.0)
+    # midpoint grid: qs = (arange(N)+0.5) * q_max / N
+    assert np.isclose(qs[-1], (N - 0.5) * q_expect / N, rtol=1e-6)
+    assert np.isfinite(out["cross_correlation"]["I1I1"]).all()

@@ -278,14 +278,19 @@ class ProjectWorker(ProjectWorkerInterface):
         if q_limits is None:
             q_limits = self._q_id_limits(bl.shape[0], len(qs))
 
-        # --- projection matrices (reference extract.py:433-466)
+        # --- projection matrices (reference extract.py:433-466); eigen-pair
+        # ranking per bl_eig_sort_mode (reference extract.py:436-440)
+        sort_mode = 1 if str(opt.get("bl_eig_sort_mode", "eigenvalue")) \
+            == "median_of_scaled_eigenvector" else 0
         if dim == 3:
             rank_cap = bool(opt.get("projection_matrices", {})
                             .get("rank_cap", True))
             proj, eigs = itools.deg2_invariant_to_projection_matrices(
-                bl, q_id_limits=q_limits, rank_cap=rank_cap)
+                bl, q_id_limits=q_limits, rank_cap=rank_cap,
+                sort_mode=sort_mode)
         else:
-            vecs, eigs = itools.deg2_invariant_to_projection_vectors_2d(bl)
+            vecs, eigs = itools.deg2_invariant_to_projection_vectors_2d(
+                bl, sort_mode=sort_mode)
             proj = [v[:, None] for v in vecs]
 
         # --- optional prephasing: SHT positivity constraint on V_l

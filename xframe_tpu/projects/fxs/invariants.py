@@ -274,14 +274,27 @@ def nearest_positive_semidefinite_matrix(A: np.ndarray,
     return (v * lam[..., None, :]) @ np.swapaxes(v, -1, -2).conj()
 
 
+def _eig_sort_metric(lam, vec, sort_mode):
+    """Eigen-pair ranking metric (reference deg2_invariant_eigenvalues,
+    fxs_invariant_tools.py:1114-1141). sort_mode 0: by eigenvalue;
+    sort_mode 1 ('median_of_scaled_eigenvector'): by the per-mode median of
+    |√λ·v| signed by the eigenvalue sign — robust when a large eigenvalue
+    carries a near-zero (numerically degenerate) eigenvector."""
+    if sort_mode == 1:
+        return np.median(np.abs(np.sqrt(np.abs(lam[None, :])) * vec),
+                         axis=0) * np.sign(lam)
+    return lam
+
+
 def deg2_invariant_to_projection_matrices(bl: np.ndarray, q_id_limits=None,
-                                          rank_cap=True):
+                                          rank_cap=True, sort_mode=0):
     """Per-l eigendecomposition of B_l → V_l with B_l ≈ V_l V_l†.
 
-    V_l has shape (n_q, min(n_q, 2l+1)); eigenvalues sorted descending, rank
-    capped at 2l+1 (rank_cap=False keeps all n_q non-negative modes — for
-    diagnostics only; the physical rank of B_l is 2l+1), negatives clipped
-    to 0 (reference deg2_invariant_to_projection_matrices_3d, :1178-1210).
+    V_l has shape (n_q, min(n_q, 2l+1)); eigenvalues sorted descending by
+    the sort_mode metric (see _eig_sort_metric), rank capped at 2l+1
+    (rank_cap=False keeps all n_q non-negative modes — for diagnostics
+    only; the physical rank of B_l is 2l+1), negatives clipped to 0
+    (reference deg2_invariant_to_projection_matrices_3d, :1178-1210).
     Returns (list_of_V_l, eigenvalue_list)."""
     n_orders, n_q, _ = bl.shape
     proj, eigs = [], []
@@ -299,7 +312,7 @@ def deg2_invariant_to_projection_matrices(bl: np.ndarray, q_id_limits=None,
             eigs.append(np.zeros(NN))
             continue
         lam, vec = np.linalg.eigh(sub)
-        order = np.argsort(lam)[::-1]
+        order = np.argsort(_eig_sort_metric(lam.real, vec, sort_mode))[::-1]
         lam, vec = lam[order].real, vec[:, order]
         N = min(hi - lo, cap)
         lam, vec = lam[:N].copy(), vec[:, :N]
@@ -316,13 +329,15 @@ def deg2_invariant_to_projection_matrices(bl: np.ndarray, q_id_limits=None,
     return proj, eigs
 
 
-def deg2_invariant_to_projection_vectors_2d(bm: np.ndarray):
-    """2D: rank-1 factor of each B_m (reference :1146-1176)."""
+def deg2_invariant_to_projection_vectors_2d(bm: np.ndarray, sort_mode=0):
+    """2D: rank-1 factor of each B_m (reference :1146-1176). sort_mode 1
+    picks the mode by median(|√λ·v|) instead of the raw eigenvalue — the
+    case that motivated the reference's option (degenerate 2D spectra)."""
     proj, eigs = [], []
     for m in range(bm.shape[0]):
         sub = (bm[m] + bm[m].conj().T) / 2
         lam, vec = np.linalg.eigh(sub)
-        i = np.argmax(lam)
+        i = np.argmax(_eig_sort_metric(lam.real, vec, sort_mode))
         val = max(lam[i].real, 0.0)
         v = vec[:, i] if val > 0 else np.zeros(sub.shape[0], dtype=complex)
         proj.append(v * np.sqrt(val))

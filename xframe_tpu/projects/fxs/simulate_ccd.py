@@ -62,13 +62,15 @@ class ProjectWorker(ProjectWorkerInterface):
     def _run_3d(self, opt):
         N = int(opt.grid.n_radial_points)
         L = int(opt.grid.max_order)
-        q_max = float(opt.grid.max_q)
+        q_max = self._resolve_max_q(opt, N)
         wavelength = float(opt.cross_correlation.xray_wavelength)
         mode = str(opt.fourier_transform.type)
         rc = float(opt.fourier_transform.reciprocity_coefficient)
 
-        ft = SphericalFourierTransform(N, L, q_max=q_max, mode=mode,
-                                       reciprocity_coefficient=rc)
+        ft = SphericalFourierTransform(
+            N, L, q_max=q_max, mode=mode, reciprocity_coefficient=rc,
+            n_theta=int(opt.grid.get("n_theta", 0) or 0) or None,
+            n_phi=int(opt.grid.get("n_phi_internal", 0) or 0) or None)
         grid = spherical_grid(ft.rs, ft.sht.theta, ft.sht.phi)
         density = build_density_from_shapes(grid, opt.shapes)
 
@@ -182,10 +184,30 @@ class ProjectWorker(ProjectWorkerInterface):
             np.ascontiguousarray(bl.imag, dtype=np.float32), T)).real
 
     # ------------------------------------------------------------------- 2D
+    def _resolve_max_q(self, opt, n_radial):
+        """grid.max_q: False derives q_max from grid.oversampling × the
+        outermost shape extent via the reciprocity relation (reference
+        simulate_ccd.py:109-123); a number is taken as-is."""
+        mq = opt.grid.get("max_q", False)
+        if not isinstance(mq, bool) and mq:
+            return float(mq)
+        over = float(opt.grid.get("oversampling", 8))
+        shp = opt.shapes
+        centers = np.atleast_2d(np.asarray(shp.centers, dtype=float))
+        sizes = np.asarray(shp.sizes, dtype=float)
+        size_given = shp.get("shape_size", "not given")
+        if isinstance(size_given, (int, float)):
+            max_particle_radius = float(size_given) / 2
+        else:
+            max_particle_radius = float((centers[:, 0] + sizes).max())
+        from xframe_tpu.ops.hankel import reciprocity_relation
+        rc = float(opt.fourier_transform.reciprocity_coefficient)
+        return reciprocity_relation(over * max_particle_radius, n_radial, rc)
+
     def _run_2d(self, opt):
         N = int(opt.grid.n_radial_points)
         M = int(opt.grid.max_order)
-        q_max = float(opt.grid.max_q)
+        q_max = self._resolve_max_q(opt, N)
         mode = str(opt.fourier_transform.type)
         rc = float(opt.fourier_transform.reciprocity_coefficient)
         n_phi = int(opt.grid.get("n_phi") or 0)
