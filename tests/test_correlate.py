@@ -418,3 +418,29 @@ def test_correlator_waxs_only():
     assert np.allclose(a["average_intensity"], b["average_intensity"],
                        rtol=1e-5)
     assert a["num_images_good"] == 3
+
+
+def test_static_binary_mask():
+    """filters.mask_file: a per-pixel binary mask excludes pixels from every
+    frame exactly like setting them non-finite (reference use_binary_mask,
+    correlate.py:157-164)."""
+    ny = nx = 64
+    oy = ox = 31.5
+    frames = np.stack([_blob_frame(ny, nx, oy, ox, s) for s in range(3)])
+    rng = np.random.default_rng(5)
+    mask = (rng.uniform(size=(ny, nx)) > 0.1).astype(np.float32)
+    kw = dict(pixel_size_um=200.0, sample_distance_mm=800.0,
+              wavelength=1.23984, n_phi=64, n_q=16)
+    masked = Correlator((ny, nx), (oy, ox), static_mask=mask, **kw)
+    plain = Correlator((ny, nx), (oy, ox), **kw)
+    out_m = masked.correlate_frames(iter([frames]))
+    nanned = frames.copy()
+    nanned[:, mask < 0.5] = np.nan
+    out_n = plain.correlate_frames(iter([nanned]))
+    cm, cn = out_m["cross_correlation"], out_n["cross_correlation"]
+    assert np.allclose(np.nan_to_num(cm), np.nan_to_num(cn), rtol=1e-5,
+                       atol=1e-6 * np.abs(np.nan_to_num(cn)).max())
+    out_p = plain.correlate_frames(iter([frames]))
+    assert not np.allclose(np.nan_to_num(cm),
+                           np.nan_to_num(out_p["cross_correlation"]),
+                           rtol=1e-4)

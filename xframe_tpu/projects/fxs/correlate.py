@@ -110,7 +110,8 @@ class Correlator:
                  fc_n_max=None, with_ccf=True, qrange=None, qrange_xcca=None,
                  phi_range=None, phi_sampling_mode=None, roi_q_range=None,
                  roi_normalize=False, roi_mean_bounds=None,
-                 radial_pixel_filter=None, symmetrize=False):
+                 radial_pixel_filter=None, symmetrize=False,
+                 static_mask=None):
         """background: per-pixel frame subtracted before filtering
         (filters.background_file); fc_n_max: low-pass the final CC to this
         harmonic order; with_ccf=False skips the CC accumulation entirely
@@ -189,6 +190,10 @@ class Correlator:
         self.mask_above = mask_above
         self._background = None if background is None else \
             np.asarray(background, dtype=np.float32)
+        # per-pixel binary mask applied to every frame (reference
+        # use_binary_mask + binary_mask file, correlate.py:157-164)
+        self._static_mask = None if static_mask is None else \
+            np.asarray(static_mask) > 0.5
         self.fc_n_max = None if not fc_n_max else int(fc_n_max)
         self.with_ccf = bool(with_ccf)
         self.symmetrize = bool(symmetrize)
@@ -233,6 +238,8 @@ class Correlator:
         subtraction → polar regrid → radial pixel filter → ROI mean
         filter/normalization → polarization/solid-angle corrections."""
         valid = jnp.isfinite(frames)
+        if self._static_mask is not None:
+            valid &= jnp.asarray(self._static_mask)[None]
         if self.mask_below is not None:
             valid &= frames > self.mask_below
         if self.mask_above is not None:
@@ -400,6 +407,7 @@ class ProjectWorker(ProjectWorkerInterface):
         with_ccf = any(c.startswith("ccf") for c in compute)
         background = self._load_background(fopt.get("background_file"),
                                            (ny, nx))
+        static_mask = self._load_background(fopt.get("mask_file"), (ny, nx))
         paths = self._frame_paths()
         n_max = opt.get("max_n_patterns", "all")
         if not (isinstance(n_max, str) and n_max == "all"):
@@ -444,7 +452,8 @@ class ProjectWorker(ProjectWorkerInterface):
             roi_mean_bounds=_pair(roi.get("mean_bounds", False)),
             radial_pixel_filter=None if not rpf
             else (str(rpf[0]), float(rpf[1])),
-            symmetrize=bool(opt.get("ccf_2p_symmetrize", False)))
+            symmetrize=bool(opt.get("ccf_2p_symmetrize", False)),
+            static_mask=static_mask)
         # C++ thread-pool reader with double-buffered prefetch: the next
         # batch loads while the current one correlates on device
         from xframe_tpu.native import PrefetchingFrameLoader
