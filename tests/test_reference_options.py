@@ -266,3 +266,48 @@ def test_simulate_oversampling_max_q(home):
     # midpoint grid: qs = (arange(N)+0.5) * q_max / N
     assert np.isclose(qs[-1], (N - 0.5) * q_expect / N, rtol=1e-6)
     assert np.isfinite(out["cross_correlation"]["I1I1"]).all()
+
+
+def test_considered_projections_mask_selection():
+    """considered_projections selects which constraint violations feed the
+    HIO feedback region (reference fxs_IO_methods.py:24-64): with only
+    'support' considered, a threshold-clipped (but in-support) point is NOT
+    in the feedback mask."""
+    import jax.numpy as jnp
+    from xframe_tpu.projects.fxs.projections import RealConstraint
+    rho = jnp.asarray([1.0 + 0j, -2.0 + 0j, 3.0 + 0j])
+    sup = jnp.asarray([True, True, False])
+    all_rc = RealConstraint(threshold_low=0.0, apply_limit_imag=False)
+    out_a, inv_a = all_rc(rho, sup)
+    assert np.array_equal(np.asarray(inv_a), [False, True, True])
+    sup_rc = RealConstraint(threshold_low=0.0, apply_limit_imag=False,
+                            considered_projections=("support",))
+    out_s, inv_s = sup_rc(rho, sup)
+    # identical projection output, different feedback mask
+    assert np.allclose(np.asarray(out_a), np.asarray(out_s))
+    assert np.array_equal(np.asarray(inv_s), [False, False, True])
+
+
+def test_output_density_modifier_shift_to_center(invariants_lowres, home):
+    """output_density_modifiers.shift_to_center centers every saved density
+    (reference assemble_output_modifier, reconstruct.py:453-463)."""
+    xf.select_project("fxs", "reconstruct", overrides={
+        "structure_name": "np1",
+        "grid": {"n_radial_points": 16, "max_order": L},
+        "multi_start": {"n_reconstructions": 1, "seed": 5},
+        "output_density_modifiers": {"shift_to_center": True},
+        "main_loop": REC_LOOP,
+    })
+    out = xf.run()
+    rho = np.asarray(out["reconstruction_results"]["0"]["real_density"])
+    grid_r = np.asarray(out["configuration"]["internal_grid"]["real_grid"])
+    thetas = np.asarray(out["configuration"]["internal_grid"]["thetas"])
+    phis = np.asarray(out["configuration"]["internal_grid"]["phis"])
+    # center of mass of |rho| in cartesian coords ~ 0 after the shift
+    r = grid_r[:, None, None]
+    st, ct = np.sin(thetas)[None, :, None], np.cos(thetas)[None, :, None]
+    cp, sp = np.cos(phis)[None, None, :], np.sin(phis)[None, None, :]
+    w = np.abs(rho)
+    com = np.array([(w * r * st * cp).sum(), (w * r * st * sp).sum(),
+                    (w * r * ct).sum()]) / max(w.sum(), 1e-30)
+    assert np.linalg.norm(com) < 0.15 * grid_r[-1]

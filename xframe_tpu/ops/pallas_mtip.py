@@ -218,7 +218,8 @@ def _synth_update_kernel(n_theta, n_phi, m_blk, q_b,
     LAST step's output whose error became known after its partials reduced,
     so best' = flag ? ρ_in : best uses planes already streaming through VMEM
     instead of a separate 3-grid-pass XLA select every iteration."""
-    (apply_support, apply_tlow, apply_thigh, apply_limimag, assert_real) = flags
+    (apply_support, apply_tlow, apply_thigh, apply_limimag, assert_real,
+     cons_support, cons_thresh, cons_limimag) = flags
     if track_best:
         (d_re, d_im, p_ref, ire_ref, iim_ref, rin_re, rin_im, sup_ref,
          w_ref, bre_ref, bim_ref, scal_ref,
@@ -262,23 +263,29 @@ def _synth_update_kernel(n_theta, n_phi, m_blk, q_b,
     # real constraint (projections.RealConstraint.__call__)
     outr, outi = rp_re, rp_im
     invalid = jnp.zeros((q_b, n_theta, n_phi), dtype=jnp.bool_)
+    # cons_* gate which violation masks feed the HIO/RAAR region
+    # (considered_projections, reference fxs_IO_methods.py:24-64)
     if apply_support:
         m = sup_ref[:] < 0.5
         outr = jnp.where(m, 0.0, outr)
         outi = jnp.where(m, 0.0, outi)
-        invalid = invalid | m
+        if cons_support:
+            invalid = invalid | m
     if apply_tlow:
         m = outr < t_low
         outr = jnp.where(m, t_low, outr)
-        invalid = invalid | m
+        if cons_thresh:
+            invalid = invalid | m
     if apply_thigh:
         m = outr > t_high
         outr = jnp.where(m, t_high, outr)
-        invalid = invalid | m
+        if cons_thresh:
+            invalid = invalid | m
     if apply_limimag:
         m = jnp.abs(outi) >= lim_imag
         outi = jnp.where(m, 0.0, outi)
-        invalid = invalid | m
+        if cons_limimag:
+            invalid = invalid | m
     if assert_real:
         outi = jnp.zeros_like(outi)
     # real-error partials (fxs_IO_methods.py:97-129)
@@ -611,7 +618,10 @@ class FusedIteration:
                       and rc.threshold_low is not None),
                  bool(rc.apply_value_threshold
                       and rc.threshold_high is not None),
-                 bool(rc.apply_limit_imag), bool(rc.apply_assert_real))
+                 bool(rc.apply_limit_imag), bool(rc.apply_assert_real),
+                 rc._considered("support"),
+                 rc._considered("value_threshold"),
+                 rc._considered("limit_imag"))
         cr = d.reshape((rows, f.n_m, L + 1))
         d_re, d_im = self._coeff_planes(cr)
         rin = rho_in.reshape((rows, nt, nph))

@@ -414,7 +414,11 @@ def project_to_modified_intensity(psi, intensity, new_intensity, eps=0.0):
 @dataclass
 class RealConstraint:
     """Support + value-threshold + limit-imag projection
-    (RealProjection, fxs_Projections.py:26-155)."""
+    (RealProjection, fxs_Projections.py:26-155).
+
+    considered_projections: which constraints' violation masks form the
+    HIO/RAAR feedback region (reference HIOProjection, fxs_IO_methods.py:
+    24-64 assemble_masks); ('all',) unions every applied constraint."""
     apply_support: bool = True
     apply_value_threshold: bool = True
     threshold_low: float | None = 0.0
@@ -422,6 +426,11 @@ class RealConstraint:
     apply_limit_imag: bool = True
     limit_imag: float = 2.0
     apply_assert_real: bool = False
+    considered_projections: tuple = ("all",)
+
+    def _considered(self, name):
+        return "all" in self.considered_projections \
+            or name in self.considered_projections
 
     def __call__(self, rho, support):
         """→ (projected density, invalid mask)."""
@@ -430,19 +439,23 @@ class RealConstraint:
         if self.apply_support:
             m = ~support
             out = jnp.where(m, 0.0, out)
-            invalid = invalid | m
+            if self._considered("support"):
+                invalid = invalid | m
         if self.apply_value_threshold and self.threshold_low is not None:
             m = out.real < self.threshold_low
             out = jnp.where(m, self.threshold_low + 1j * out.imag, out)
-            invalid = invalid | m
+            if self._considered("value_threshold"):
+                invalid = invalid | m
         if self.apply_value_threshold and self.threshold_high is not None:
             m = out.real > self.threshold_high
             out = jnp.where(m, self.threshold_high + 1j * out.imag, out)
-            invalid = invalid | m
+            if self._considered("value_threshold"):
+                invalid = invalid | m
         if self.apply_limit_imag:
             m = jnp.abs(out.imag) >= self.limit_imag
             out = jnp.where(m, out.real + 0.0j, out)
-            invalid = invalid | m
+            if self._considered("limit_imag"):
+                invalid = invalid | m
         if self.apply_assert_real:
             out = out.real + 0.0j
         return out, invalid

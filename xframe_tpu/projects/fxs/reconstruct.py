@@ -304,7 +304,10 @@ class ProjectWorker(ProjectWorkerInterface):
             apply_limit_imag="limit_imag" in apply,
             limit_imag=float(popt.get("limit_imag", {}).get("threshold", 2.0))
             * unit,
-            apply_assert_real="assert_real" in apply)
+            apply_assert_real="assert_real" in apply,
+            considered_projections=tuple(
+                opt.projections.real.get("HIO", {})
+                .get("considered_projections", ["all"]) or ["all"]))
         is_opt = popt.get("support", {}).get("initial_support", {})
         if str(is_opt.get("type", "max_radius")) == "auto_correlation":
             # support from the data's autocorrelation-like synthesis
@@ -541,7 +544,10 @@ class ProjectWorker(ProjectWorkerInterface):
             apply_limit_imag="limit_imag" in apply,
             limit_imag=float(popt.get("limit_imag", {}).get("threshold", 2.0))
             * unit,
-            apply_assert_real="assert_real" in apply)
+            apply_assert_real="assert_real" in apply,
+            considered_projections=tuple(
+                opt.projections.real.get("HIO", {})
+                .get("considered_projections", ["all"]) or ["all"]))
         support_radius = float(popt.get("support", {}).get(
             "initial_support", {}).get("max_radius", opt.particle_radius))
         initial_support = grid[..., 0] < support_radius
@@ -655,14 +661,26 @@ class ProjectWorker(ProjectWorkerInterface):
 
         # undo the setup-time data normalization: I ∝ s ⇒ ψ, ρ ∝ √s
         sqrt_s = float(np.sqrt(aux.get("data_scale", 1.0)))
+        # output_density_modifiers.shift_to_center: center-of-mass shift via
+        # reciprocal phase ramps on every saved density (reference
+        # assemble_output_modifier, reconstruct.py:453-463,494)
+        center_out = bool(opt.get("output_density_modifiers", {})
+                          .get("shift_to_center", False)) \
+            and getattr(mtip, "_r_cart", None) is not None
+        center_fn = jax.jit(mtip._center_density) if center_out else None
+
         results = {}
         for rank, i in enumerate(ids):
             i = int(i)
             rho = states.best_rho[i]
+            if center_out:
+                rho = center_fn(rho)
             psi_p, W = finalize(rho)
             results[str(rank)] = {
                 "real_density": to_host(rho) * sqrt_s,
-                "last_real_density": to_host(states.rho[i]) * sqrt_s,
+                "last_real_density": to_host(
+                    center_fn(states.rho[i]) if center_out
+                    else states.rho[i]) * sqrt_s,
                 "reciprocal_density": to_host(psi_p) * sqrt_s,
                 "support_mask": to_host(states.best_mask[i]),
                 "last_support_mask": to_host(states.support[i]),
