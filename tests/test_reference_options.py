@@ -311,3 +311,23 @@ def test_output_density_modifier_shift_to_center(invariants_lowres, home):
     com = np.array([(w * r * st * cp).sum(), (w * r * st * sp).sum(),
                     (w * r * ct).sum()]) / max(w.sum(), 1e-30)
     assert np.linalg.norm(com) < 0.15 * grid_r[-1]
+
+
+def test_average_alignment_max_iterations(reconstructions_opts, home):
+    """max_iterations > 1 re-aligns rotated candidates; results stay finite
+    and at least as good as a single pass (refinement only kept when the
+    l2-to-reference improves)."""
+    common = {"structure_name": "np1", "l2_error_limit": 10.0}
+    xf.select_project("fxs", "average", overrides={
+        **common, "max_iterations": 1})
+    out1 = xf.run()
+    xf.select_project("fxs", "average", overrides={
+        **common, "max_iterations": 3, "alignment_error_limit": 1e-12})
+    out3 = xf.run()
+    l2_1 = np.asarray(out1["rotation_metric"]["l2_to_ref"])
+    l2_3 = np.asarray(out3["rotation_metric"]["l2_to_ref"])
+    assert np.isfinite(np.asarray(out3["average"]["real_density"])).all()
+    assert len(out3["aligned"]) >= 1
+    # refinement never worsens the kept l2 (per candidate, same ordering)
+    for a, b in zip(l2_3, l2_1):
+        assert a <= b + 1e-6

@@ -217,9 +217,12 @@ class ProjectWorker(ProjectWorkerInterface):
         ref_d = to_device_complex(ref)
         ref_coeff = aligner.coefficients(ref_d)
 
-        l2_limit = float(opt.get("l2_error_limit", 0.5))
+        lim = opt.get("alignment_error_limit", None)
+        l2_limit = float(lim) if not isinstance(lim, (bool, type(None))) \
+            else float(opt.get("l2_error_limit", 0.5))
         check_inv = bool(opt.get("find_rotation", {})
                          .get("check_point_inversion", True))
+        max_iter = max(int(opt.get("max_iterations", 1)), 1)
         aligned = [ref]
         aligned_psi = [psi_h[0]] if have_psi else None
         align_info = [{"angles": (0.0, 0.0, 0.0), "score": np.inf,
@@ -231,6 +234,31 @@ class ProjectWorker(ProjectWorkerInterface):
             rho_rot, psi_rot, l2s, infos = aligner.align_batch(
                 cand, ref_coeff, ref_rho=ref_d, psis=cand_psi,
                 check_point_inversion=check_inv)
+            # iterative refinement (reference alignment_loop max_iterations,
+            # average.py:1046-1085): re-align the rotated candidates — the
+            # composed rotation lands between the discrete SO(3) grid points
+            # of a single pass; keep a candidate's refinement only if its
+            # l2-to-reference improved.
+            import jax
+            import jax.numpy as jnp
+            for _ in range(max_iter - 1):
+                l2s_h = np.asarray(to_host(l2s))
+                if (l2s_h <= l2_limit).all():
+                    break
+                rho2, psi2, l2s2, _ = aligner.align_batch(
+                    rho_rot, ref_coeff, ref_rho=ref_d, psis=psi_rot,
+                    check_point_inversion=False)
+                better = jnp.asarray(np.asarray(to_host(l2s2))
+                                     < l2s_h)
+                pick = jax.jit(lambda a, b, m: jnp.where(
+                    m.reshape((-1,) + (1,) * (a.ndim - 1)), a, b))
+                rho_rot = pick(rho2, rho_rot, better)
+                if psi_rot is not None:
+                    psi_rot = pick(psi2, psi_rot, better)
+                l2s = jnp.where(better, jnp.asarray(l2s2), jnp.asarray(l2s))
+                for i, b in enumerate(np.asarray(to_host(better))):
+                    infos[i]["refined"] = bool(b) or infos[i].get("refined",
+                                                                  False)
             rho_rot_h = to_host(rho_rot)
             psi_rot_h = to_host(psi_rot) if have_psi else None
             for i, info in enumerate(infos):
