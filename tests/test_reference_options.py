@@ -331,3 +331,70 @@ def test_average_alignment_max_iterations(reconstructions_opts, home):
     # refinement never worsens the kept l2 (per candidate, same ordering)
     for a, b in zip(l2_3, l2_1):
         assert a <= b + 1e-6
+
+
+def test_radial_q_mask_variants():
+    """reconstruct projections.reciprocal.q_mask parity with the reference
+    ReciprocalProjection.generate_radial_mask (fxs_Projections.py:578-630):
+    'none' still intersects with the data q-range; 'manual' supports nested
+    region and order_dependent_line; 'from_projection_matrices' applies
+    per-order data q-id limits."""
+    from xframe_tpu.projects.fxs.reconstruct import ProjectWorker
+
+    rm = ProjectWorker._radial_mask
+    L = 6
+    qs = np.linspace(0.0, 1.0, 21)           # internal grid
+    qs_data = np.linspace(0.1, 0.8, 15)      # data grid (narrower)
+
+    # type none, internal grid within the data span -> no mask (None)
+    assert rm(None, {"q_mask": {"type": "none"}}, L, qs_data,
+              qs_data=qs_data) is None
+
+    # type none, internal grid wider than data -> data-range intersection
+    m = rm(None, {"q_mask": {"type": "none"}}, L, qs, qs_data=qs_data)
+    assert m.shape == (L + 1, len(qs))
+    np.testing.assert_array_equal(m[0], (qs >= 0.1) & (qs <= 0.8))
+    assert (m == m[0][None, :]).all()
+
+    # manual / region (nested reference schema), half-open band [lo, hi)
+    opt = {"q_mask": {"type": "manual",
+                      "manual": {"type": "region", "region": [0.2, 0.6]}}}
+    m = rm(None, opt, L, qs)
+    np.testing.assert_array_equal(m[3], (qs >= 0.2) & (qs < 0.6))
+    # legacy flat schema still accepted
+    opt_flat = {"q_mask": {"type": "manual", "region": [0.2, 0.6]}}
+    np.testing.assert_array_equal(rm(None, opt_flat, L, qs), m)
+    # False bounds are open
+    opt_lo = {"q_mask": {"type": "manual",
+                         "manual": {"type": "region", "region": [False, 0.6]}}}
+    np.testing.assert_array_equal(rm(None, opt_lo, L, qs)[0], qs < 0.6)
+
+    # manual / order_dependent_line: q >= line(l) through the two points
+    pts = [[0, 0.2], [6, 0.8]]
+    opt = {"q_mask": {"type": "manual",
+                      "manual": {"type": "order_dependent_line",
+                                 "order_dependent_line": pts}}}
+    m = rm(None, opt, L, qs)
+    # reference formula (mathLibrary.distance_from_line_2d): keep -dist >= 0
+    p1, p2 = np.asarray(pts, float)
+    rot = np.array([[0, 1], [-1, 0]]) @ (p2 - p1)
+    for l in range(L + 1):
+        dist = (l - p1[0]) * rot[0] + (qs - p1[1]) * rot[1]
+        np.testing.assert_array_equal(m[l], -dist >= 0,
+                                      err_msg=f"order {l}")
+    # sanity: far-from-boundary points follow q >= line(l)
+    assert m[0][qs < 0.15].sum() == 0 and m[0][qs > 0.25].all()
+    assert m[6][qs < 0.75].sum() == 0 and m[6][qs > 0.85].all()
+
+    # from_projection_matrices: per-order strict (lo, hi) band in data q ids
+    lims = np.array([[0, 15]] * (L + 1))
+    lims[4] = [3, 10]
+    lims[6] = [5, 5]   # empty -> fully masked order
+    m = rm(None, {"q_mask": {"type": "from_projection_matrices"}}, L, qs,
+           qs_data=qs_data, q_id_limits=lims)
+    np.testing.assert_array_equal(
+        m[4], (qs > qs_data[3]) & (qs < qs_data[9]))
+    assert not m[6].any()
+    # unlimited orders keep the data-range intersection only
+    np.testing.assert_array_equal(
+        m[0], (qs > qs_data[0]) & (qs < qs_data[14]))

@@ -32,6 +32,8 @@ from xframe_tpu.projects.fxs.projections import (
     ReciprocalConstraint, RealConstraint, ShrinkWrap,
 )
 from xframe_tpu.settings import loader as settings_loader
+from xframe_tpu.settings.tools import DictNamespace
+from xframe_tpu.logger import log as logger
 
 
 def load_cached_weights(l_max, n_radial_points, reciprocity_coefficient,
@@ -259,7 +261,9 @@ class ProjectWorker(ProjectWorkerInterface):
         else:
             used_ids = np.asarray(used, dtype=int)
             used_ids = used_ids[used_ids <= L]
-        radial_mask = self._radial_mask(ropt, L, ft.qs)
+        radial_mask = self._radial_mask(
+            ropt, L, ft.qs, qs_data=qs_data,
+            q_id_limits=inv.get("data_projection_matrices_q_id_limits"))
         # particle number: static initial value ('from_data' pulls the
         # extract-side estimate from the invariants file) + optional
         # per-iteration estimation (reference reciprocal.number_of_particles
@@ -524,7 +528,9 @@ class ProjectWorker(ProjectWorkerInterface):
             odd_orders_to_0=bool(ropt.get("assume_zero_odd_orders", True)),
             use_averaged_intensity=bool(ropt.get("use_averaged_intensity", True)),
             average_intensity=avg_intensity,
-            radial_mask=self._radial_mask(ropt, M, ft.qs),
+            radial_mask=self._radial_mask(
+                ropt, M, ft.qs, qs_data=qs_data,
+                q_id_limits=inv.get("data_projection_matrices_q_id_limits")),
             n_particles=float(ropt.number_of_particles.get("initial", 1)),
             real_dtype=real_dtype)
 
@@ -613,15 +619,69 @@ class ProjectWorker(ProjectWorkerInterface):
                    dimensions=2, phis=phis, data_scale=data_scale)
         return mtip, ft, aux
 
-    def _radial_mask(self, ropt, L, qs):
+    def _radial_mask(self, ropt, L, qs, qs_data=None, q_id_limits=None):
+        """Reciprocal-projection radial mask of shape (L+1, n_q).
+
+        Reference ReciprocalProjection.generate_radial_mask
+        (fxs_Projections.py:578-630): type 'none' | 'manual' (region or
+        order_dependent_line) | 'from_projection_matrices' (per-order data
+        q-id limits); every variant is intersected with the data q-range
+        (fxs_Projections.py:585-586,629)."""
         qm = ropt.get("q_mask", {})
-        if str(qm.get("type", "none")) != "manual":
-            return None
-        lo, hi = qm.get("region", [0, False])
+        mtype = str(qm.get("type", "none"))
+        qs = np.asarray(qs, dtype=float)
         mask = np.ones((L + 1, len(qs)), dtype=bool)
-        mask[:, qs < float(lo)] = False
-        if hi:
-            mask[:, qs > float(hi)] = False
+        if mtype in ("from_projection_matrices", "from_invariants"):
+            if q_id_limits is None or qs_data is None:
+                logger.warning("q_mask type %r needs data q-id limits; "
+                               "proceeding without custom q_mask", mtype)
+            else:
+                lims = np.asarray(q_id_limits, dtype=int).reshape(-1, 2)
+                qs_data = np.asarray(qs_data, dtype=float)
+                for l in range(min(L + 1, len(lims))):
+                    lo_id, hi_id = lims[l]
+                    if hi_id <= lo_id:
+                        mask[l] = False
+                        continue
+                    mask[l] = ((qs > qs_data[lo_id])
+                               & (qs < qs_data[hi_id - 1]))
+        elif mtype == "manual":
+            man = qm.get("manual", None)
+            if isinstance(man, (dict, DictNamespace)):
+                sub = str(man.get("type", "region"))
+            else:
+                man = qm  # legacy flat schema: region directly under q_mask
+                sub = "region"
+            if sub == "region":
+                lo, hi = man.get("region", [False, False])
+                if lo is not False and lo is not None:
+                    mask &= (qs >= float(lo))[None, :]
+                if hi is not False and hi is not None:
+                    mask &= (qs < float(hi))[None, :]
+            elif sub == "order_dependent_line":
+                pts = np.asarray(man.get("order_dependent_line",
+                                         [[4, 0.004], [70, 0.3]]), dtype=float)
+                # keep the (order, q) half-plane where the signed distance
+                # from the line p1→p2 is <= 0 (mathLibrary.py:1131-1137:
+                # rot = [[0,1],[-1,0]] @ (p2-p1); keep -dist >= 0)
+                p1, p2 = pts
+                d = p2 - p1
+                rot = np.array([d[1], -d[0]])
+                ls = np.arange(L + 1, dtype=float)
+                dist = ((ls[:, None] - p1[0]) * rot[0]
+                        + (qs[None, :] - p1[1]) * rot[1])
+                mask = (-dist) >= 0
+            else:
+                logger.warning("Unknown manual q_mask type %r; proceeding "
+                               "without custom q_mask", sub)
+        elif mtype != "none":
+            logger.warning("Could not parse projections.reciprocal.q_mask "
+                           "type %r. Proceeding without custom q_mask", mtype)
+        if qs_data is not None and len(qs_data):
+            qs_data = np.asarray(qs_data, dtype=float)
+            mask &= ((qs >= qs_data.min()) & (qs <= qs_data.max()))[None, :]
+        if mask.all():
+            return None
         return mask
 
     def _build_schedule(self, ft):
