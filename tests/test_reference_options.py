@@ -398,3 +398,93 @@ def test_radial_q_mask_variants():
     # unlimited orders keep the data-range intersection only
     np.testing.assert_array_equal(
         m[0], (qs > qs_data[0]) & (qs < qs_data[14]))
+
+
+def test_interp_radial_modes():
+    """reconstruct regrid interpolation parity (reference ReGrider via
+    projections.reciprocal.regrid.interpolation, fxs_Projections.py:639-676):
+    nearest/linear/cubic with 0-fill outside the data q-range."""
+    from xframe_tpu.projects.fxs.reconstruct import _interp_radial
+
+    qs_d = np.linspace(0.1, 1.0, 10)
+    y = (qs_d ** 2 + 1j * qs_d)[:, None] * np.array([[1.0, 2.0]])
+    # identity on the same grid
+    np.testing.assert_array_equal(_interp_radial(y, qs_d, qs_d, "cubic"), y)
+    qs_n = np.array([0.0, 0.15, 0.55, 1.0, 1.2])
+    for mode in ("nearest", "linear", "cubic"):
+        out = _interp_radial(y, qs_d, qs_n, mode)
+        assert out.shape == (5, 2)
+        assert out[0, 0] == 0.0 and out[-1, 0] == 0.0, mode  # 0-fill outside
+        np.testing.assert_allclose(out[3], y[-1], rtol=1e-12)  # exact at node
+    # smooth data: cubic beats linear between nodes
+    exact = 0.55 ** 2 + 0.55j
+    err_cub = abs(_interp_radial(y, qs_d, qs_n, "cubic")[2, 0] - exact)
+    err_lin = abs(_interp_radial(y, qs_d, qs_n, "linear")[2, 0] - exact)
+    assert err_cub < err_lin
+    # nearest picks the closest sample
+    near = _interp_radial(y, qs_d, qs_n, "nearest")[1, 0]
+    assert near == y[np.abs(qs_d - 0.15).argmin(), 0]
+
+
+def test_allow_weight_calculation_and_saving_flags(home):
+    """fourier_transform.allow_weight_calculation / allow_weight_saving
+    (reference fourier_transforms.py:28-32): calculation disabled + no cache
+    raises; saving disabled computes without writing the cache file."""
+    from xframe_tpu.projects.fxs.reconstruct import load_cached_weights
+    from xframe_tpu.settings import loader as settings_loader
+
+    cache_dir = os.path.join(settings_loader.home_dir(), "cache")
+    key = "hankel_3d_midpoint_N6_L2_rc2.h5"
+    path = os.path.join(cache_dir, key)
+    if os.path.exists(path):
+        os.remove(path)
+    with pytest.raises(FileNotFoundError):
+        load_cached_weights(2, 6, 2.0, 3, "midpoint", allow_calculation=False)
+    wd = load_cached_weights(2, 6, 2.0, 3, "midpoint", allow_saving=False)
+    assert 6 in wd["weights"].shape and not os.path.exists(path)
+    wd2 = load_cached_weights(2, 6, 2.0, 3, "midpoint")
+    assert os.path.exists(path)
+    np.testing.assert_allclose(wd2["weights"], wd["weights"])
+
+
+def test_particle_estimate_in_gating():
+    """number_of_particles.settings.estimate_in restricts the per-iteration
+    estimation to the listed loop methods (reference reconstruct.py:560-690,
+    default ['ER']): HIO iterations report n_hat = 0, ER iterations a real
+    estimate."""
+    import jax.numpy as jnp
+    from xframe_tpu.ops.fourier import SphericalFourierTransform
+    from xframe_tpu.library.shapes import spherical_grid, ball_density
+    from xframe_tpu.projects.fxs.projections import (
+        ReciprocalConstraint, RealConstraint, ShrinkWrap)
+    from xframe_tpu.projects.fxs.phasing import MTIP
+    from xframe_tpu.projects.fxs import invariants as itools
+
+    N, L = 16, 4
+    ft = SphericalFourierTransform(N, L, q_max=0.4, mode="midpoint",
+                                   reciprocity_coefficient=2.0,
+                                   real_dtype=jnp.float32)
+    grid = spherical_grid(ft.rs, ft.sht.theta, ft.sht.phi)
+    radius = ft.r_max / 2.5
+    rho = ball_density(grid, radius / 2, center=(radius / 2, 1.2, 0.7))
+    psi = ft.forward(jnp.asarray(rho, dtype=jnp.complex64))
+    coeff = np.asarray(ft.sht.forward((psi * psi.conj()).real))
+    bl = itools.harmonic_coeff_to_deg2_invariants_3d(coeff).real.astype(complex)
+    bl[1::2] = 0
+    proj, _ = itools.deg2_invariant_to_projection_matrices(bl)
+    avg = np.sqrt(np.abs(np.diag(bl[0]).real) / (4 * np.pi))
+    rc = ReciprocalConstraint.build(
+        proj, ft.qs, L, average_intensity=avg, use_averaged_intensity=True,
+        schmidt_scaling=False, pn_scan_space=(1.0, 9.0, 16), pn_project=False)
+    support = np.asarray(grid[..., 0] < radius * 1.3)
+    w = np.ones_like(rho) * support
+    mtip = MTIP(ft, rc, RealConstraint(limit_imag=2.0), ShrinkWrap.build(ft.qs),
+                w, support, pn_estimate_in=("ER",))
+    assert mtip._pn_enabled
+    rho0 = jnp.asarray(rho * support, dtype=jnp.complex64)
+    _, _, _, n_hio = mtip.mtip_iteration(rho0, jnp.asarray(support), 0.5,
+                                         "HIO", False)
+    _, _, _, n_er = mtip.mtip_iteration(rho0, jnp.asarray(support), 0.0,
+                                        "ER", False)
+    assert float(n_hio) == 0.0
+    assert float(n_er) >= 1.0  # scan space starts at N=1

@@ -140,7 +140,8 @@ class MTIP:
     def __init__(self, ft, reciprocal, real: RealConstraint,
                  shrink_wrap: ShrinkWrap, integration_weights, initial_support,
                  enforce_initial_support_limit=np.inf, real_dtype=jnp.float32,
-                 harmonic=None, fix_global_phase=True, fused_pipeline=None):
+                 harmonic=None, fix_global_phase=True, fused_pipeline=None,
+                 pn_estimate_in=None):
         """harmonic: intensity↔coefficient transform for the data projection;
         defaults to ft.sht (3D). Pass projections.RealCircularHarmonics for
         the 2D polar pipeline.
@@ -177,6 +178,11 @@ class MTIP:
         # per-iteration particle-number estimation adds a 3rd error column
         self._pn_enabled = bool(getattr(reciprocal, 'pn_enabled', False))
         self._err_cols = 3 if self._pn_enabled else 2
+        # restrict estimation to these loop methods (reference
+        # number_of_particles.settings.estimate_in, reconstruct.py:560-690);
+        # None = all methods
+        self._pn_estimate_in = (None if pn_estimate_in is None
+                                else tuple(pn_estimate_in))
         # fully-fused iteration path (ops.pallas_mtip): intensity squaring,
         # amplitude projection, ft-stab correction, phase anchor, real
         # constraint, IO update, and error/anchor reductions all run inside
@@ -326,7 +332,9 @@ class MTIP:
         synth_real = getattr(self.sht, 'inverse_real', None)
         I_new = synth_real(Ilm_proj) if synth_real \
             else self.sht.inverse(Ilm_proj).real
-        if getattr(self.rc, 'pn_enabled', False):
+        if getattr(self.rc, 'pn_enabled', False) and (
+                self._pn_estimate_in is None
+                or method in self._pn_estimate_in):
             n_hat, I_new = self.rc.particle_number_estimate(I_new)
         else:
             n_hat = jnp.asarray(0.0, dtype=self.rdtype)

@@ -37,9 +37,13 @@ from xframe_tpu.logger import log as logger
 
 
 def load_cached_weights(l_max, n_radial_points, reciprocity_coefficient,
-                        dimensions, mode, allow_cache=True):
+                        dimensions, mode, allow_cache=True,
+                        allow_calculation=True, allow_saving=None):
     """Hankel weight tables with the reference's disk cache keyed by
-    (N, L, reciprocity coefficient, mode) (fourier_transforms.py:17-35)."""
+    (N, L, reciprocity coefficient, mode) (fourier_transforms.py:17-35).
+    allow_calculation / allow_saving mirror the reference's
+    fourier_transform.allow_weight_{calculation,saving} flags; allow_cache
+    gates the load side (and is the saving default)."""
     from xframe_tpu.io import hdf5 as hdf5_io
     cache_dir = os.path.join(settings_loader.home_dir(), "cache")
     key = f"hankel_{dimensions}d_{mode}_N{n_radial_points}_L{l_max}_rc{reciprocity_coefficient:.6g}.h5"
@@ -50,9 +54,14 @@ def load_cached_weights(l_max, n_radial_points, reciprocity_coefficient,
                 + 1j * np.asarray(data["weights_imag"]),
                 "posHarmOrders": np.asarray(data["posHarmOrders"]),
                 "mode": mode, "dimension": dimensions}
+    if not allow_calculation:
+        raise FileNotFoundError(
+            f"Hankel weights not cached at {path} and "
+            "fourier_transform.allow_weight_calculation is False "
+            "(reference fourier_transforms.py:28-32)")
     wd = generate_weights(l_max, n_radial_points, reciprocity_coefficient,
                           dimensions, mode)
-    if allow_cache:
+    if allow_cache if allow_saving is None else allow_saving:
         os.makedirs(cache_dir, exist_ok=True)
         hdf5_io.save(path, {"weights_real": np.real(wd["weights"]),
                             "weights_imag": np.imag(wd["weights"]),
@@ -60,18 +69,48 @@ def load_cached_weights(l_max, n_radial_points, reciprocity_coefficient,
     return wd
 
 
-def regrid_projection_matrices(proj, qs_data, qs_new):
-    """Linear interpolation of each V_l column from the data q-grid to the
-    internal grid (reference _regrid_data, fxs_Projections.py:639-676)."""
+def _interp_radial(y, qs_data, qs_new, interpolation="linear"):
+    """Interpolate (n_q_data, ...) data onto qs_new along axis 0 with the
+    reference ReGrider semantics: 'nearest' | 'linear' | 'cubic', fill value
+    0 outside the data range (fxs_Projections.py:639-676, gridLibrary
+    ReGrider options {'fill_value': 0.0, 'interpolation': type})."""
+    y = np.asarray(y)
+    qs_data = np.asarray(qs_data, dtype=float)
+    qs_new = np.asarray(qs_new, dtype=float)
+    if y.shape[0] != len(qs_data):
+        raise ValueError("radial axis mismatch")
+    if len(qs_data) == len(qs_new) and np.array_equal(qs_data, qs_new):
+        return y.copy()
+    inside = (qs_new >= qs_data[0]) & (qs_new <= qs_data[-1])
+    if interpolation == "nearest":
+        idx = np.abs(qs_new[:, None] - qs_data[None, :]).argmin(axis=1)
+        out = y[idx].astype(y.dtype if np.iscomplexobj(y) else float)
+    elif interpolation == "cubic" and len(qs_data) >= 4:
+        from scipy.interpolate import CubicSpline
+        out = CubicSpline(qs_data, y, axis=0)(np.clip(
+            qs_new, qs_data[0], qs_data[-1]))
+    else:
+        flat = y.reshape(len(qs_data), -1)
+        cols = [np.interp(qs_new, qs_data, flat[:, j].real)
+                + (1j * np.interp(qs_new, qs_data, flat[:, j].imag)
+                   if np.iscomplexobj(y) else 0.0)
+                for j in range(flat.shape[1])]
+        out = np.stack(cols, axis=1).reshape((len(qs_new),) + y.shape[1:])
+    out[~inside] = 0.0
+    return out
+
+
+def regrid_projection_matrices(proj, qs_data, qs_new, interpolation="linear"):
+    """Interpolation of each V_l column from the data q-grid to the internal
+    grid (reference _regrid_data, fxs_Projections.py:639-676; interpolation
+    type from projections.reciprocal.regrid.interpolation)."""
     out = []
     for v in proj:
         v = np.atleast_2d(np.asarray(v))
         if v.shape[0] == 1 and v.shape[1] != len(qs_data):
             v = v.T
-        cols = [np.interp(qs_new, qs_data, v[:, j].real)
-                + 1j * np.interp(qs_new, qs_data, v[:, j].imag)
-                for j in range(v.shape[1])]
-        out.append(np.stack(cols, axis=1))
+        out.append(_interp_radial(v.astype(complex), qs_data, qs_new,
+                                  interpolation))
     return out
 
 
@@ -214,7 +253,10 @@ class ProjectWorker(ProjectWorkerInterface):
         weights = load_cached_weights(
             L, N, rc, 3, mode,
             allow_cache=bool(opt.fourier_transform.get("allow_weight_caching",
-                                                       True)))
+                                                       True)),
+            allow_calculation=bool(opt.fourier_transform.get(
+                "allow_weight_calculation", True)),
+            allow_saving=opt.fourier_transform.get("allow_weight_saving"))
         # fused VMEM-resident SHT kernels (ops.pallas_sht): ~3× the standard
         # path on a single TPU chip (docs/performance.md). 'auto' enables
         # them on a non-CPU backend when no device mesh will shard the θ
@@ -245,11 +287,14 @@ class ProjectWorker(ProjectWorkerInterface):
         # scale is O(1): raw XFEL intensities (~1e29) overflow float32 in the
         # quadratic error/procrustes sums. The reconstruction is
         # scale-equivariant; densities are rescaled by √s on save.
+        ropt_regrid = str(opt.projections.reciprocal.get("regrid", {})
+                          .get("interpolation", "linear"))
         proj = regrid_projection_matrices(inv["data_projection_matrices"]["I1I1"],
-                                          qs_data, ft.qs)
-        avg_intensity = np.interp(ft.qs, qs_data,
-                                  np.asarray(inv["average_intensity"],
-                                             dtype=float))
+                                          qs_data, ft.qs,
+                                          interpolation=ropt_regrid)
+        avg_intensity = _interp_radial(
+            np.asarray(inv["average_intensity"], dtype=float),
+            qs_data, ft.qs, ropt_regrid).real
         data_scale = float(max(np.abs(avg_intensity).max(),
                                max(np.abs(v).max() for v in proj), 1e-30))
         proj = [np.asarray(v) / data_scale for v in proj]
@@ -274,14 +319,24 @@ class ProjectWorker(ProjectWorkerInterface):
             n0 = float(inv.get("number_of_particles", 1) or 1)
         pn_est = pn_opt.get("estimate", {})
         if isinstance(pn_est, bool):
-            pn_est = {"apply": pn_est}
+            # reference schema: estimate is a bool + sibling 'settings'
+            # subtree {project, estimate_in, scan_space}
+            # (default_0.01.yaml:132-148)
+            pn_est = {"apply": pn_est, **dict(pn_opt.get("settings", {}))}
         pn_apply = bool(pn_est.get("apply", False))
         pn_scan = tuple(pn_est.get("scan_space", [1.0, 10.0, 64])) \
             if pn_apply else None
         pn_project = bool(pn_est.get("project", False))
+        # estimate_in: restrict the per-iteration estimation to these loop
+        # methods (reference reconstruct.py:560-690; its default is ['ER']).
+        # None/'all' = every method (this rebuild's historical behavior).
+        pn_in = pn_est.get("estimate_in", "all")
+        pn_estimate_in = None if (isinstance(pn_in, str) and pn_in == "all") \
+            else tuple(str(m) for m in pn_in)
         rc_constraint = ReciprocalConstraint.build(
             proj, ft.qs, L, used_order_ids=used_ids,
-            odd_orders_to_0=bool(ropt.get("assume_zero_odd_orders", True)),
+            odd_orders_to_0=bool(ropt.get("odd_orders_to_0",
+                ropt.get("assume_zero_odd_orders", True))),
             use_averaged_intensity=bool(ropt.get("use_averaged_intensity", True)),
             average_intensity=avg_intensity, radial_mask=radial_mask,
             n_particles=float(n0),
@@ -361,7 +416,7 @@ class ProjectWorker(ProjectWorkerInterface):
         mtip = MTIP(ft, rc_constraint, real_constraint, sw, w_err,
                     initial_support,
                     enforce_initial_support_limit=enforce_limit,
-                    real_dtype=real_dtype)
+                    real_dtype=real_dtype, pn_estimate_in=pn_estimate_in)
         # SW_center support: cartesian grid tables for the c.o.m. shift
         from xframe_tpu.library.shapes import spherical_to_cartesian
         grid_q = spherical_grid(ft.qs, ft.sht.theta, ft.sht.phi)
@@ -405,7 +460,11 @@ class ProjectWorker(ProjectWorkerInterface):
                            for k in sorted(lr, key=int)]
             else:  # isotropic-only vector I_00 = a(q)·2√π
                 lr_list = [np.asarray(lr, dtype=complex)[:, None]]
-            lr_list = regrid_projection_matrices(lr_list, qs_data, ft.qs)
+            lr_list = regrid_projection_matrices(
+                lr_list, qs_data, ft.qs,
+                interpolation=str(opt.projections.reciprocal
+                                  .get("regrid", {})
+                                  .get("interpolation", "linear")))
             Ilm = pad_coeff_dense(lr_list, N, L) / data_scale
 
             @jax.jit
@@ -489,19 +548,25 @@ class ProjectWorker(ProjectWorkerInterface):
         weights = load_cached_weights(
             M, N, rc_coef, 2, ft_mode,
             allow_cache=bool(opt.fourier_transform.get("allow_weight_caching",
-                                                       True)))
+                                                       True)),
+            allow_calculation=bool(opt.fourier_transform.get(
+                "allow_weight_calculation", True)),
+            allow_saving=opt.fourier_transform.get("allow_weight_saving"))
         ft = PolarFourierTransform(N, M, n_phi, q_max, mode=ft_mode,
                                    reciprocity_coefficient=rc_coef,
                                    real_dtype=real_dtype, weights_dict=weights)
         phis = 2 * np.pi * np.arange(n_phi) / n_phi
         grid = polar_grid(ft.rs, phis)
 
+        ropt_regrid = str(opt.projections.reciprocal.get("regrid", {})
+                          .get("interpolation", "linear"))
         proj = regrid_projection_matrices(
-            inv["data_projection_matrices"]["I1I1"], qs_data, ft.qs)
+            inv["data_projection_matrices"]["I1I1"], qs_data, ft.qs,
+            interpolation=ropt_regrid)
         proj = [np.asarray(v).reshape(len(ft.qs), -1)[:, 0] for v in proj]
-        avg_intensity = np.interp(ft.qs, qs_data,
-                                  np.asarray(inv["average_intensity"],
-                                             dtype=float))
+        avg_intensity = _interp_radial(
+            np.asarray(inv["average_intensity"], dtype=float),
+            qs_data, ft.qs, ropt_regrid).real
         # float32 overflow guard: normalize the data scale (see _setup_3d)
         data_scale = float(max(np.abs(avg_intensity).max(),
                                max(np.abs(v).max() for v in proj), 1e-30))
@@ -516,7 +581,7 @@ class ProjectWorker(ProjectWorkerInterface):
             used_ids = used_ids[used_ids <= M]
         so_pin = None
         so_opt = ropt.get("SO_freedom", {})
-        if bool(so_opt.get("apply", False)):
+        if bool(so_opt.get("use", so_opt.get("apply", False))):
             # pin the strongest even nonzero order (reference SO(2) fix)
             hp = float(so_opt.get("radial_high_pass", 0.2))
             lo = int((len(ft.qs) - 1) * hp)
@@ -525,7 +590,8 @@ class ProjectWorker(ProjectWorkerInterface):
             so_pin = int(np.argmax(scores))
         rc_constraint = ReciprocalConstraintPolar.build(
             proj, ft.qs, M, used_order_ids=used_ids, so_pin_order=so_pin,
-            odd_orders_to_0=bool(ropt.get("assume_zero_odd_orders", True)),
+            odd_orders_to_0=bool(ropt.get("odd_orders_to_0",
+                ropt.get("assume_zero_odd_orders", True))),
             use_averaged_intensity=bool(ropt.get("use_averaged_intensity", True)),
             average_intensity=avg_intensity,
             radial_mask=self._radial_mask(
