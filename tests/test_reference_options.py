@@ -488,3 +488,33 @@ def test_particle_estimate_in_gating():
                                         "ER", False)
     assert float(n_hio) == 0.0
     assert float(n_er) >= 1.0  # scan space starts at N=1
+
+
+def test_fix_orientation_rotation_phase_and_apply():
+    """output_density_modifiers.fix_orientation parity: the gcd-chain
+    residual-rotation phase (reference generate_remaining_SO_projection_2D,
+    fxs_Projections.py:1023-1096) and the coefficient rotation
+    c_m *= exp(i*m*phi0) (reconstruct.py:736-741)."""
+    from xframe_tpu.projects.fxs.reconstruct import (
+        so2_residual_rotation_phase, rotate_polar_density)
+
+    M = 6
+    qs = np.linspace(0.1, 1.0, 10)
+    proj = [np.zeros(10) for _ in range(M + 1)]
+    proj[4] = np.full(10, 5.0)   # strongest even order -> m1 = 4
+    proj[6] = np.full(10, 2.0)   # next ranked order, gcd(4,6)=2 chain
+    unknowns = np.ones(M + 1, dtype=complex)
+
+    # phase of order 6 in [0, pi): floor(phase/pi) = 0 -> no rotation
+    unknowns[6] = np.exp(2.0j)
+    assert so2_residual_rotation_phase(unknowns, proj, qs) == 0.0
+    # phase -2.0: floor(-2/pi) = -1 -> rotation = +pi/2 (coeff=1, gcd=2)
+    unknowns[6] = np.exp(-2.0j)
+    assert np.isclose(so2_residual_rotation_phase(unknowns, proj, qs),
+                      np.pi / 2)
+
+    # rotation application: grid-commensurate phi0 is an exact circular roll
+    rng = np.random.default_rng(0)
+    arr = rng.normal(size=(3, 8)) + 1j * rng.normal(size=(3, 8))
+    rot = rotate_polar_density(arr, 2 * np.pi * 3 / 8)
+    np.testing.assert_allclose(rot, np.roll(arr, -3, axis=-1), atol=1e-12)

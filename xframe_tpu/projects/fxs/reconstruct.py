@@ -129,6 +129,63 @@ def pad_coeff_dense(proj_list, n_q, l_max):
     return dense
 
 
+def so2_residual_rotation_phase(unknowns, proj, qs, radial_high_pass=0.2):
+    """Residual in-plane rotation for 2D outputs (reference
+    generate_remaining_SO_projection_2D, fxs_Projections.py:1023-1096).
+
+    The in-loop SO(2) gauge pin leaves an m1-fold discrete rotation
+    ambiguity (m1 = strongest even order); successive ranked orders reduce
+    it through gcd chains. Returns the rotation angle phi0 to apply as
+    coefficient rotation c_m *= exp(i*m*phi0)."""
+    unknowns = np.asarray(unknowns).reshape(-1)
+    M = len(unknowns) - 1
+    orders = np.arange(M + 1)
+    qs = np.asarray(qs, dtype=float)
+    lo = int((len(qs) - 1) * float(radial_high_pass))
+    strength = np.array([np.abs(np.asarray(proj[m]).reshape(-1)[lo:]).sum()
+                         if m < len(proj) else 0.0 for m in orders])
+    emask = (orders % 2 == 0) & (orders > 0)
+    h_orders = orders[emask]
+    if len(h_orders) == 0:
+        return 0.0
+    ranked = np.argsort(-strength[emask])  # positions into h_orders
+    phases = np.angle(unknowns[emask])
+    current = int(h_orders[ranked[0]])
+    remaining = current
+    free = np.ones(len(ranked), dtype=bool)
+    rotation_phase = 0.0
+    while remaining > 2:
+        multiples = np.arange(current, h_orders.max() + 1, current)
+        mult_idx = np.where(np.isin(h_orders, multiples))[0]
+        free &= ~np.isin(ranked, mult_idx)
+        if not free.any():
+            break
+        cur_idx = int(ranked[free][0])
+        current = int(h_orders[cur_idx])
+        g = int(np.gcd(remaining, current))
+        n_ind = remaining // g
+        if n_ind <= 1:
+            continue  # order is invariant under the remaining rotations
+        angle = 2 * np.pi / n_ind
+        coeff = int(np.argmin((np.arange(1, n_ind) * (current // g))
+                              % n_ind)) + 1
+        rotation_phase -= (phases[cur_idx] // angle) * coeff * angle / g
+        remaining = g
+    return float(rotation_phase)
+
+
+def rotate_polar_density(arr, phi0):
+    """Rotate a (..., n_q, n_phi) polar-grid field in-plane by phi0 via its
+    circular harmonics: c_m *= exp(i*m*phi0) (reference fix_orientation
+    output modifier, reconstruct.py:736-741)."""
+    arr = np.asarray(arr)
+    n_phi = arr.shape[-1]
+    m = np.fft.fftfreq(n_phi, d=1.0 / n_phi).round().astype(int)
+    c = np.fft.fft(arr, axis=-1) * np.exp(1j * m * phi0)
+    out_dtype = arr.dtype if np.iscomplexobj(arr) else np.complex128
+    return np.fft.ifft(c, axis=-1).astype(out_dtype)
+
+
 class ProjectWorker(ProjectWorkerInterface):
     database_class = ProjectDB
 
@@ -682,7 +739,10 @@ class ProjectWorker(ProjectWorkerInterface):
                    avg_intensity=avg_intensity,
                    wavelength=inv["xray_wavelength"],
                    proj=proj, rc=rc_coef, total_intensity=total_intensity,
-                   dimensions=2, phis=phis, data_scale=data_scale)
+                   dimensions=2, phis=phis, data_scale=data_scale,
+                   so_pin=so_pin,
+                   so_radial_high_pass=float(so_opt.get("radial_high_pass",
+                                                        0.2)))
         return mtip, ft, aux
 
     def _radial_mask(self, ropt, L, qs, qs_data=None, q_id_limits=None):
@@ -794,6 +854,19 @@ class ProjectWorker(ProjectWorkerInterface):
                           .get("shift_to_center", False)) \
             and getattr(mtip, "_r_cart", None) is not None
         center_fn = jax.jit(mtip._center_density) if center_out else None
+        # output_density_modifiers.fix_orientation (2D, reference
+        # reconstruct.py:736-751): resolve the residual discrete in-plane
+        # rotation ambiguity left by the SO(2) gauge pin via the final
+        # per-order unknowns. Requires the in-loop SO freedom to be active.
+        fix_orient = bool(opt.get("output_density_modifiers", {})
+                          .get("fix_orientation", False)) \
+            and aux.get("dimensions", 3) == 2
+        if fix_orient and aux.get("so_pin") is None:
+            logger.warning(
+                "fix_orientation requested but SO_freedom is not used in the "
+                "reciprocal projection - skipping orientation fixing "
+                "(reference reconstruct.py:748-751)")
+            fix_orient = False
 
         results = {}
         for rank, i in enumerate(ids):
@@ -802,12 +875,22 @@ class ProjectWorker(ProjectWorkerInterface):
             if center_out:
                 rho = center_fn(rho)
             psi_p, W = finalize(rho)
+            rho_h = to_host(rho)
+            last_h = to_host(center_fn(states.rho[i]) if center_out
+                             else states.rho[i])
+            psi_h = to_host(psi_p)
+            if fix_orient:
+                phi0 = so2_residual_rotation_phase(
+                    to_host(W), aux["proj"], ft.qs,
+                    aux.get("so_radial_high_pass", 0.2))
+                if phi0:
+                    rho_h = rotate_polar_density(rho_h, phi0)
+                    last_h = rotate_polar_density(last_h, phi0)
+                    psi_h = rotate_polar_density(psi_h, phi0)
             results[str(rank)] = {
-                "real_density": to_host(rho) * sqrt_s,
-                "last_real_density": to_host(
-                    center_fn(states.rho[i]) if center_out
-                    else states.rho[i]) * sqrt_s,
-                "reciprocal_density": to_host(psi_p) * sqrt_s,
+                "real_density": rho_h * sqrt_s,
+                "last_real_density": last_h * sqrt_s,
+                "reciprocal_density": psi_h * sqrt_s,
                 "support_mask": to_host(states.best_mask[i]),
                 "last_support_mask": to_host(states.support[i]),
                 "initial_density": to_host(rho0s[i]) * sqrt_s
