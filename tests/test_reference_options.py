@@ -518,3 +518,35 @@ def test_fix_orientation_rotation_phase_and_apply():
     arr = rng.normal(size=(3, 8)) + 1j * rng.normal(size=(3, 8))
     rot = rotate_polar_density(arr, 2 * np.pi * 3 / 8)
     np.testing.assert_allclose(rot, np.roll(arr, -3, axis=-1), atol=1e-12)
+
+
+def test_average_manual_reference_and_load_routine(reconstructions_opts, home):
+    """selection.method 'manual' + manual_specifier [file, id] names the
+    alignment reference (reference get_reference_arg, average.py:701-708);
+    load_routine dispatches the loader by name (average.py:103)."""
+    xf.select_project("fxs", "average", overrides={
+        "structure_name": "np1",
+        "load_routine": "load_reconstructions",
+        "selection": {"method": "manual", "manual_specifier": [0, 1],
+                      "error_limit": 10.0},
+        "l2_error_limit": 10.0,
+    })
+    out = xf.run()
+    # the named reconstruction is the reference = first input_meta entry
+    ref_meta = out["input_meta"]["0"]
+    assert ref_meta["file_index"] == 0 and str(ref_meta["result_key"]) == "1"
+
+    # nonexistent specifier -> explicit error
+    xf.select_project("fxs", "average", overrides={
+        "structure_name": "np1",
+        "selection": {"method": "manual", "manual_specifier": [0, 99],
+                      "error_limit": 10.0},
+    })
+    with pytest.raises(RuntimeError, match="manual_specifier"):
+        xf.run()
+
+    # unknown load_routine -> explicit error
+    xf.select_project("fxs", "average", overrides={
+        "structure_name": "np1", "load_routine": "not_a_loader"})
+    with pytest.raises(AttributeError, match="load_routine"):
+        xf.run()

@@ -32,7 +32,15 @@ class ProjectWorker(ProjectWorkerInterface):
 
     def run(self):
         opt = self.settings
-        recs, cfg = self._load_reconstructions()
+        # load_routine: name of the loader method (reference average.py:103
+        # dispatches getattr(self, opt['load_routine'])) — subclass hook for
+        # custom result formats
+        routine = str(opt.get("load_routine", "load_reconstructions"))
+        loader = getattr(self, routine, None) \
+            or getattr(self, "_" + routine, None)
+        if loader is None:
+            raise AttributeError(f"unknown load_routine {routine!r}")
+        recs, cfg = loader()
         densities, psis, errors, meta, masks = self._select(recs)
         if len(densities) == 0:
             raise RuntimeError("no reconstructions pass the selection filter")
@@ -75,8 +83,11 @@ class ProjectWorker(ProjectWorkerInterface):
                 e = np.asarray(res["error_dict"].get(
                     metric, res["error_dict"]["final"]))
                 err = float(e.reshape(-1)[-1]) if e.ndim else float(e)
-                if str(sel.get("method", "least_error")) == "manual":
-                    if int(key) not in [int(i) for i in sel.get("manual_ids", [])]:
+                manual_ids = sel.get("manual_ids", None) or None
+                if str(sel.get("method", "least_error")) == "manual" \
+                        and manual_ids is not None:
+                    # rebuild extension: restrict the candidate set
+                    if int(key) not in [int(i) for i in manual_ids]:
                         continue
                 elif err > limit:
                     continue
@@ -100,6 +111,23 @@ class ProjectWorker(ProjectWorkerInterface):
         order = np.argsort(errors)
         if not (isinstance(n_max, str) and n_max == "all"):
             order = order[: int(n_max)]
+        # selection.method 'manual' + manual_specifier [file_index, result_id]
+        # names the ALIGNMENT REFERENCE (reference get_reference_arg,
+        # average.py:701-708); move it to the front of the error-sorted list
+        # (average() uses index 0 as the reference).
+        if str(sel.get("method", "least_error")) == "manual" \
+                and sel.get("manual_specifier") is not None:
+            f_spec, k_spec = list(sel["manual_specifier"])[:2]
+            pos = [j for j, i in enumerate(order)
+                   if meta[i]["file_index"] == int(f_spec)
+                   and str(meta[i]["result_key"]) == str(k_spec)]
+            if not pos:
+                raise RuntimeError(
+                    f"selection.manual_specifier {list(sel['manual_specifier'])} "
+                    "does not match any loaded reconstruction "
+                    "(after error/density filtering)")
+            order = np.concatenate(([order[pos[0]]],
+                                    np.delete(order, pos[0])))
         if any(p is None for p in psis):
             psis = None          # legacy files without stored amplitudes
         else:
