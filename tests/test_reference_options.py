@@ -550,3 +550,62 @@ def test_average_manual_reference_and_load_routine(reconstructions_opts, home):
         "structure_name": "np1", "load_routine": "not_a_loader"})
     with pytest.raises(AttributeError, match="load_routine"):
         xf.run()
+
+
+def test_pixel_custom_cc_mask_matches_reference_recipe():
+    """cc_mask type 'pixel_custom' parity with the reference algorithm
+    (fxs_invariant_tools.py:140-171): mask the first/last n delta pixels
+    (and around pi) only for q-pairs within the nq index band."""
+    from xframe_tpu.projects.fxs import invariants as itools
+
+    n_q, n_phi = 8, 20
+    qs = np.linspace(0.1, 1.0, n_q)
+    phis = 2 * np.pi * np.arange(n_phi) / n_phi
+    for mask_at_pi, f_phi, f_q in [(True, 0.1, 0.25), (False, 0.15, 1.0),
+                                   (True, 0.0, 0.5)]:
+        got = itools.cc_mask(qs, phis, mask_type="pixel_custom",
+                             mask_at_pi=mask_at_pi,
+                             n_masked_pixels_phi=f_phi,
+                             n_masked_pixels_q=f_q)
+        # direct transcription of the reference recipe
+        n = int(n_phi * f_phi)
+        nq = int(n_q * f_q)
+        pi_index = int(n_phi / 2)
+        if mask_at_pi:
+            ids = (list(range(n)) + list(range(pi_index - (n - 1),
+                                               pi_index + (n - 1)))
+                   + list(range(n_phi - n, n_phi)))
+        else:
+            ids = list(range(n)) + list(range(n_phi - n, n_phi))
+        ref = np.full((n_q, n_q, n_phi), True)
+        ref[..., ids] = False
+        far = np.abs(np.arange(n_q)[:, None] - np.arange(n_q)[None, :]) > nq
+        ref[far] = True
+        np.testing.assert_array_equal(got, ref,
+                                      err_msg=f"{mask_at_pi} {f_phi} {f_q}")
+        if n > 0:
+            assert not got[0, 0, 0]          # near-diagonal pair masked at 0
+            assert got[0, -1 if nq < n_q - 1 else 0, 0] or nq >= n_q - 1
+
+
+def test_bl_enforce_psd_per_dataset_override(ccd1, home, monkeypatch):
+    """datasets.<name>.bl_enforce_psd overrides the global PSD flag
+    (reference extract.py:417-430 + datasets schema)."""
+    from xframe_tpu.projects.fxs import invariants as itools
+    calls = []
+    orig = itools.apply_psd_on_q_limits
+
+    def spy(bl, qlim):
+        calls.append(1)
+        return orig(bl, qlim)
+
+    monkeypatch.setattr(itools, "apply_psd_on_q_limits", spy)
+    base = {"structure_name": "np1", "dimensions": 3, "max_order": L}
+    xf.select_project("fxs", "extract", overrides={
+        **base, "cross_correlation": {"datasets": {"I1I1": {
+            "bl_enforce_psd": False}}}})
+    xf.run()
+    assert len(calls) == 0
+    xf.select_project("fxs", "extract", overrides=base)
+    xf.run()
+    assert len(calls) == 1

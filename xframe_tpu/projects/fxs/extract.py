@@ -61,10 +61,15 @@ class ProjectWorker(ProjectWorkerInterface):
             # mixed invariants (I2I1 = V2 U V1†) are not Hermitian-PSD; only
             # the same-dataset B_l are. PSD is enforced on each order's
             # q-limit sub-block only (reference apply_invariant_constraints,
-            # extract.py:417-430)
-            if apply_psd and name != "I2I1" and dim == 3:
+            # extract.py:417-430). A per-dataset bl_enforce_psd key
+            # (reference datasets.<name>.bl_enforce_psd) overrides the
+            # global invariant_constraints flag.
+            ds_psd = opt.cross_correlation.get("datasets", {}) \
+                .get(name, {}).get("bl_enforce_psd", None)
+            apply_psd_ds = apply_psd if ds_psd is None else bool(ds_psd)
+            if apply_psd_ds and name != "I2I1" and dim == 3:
                 bl = itools.apply_psd_on_q_limits(bl, qlim_dict[name])
-            elif apply_psd and name != "I2I1":
+            elif apply_psd_ds and name != "I2I1":
                 bl = itools.nearest_positive_semidefinite_matrix(bl)
             bls[name] = bl
         primary = present[0]
@@ -187,12 +192,25 @@ class ProjectWorker(ProjectWorkerInterface):
         phis = np.asarray(ccd["angular_points"], dtype=float)
         mask_opt = ds_opt.get("cc_mask", {})
         mask_type = str(mask_opt.get("type", "none"))
+        # the reference nests per-type parameters in a subtree named after
+        # the type (cc_mask.pixel_arc.pixel_size, ...); accept both that
+        # shape and this rebuild's flat keys
+        sub = mask_opt.get(mask_type, {})
+        mask_eff = {**{k: mask_opt[k] for k in mask_opt},
+                    **({k: sub[k] for k in sub}
+                       if hasattr(sub, "__getitem__") and not
+                       isinstance(sub, (str, list)) else {})}
         mask = itools.cc_mask(
             qs, phis, mask_type=mask_type, xray_wavelength=wavelength,
-            pixel_size=mask_opt.get("pixel_size"),
-            mask_at_pi=bool(mask_opt.get("mask_at_pi", True)),
-            threshold=float(mask_opt.get("threshold", 0.01)),
-            custom=mask_opt.get("mask")) if dim == 3 else \
+            pixel_size=mask_eff.get("pixel_size"),
+            mask_at_pi=bool(mask_eff.get("mask_at_pi", True)),
+            threshold=float(mask_eff.get("threshold", 0.01)),
+            n_masked_pixels_phi=float(mask_eff.get("n_masked_pixels_phi", 0.0)
+                                      or 0.0),
+            n_masked_pixels_q=float(mask_eff.get("n_masked_pixels_q",
+                                    mask_eff.get("n_masked_q1q2", 0.0))
+                                    or 0.0),
+            custom=mask_eff.get("mask")) if dim == 3 else \
             np.ones(cc.shape, dtype=bool)
 
         # --- CC modifications (reference modify_cross_correlation :235-289)

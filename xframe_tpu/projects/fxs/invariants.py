@@ -534,18 +534,22 @@ def estimate_number_of_particles(proj_matrices, sht, search_space=(1.0, 10.0, 64
 
 # -------------------------------------------------------------------- CC masks
 def cc_mask(qs, phis, mask_type="none", xray_wavelength=None, pixel_size=None,
-            mask_at_pi=True, threshold=0.01, custom=None):
+            mask_at_pi=True, threshold=0.01, custom=None,
+            n_masked_pixels_phi=0.0, n_masked_pixels_q=0.0):
     """Cross-correlation validity masks (n_q, n_q, n_phi) — regions of the
     CC plane dominated by detector artifacts (reference
     fxs_invariant_tools.py:100-232).
 
-    none       : all true
-    pixel_arc  : mask pairs of Ewald-sphere points closer (arc length) than
-                 the reciprocal feature size 2π/pixel_size (optionally also
-                 around Δ=π)
-    pixel_flat : flat-detector variant — mask Δ≈0 (and π) where q1≈q2
-    donatelli  : |q1±q2|²-style threshold (Donatelli PNAS 2018 suppl.)
-    direct     : user-provided boolean array
+    none        : all true
+    pixel_arc   : mask pairs of Ewald-sphere points closer (arc length) than
+                  the reciprocal feature size 2π/pixel_size (optionally also
+                  around Δ=π)
+    pixel_flat  : flat-detector variant — mask Δ≈0 (and π) where q1≈q2
+    pixel_custom: mask fixed FRACTIONS of Δ pixels around Δ=0 (and π), only
+                  for q-pairs with |q1_id − q2_id| ≤ n_q·n_masked_pixels_q
+                  (reference pixel_custom_cc_mask, :140-171)
+    donatelli   : |q1±q2|²-style threshold (Donatelli PNAS 2018 suppl.)
+    direct      : user-provided boolean array
     """
     qs = np.asarray(qs, dtype=float)
     phis = np.asarray(phis, dtype=float)
@@ -554,6 +558,22 @@ def cc_mask(qs, phis, mask_type="none", xray_wavelength=None, pixel_size=None,
         return np.ones((n_q, n_q, n_phi), dtype=bool)
     if mask_type == "direct":
         return np.asarray(custom, dtype=bool)
+
+    if mask_type == "pixel_custom":
+        n = int(n_phi * float(n_masked_pixels_phi))
+        nq = int(n_q * float(n_masked_pixels_q))
+        pi_index = n_phi // 2
+        ids = list(range(n)) + list(range(n_phi - n, n_phi))
+        if mask_at_pi and n > 0:
+            ids += list(range(pi_index - (n - 1), pi_index + (n - 1)))
+        mask = np.ones((n_q, n_q, n_phi), dtype=bool)
+        if ids:
+            mask[..., np.asarray(ids) % n_phi] = False
+        # only q-pairs within nq index bands keep the Δ masking
+        far = np.abs(np.arange(n_q)[:, None]
+                     - np.arange(n_q)[None, :]) > nq
+        mask[far] = True
+        return mask
 
     if mask_type == "donatelli":
         thetas = ewald_sphere_theta_pi(xray_wavelength, qs)
