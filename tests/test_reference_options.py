@@ -524,6 +524,16 @@ def test_average_manual_reference_and_load_routine(reconstructions_opts, home):
     """selection.method 'manual' + manual_specifier [file, id] names the
     alignment reference (reference get_reference_arg, average.py:701-708);
     load_routine dispatches the loader by name (average.py:103)."""
+    # average loads the LATEST reconstruction run; other tests may have
+    # created newer single-restart runs since the fixture ran, so refresh
+    # a 2-restart run here (compile is cached — this is cheap)
+    xf.select_project("fxs", "reconstruct", overrides={
+        "structure_name": "np1",
+        "grid": {"n_radial_points": 16, "max_order": L},
+        "multi_start": {"n_reconstructions": 2, "seed": 3},
+        "main_loop": REC_LOOP,
+    })
+    xf.run()
     xf.select_project("fxs", "average", overrides={
         "structure_name": "np1",
         "load_routine": "load_reconstructions",
