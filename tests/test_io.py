@@ -123,3 +123,56 @@ def test_pdb_protocol_and_py_access(tmp_path):
     sh = tmp_path / "run.sh"
     db.save_direct(str(sh), "echo hi\n")
     assert db.load_direct(str(sh)) == "echo hi\n"
+
+
+def test_io_file_options_toggles(tmp_path, monkeypatch):
+    """IO.files.<name>.options save-hook toggles (reference per-name options:
+    ccd save_symlink, invariants create_symlink/plot_first_invariants,
+    reconstructions generate_vtk_files/plot_error_metrics)."""
+    import numpy as np
+    monkeypatch.setenv("XFRAME_TPU_HOME", str(tmp_path))
+    from xframe_tpu.projects.fxs._database_ import ProjectDB
+    from xframe_tpu.settings.tools import DictNamespace
+
+    ccd_data = {"radial_points": np.arange(4.0), "angular_points": np.arange(8.0),
+                "xray_wavelength": 1.0, "average_intensity": np.ones(4),
+                "cross_correlation": {"I1I1": np.ones((4, 4, 8))},
+                "num_images_processed": 1, "num_images_good": 1}
+
+    db = ProjectDB(DictNamespace({"structure_name": "s1"}))
+    path, _ = db.save_ccd(dict(ccd_data))
+    link = os.path.join(os.path.dirname(os.path.dirname(path)), "ccd.h5")
+    assert os.path.islink(link)          # save_symlink default True
+    # the symlink resolves to the newest run
+    path2, _ = db.save_ccd(dict(ccd_data))
+    assert os.path.realpath(link) == os.path.realpath(path2)
+
+    db_off = ProjectDB(DictNamespace({
+        "structure_name": "s2",
+        "IO": {"files": {"ccd": {"options": {"save_symlink": False}}}}}))
+    path3, _ = db_off.save_ccd(dict(ccd_data))
+    assert not os.path.exists(os.path.join(
+        os.path.dirname(os.path.dirname(path3)), "ccd.h5"))
+
+    # reconstructions: vtk + error plot toggles
+    rec = {"configuration": {"internal_grid": {
+               "real_grid": np.arange(4.0), "reciprocal_grid": np.arange(4.0),
+               "thetas": np.linspace(0.1, 3.0, 6),
+               "phis": np.linspace(0, 6.2, 8)}},
+           "reconstruction_results": {"0": {
+               "real_density": np.ones((4, 6, 8)),
+               "error_dict": {"main": np.ones(5), "reciprocal": np.ones(5),
+                              "final": 1.0}}}}
+    db_noviz = ProjectDB(DictNamespace({
+        "structure_name": "s3",
+        "IO": {"files": {"reconstructions": {"options": {
+            "generate_vtk_files": False, "plot_error_metrics": False}}}}}))
+    p, _ = db_noviz.save_reconstructions(rec)
+    folder = os.path.dirname(p)
+    assert not any(f.endswith(".vts") or f.endswith(".png")
+                   for f in os.listdir(folder))
+    db_viz = ProjectDB(DictNamespace({"structure_name": "s4"}))
+    p, _ = db_viz.save_reconstructions(rec)
+    folder = os.path.dirname(p)
+    assert any(f.endswith(".vts") for f in os.listdir(folder))
+    assert "errors.png" in os.listdir(folder)

@@ -75,11 +75,42 @@ class ProjectDB(DefaultDB):
         return path, run
 
     # -------------------------------------------------------------------- ccd
+    # ------------------------------------------------------ per-name options
+    def _io_option(self, name, key, default=None):
+        """IO.files.<name>.options.<key> save-hook toggle (reference
+        per-name options, e.g. default_0.01.yaml reconstructions options
+        generate_vtk_files/plot_error_metrics, ccd save_symlink)."""
+        if self.settings is None:
+            return default
+        opt = (self.settings.get("IO", {}).get("files", {}).get(name, {})
+               .get("options", {}))
+        val = opt.get(key, default)
+        return default if val is None else val
+
+    def _latest_symlink(self, path):
+        """Refresh a '<structure folder>/<filename>' symlink pointing at the
+        newest run's file (reference create_symlink, _database_.py:651,796 —
+        the ccd_symlink/invariant_symlink convenience paths)."""
+        try:
+            run_dir = os.path.dirname(path)
+            link = os.path.join(os.path.dirname(run_dir),
+                                os.path.basename(path))
+            rel = os.path.join(os.path.basename(run_dir),
+                               os.path.basename(path))
+            if os.path.islink(link) or os.path.exists(link):
+                os.remove(link)
+            os.symlink(rel, link)
+        except OSError:
+            pass
+
     def save_ccd(self, data, run=None, **kw):
         """Schema (reference correlate.py:274-295): radial_points,
         angular_points, xray_wavelength, average_intensity,
         cross_correlation/{I1I1,...}, num_images_processed, num_images_good."""
-        return self._save_archived("ccd", data, run=run)
+        path, run = self._save_archived("ccd", data, run=run)
+        if bool(self._io_option("ccd", "save_symlink", True)):
+            self._latest_symlink(path)
+        return path, run
 
     def load_ccd(self, run=None, path=None, **kw):
         if path is None:
@@ -105,7 +136,10 @@ class ProjectDB(DefaultDB):
         data["data_projection_matrices"] = {
             k: [np.asarray(v) for v in vs] for k, vs in pm.items()}
         path, run = self._save_archived("invariants", data, run=run)
-        self._plot_first_invariants(data, os.path.dirname(path))
+        if bool(self._io_option("invariants", "plot_first_invariants", True)):
+            self._plot_first_invariants(data, os.path.dirname(path))
+        if bool(self._io_option("invariants", "create_symlink", True)):
+            self._latest_symlink(path)
         return path, run
 
     def load_invariants(self, run=None, path=None, **kw):
@@ -151,8 +185,16 @@ class ProjectDB(DefaultDB):
         and an error-metric plot into the run folder."""
         path, run = self._save_archived("reconstructions", data, run=run)
         folder = os.path.dirname(path)
-        self._export_reconstruction_vtk(data, folder)
-        self._plot_errors(data, folder)
+        # generate_vtk_files: False disables, True or an int caps the count
+        # (the reference default is slice(2): first two results)
+        gen = self._io_option("reconstructions", "generate_vtk_files", 2)
+        if gen is not False:
+            self._export_reconstruction_vtk(
+                data, folder,
+                max_exports=2 if gen is True else int(gen))
+        if bool(self._io_option("reconstructions", "plot_error_metrics",
+                                True)):
+            self._plot_errors(data, folder)
         return path, run
 
     def load_reconstructions(self, run=None, path=None, **kw):
@@ -202,8 +244,17 @@ class ProjectDB(DefaultDB):
         """Schema (reference average.py:577-623 + tests :475-502)."""
         path, run = self._save_archived("average_results", data, run=run)
         folder = os.path.dirname(path)
-        self._plot_prtf(data, folder)
-        self._export_average_vtk(data, folder)
+        if bool(self._io_option("average_results", "plot_resolution_metrics",
+                                True)):
+            self._plot_prtf(data, folder)
+        self._export_average_vtk(
+            data, folder,
+            average=bool(self._io_option("average_results",
+                                         "generate_average_vtk", True)),
+            aligned=bool(self._io_option("average_results",
+                                         "generate_aligned_vtk", False)),
+            inputs=bool(self._io_option("average_results",
+                                        "generate_input_vtk", False)))
         return path, run
 
     def load_average_results(self, run=None, path=None, **kw):
@@ -232,17 +283,31 @@ class ProjectDB(DefaultDB):
         except Exception:
             pass
 
-    def _export_average_vtk(self, data, folder):
+    def _export_average_vtk(self, data, folder, average=True, aligned=False,
+                            inputs=False):
+        """average/aligned/input vtk exports (reference average_results
+        options generate_{average,aligned,input}_vtk)."""
         try:
             from xframe_tpu.io import vtk as vtk_io
             grid = data.get("grid")
             if grid is None:
                 return
-            rho = np.asarray(data["average"]["real_density"])
-            vtk_io.save_spherical(
-                os.path.join(folder, "average_density.vts"),
-                np.asarray(grid["rs"]), np.asarray(grid["thetas"]),
-                np.asarray(grid["phis"]), {"density": rho})
+            rs = np.asarray(grid["rs"])
+            thetas = np.asarray(grid["thetas"])
+            phis = np.asarray(grid["phis"])
+
+            def _save(fname, rho):
+                vtk_io.save_spherical(os.path.join(folder, fname), rs, thetas,
+                                      phis, {"density": np.asarray(rho)})
+
+            if average:
+                _save("average_density.vts", data["average"]["real_density"])
+            if aligned:
+                for key, rho in data.get("aligned", {}).items():
+                    _save(f"aligned_density_{key}.vts", rho)
+            if inputs:
+                for key, rho in data.get("input", {}).items():
+                    _save(f"input_density_{key}.vts", rho)
         except Exception:
             pass
 

@@ -50,11 +50,25 @@ class ProjectWorker(ProjectWorkerInterface):
     def run(self):
         opt = self.settings
         dim = int(opt.dimensions)
+        self._model = None
         if dim == 3:
             data = self._run_3d(opt)
         else:
             data = self._run_2d(opt)
         path, run = self.db.save("ccd", data)
+        # model-density vtk next to the ccd (reference ccd options
+        # save_model_vtk, simulate_ccd default_0.01.yaml:129-131)
+        if bool(self.db._io_option("ccd", "save_model_vtk", True)) \
+                and self._model is not None and dim == 3:
+            try:
+                import os
+                from xframe_tpu.io import vtk as vtk_io
+                density, (rs, thetas, phis) = self._model
+                vtk_io.save_spherical(
+                    os.path.join(os.path.dirname(path), "model_density.vts"),
+                    rs, thetas, phis, {"density": np.asarray(density)})
+            except Exception:
+                pass
         print(f"simulate_ccd: saved synthetic CC dataset to {path}")
         return data
 
@@ -73,6 +87,7 @@ class ProjectWorker(ProjectWorkerInterface):
             n_phi=int(opt.grid.get("n_phi_internal", 0) or 0) or None)
         grid = spherical_grid(ft.rs, ft.sht.theta, ft.sht.phi)
         density = build_density_from_shapes(grid, opt.shapes)
+        self._model = (density, (ft.rs, ft.sht.theta, ft.sht.phi))
 
         # one jitted program: density → intensity coefficients. The Hankel
         # weights enter as ARGUMENTS, not constants — at simulation grids
