@@ -619,3 +619,24 @@ def test_bl_enforce_psd_per_dataset_override(ccd1, home, monkeypatch):
     xf.select_project("fxs", "extract", overrides=base)
     xf.run()
     assert len(calls) == 1
+
+
+def test_projection_matrix_error_estimates(invariants_lowres):
+    """Invariants file carries per-order relative factorization errors
+    |B_l - V_l V_l^dag|/|B_l| (reference calc_projection_matrix_error_estimate,
+    fxs_invariant_tools.py:1259-1268; stored at extract.py:447)."""
+    est = invariants_lowres["data_projection_matrix_error_estimates"]["I1I1"]
+    bl = np.asarray(invariants_lowres["deg_2_invariant"]["I1I1"])
+    est = np.asarray(est)
+    assert est.shape == bl.shape
+    # nonzero entries carry a relative error; zero entries the -1 sentinel
+    nz = bl != 0
+    assert (est[~nz] == -1).all()
+    assert (est[nz] >= 0).all()
+    # rank-capped factorization is near-exact for low orders (full rank)
+    assert est[0][nz[0]].max() < 1e-6
+    # direct recomputation matches
+    from xframe_tpu.projects.fxs import invariants as itools
+    proj = invariants_lowres["data_projection_matrices"]["I1I1"]
+    ref = itools.projection_matrix_error_estimate(bl, proj)
+    np.testing.assert_allclose(est, ref)

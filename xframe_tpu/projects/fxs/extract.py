@@ -79,6 +79,11 @@ class ProjectWorker(ProjectWorkerInterface):
             q_limits=qlim_dict.get(primary))
         out["deg_2_invariant"] = {n: bls[n] for n in present}
         out["deg_2_invariant_masks"] = {n: mask_dict[n] for n in present}
+        # per-order relative error of the rank-capped factorization
+        # (reference calc_projection_matrix_error_estimate, extract.py:447,458)
+        out["data_projection_matrix_error_estimates"] = {
+            primary: itools.projection_matrix_error_estimate(
+                bls[primary], proj1)} if dim == 3 else {}
 
         # --- secondary datasets: I2I2 projection matrices, I2I1 unknown
         # unitary between the two datasets' unknowns (reference
@@ -90,13 +95,15 @@ class ProjectWorker(ProjectWorkerInterface):
                 bls["I2I2"], q_id_limits=qlim_dict.get("I2I2"),
                 rank_cap=rank_cap)
             out["data_projection_matrices"]["I2I2"] = proj2
+            out["data_projection_matrix_error_estimates"]["I2I2"] = \
+                itools.projection_matrix_error_estimate(bls["I2I2"], proj2)
             if "I2I1" in bls:
                 method = str(opt.get("unknown_transform", {})
                              .get("method", "procrustes"))
                 W, w_err = itools.calc_unknown_unitary_transform(
                     proj1, eig1, proj2, eig2, bls["I2I1"], qs, method=method)
                 out["data_projection_matrices"]["I2I1"] = W
-                out["data_projection_matrix_error_estimates"] = {"I2I1": w_err}
+                out["data_projection_matrix_error_estimates"]["I2I1"] = w_err
 
         # --- FQC between two CC datasets (classical per-q coherence,
         # reference resolution_metrics.py:112-144)

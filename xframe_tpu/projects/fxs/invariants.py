@@ -437,6 +437,25 @@ def enforce_sht_constraint(proj, sht, iterations=100, rel_err_limit=1e-6):
 
 
 # ---------------------------------------------- unknown unitary between datasets
+def projection_matrix_error_estimate(bl, proj):
+    """Per-order relative reconstruction error |B_l - V_l V_l^dag| / |B_l| on
+    nonzero entries, -1 elsewhere (reference
+    calc_projection_matrix_error_estimate, fxs_invariant_tools.py:1259-1268)."""
+    bl = np.asarray(bl)
+    errors = np.full(bl.shape, -1.0)
+    for l in range(bl.shape[0]):
+        b = bl[l]
+        pr = np.atleast_2d(np.asarray(proj[l])) if l < len(proj) else None
+        if pr is None:
+            continue
+        if pr.shape[0] != b.shape[0]:
+            pr = pr.T
+        nz = b != 0
+        rec = pr @ pr.conj().T
+        errors[l][nz] = np.abs(b - rec)[nz] / np.abs(b[nz])
+    return errors
+
+
 def calc_unknown_unitary_transform(proj_1, eig_1, proj_2, eig_2, b_21,
                                    radial_points, q_id_limits=None,
                                    method="procrustes"):
