@@ -482,10 +482,10 @@ def test_particle_estimate_in_gating():
                 w, support, pn_estimate_in=("ER",))
     assert mtip._pn_enabled
     rho0 = jnp.asarray(rho * support, dtype=jnp.complex64)
-    _, _, _, n_hio = mtip.mtip_iteration(rho0, jnp.asarray(support), 0.5,
-                                         "HIO", False)
-    _, _, _, n_er = mtip.mtip_iteration(rho0, jnp.asarray(support), 0.0,
-                                        "ER", False)
+    _, _, _, n_hio, _ = mtip.mtip_iteration(rho0, jnp.asarray(support),
+                                            0.5, "HIO", False)
+    _, _, _, n_er, _ = mtip.mtip_iteration(rho0, jnp.asarray(support),
+                                           0.0, "ER", False)
     assert float(n_hio) == 0.0
     assert float(n_er) >= 1.0  # scan space starts at N=1
 
@@ -640,3 +640,52 @@ def test_projection_matrix_error_estimates(invariants_lowres):
     proj = invariants_lowres["data_projection_matrices"]["I1I1"]
     ref = itools.projection_matrix_error_estimate(bl, proj)
     np.testing.assert_allclose(est, ref)
+
+
+def test_configurable_error_metrics(invariants_lowres, home):
+    """main_loop.error.methods: reciprocal metrics (l2_projection_diff,
+    deg2_invariant_l2_diff with order) are computed per iteration, and the
+    main combiner (reference generate_main_error_routine,
+    fxs_IO_methods.py:746-765) drives best-density tracking."""
+    overrides = {
+        "structure_name": "np1",
+        "grid": {"n_radial_points": 16, "max_order": L},
+        "multi_start": {"n_reconstructions": 1, "seed": 7},
+        "main_loop": {
+            **REC_LOOP,
+            "error": {"methods": {
+                "real": {"calculate": ["l2_projection_diff"],
+                         "l2_projection_diff": {
+                             "inside_initial_support": True}},
+                "reciprocal": {"calculate": ["l2_projection_diff",
+                                             "deg2_invariant_l2_diff"],
+                               # the fixture is a centered sphere: only B_0
+                               # is nonzero, so track order 0
+                               "deg2_invariant_l2_diff": {"order": 0}},
+                "main": {"metrics": {"real": ["l2_projection_diff"],
+                                     "reciprocal": ["l2_projection_diff"]},
+                         "type": "mean"},
+            }},
+        },
+    }
+    xf.select_project("fxs", "reconstruct", overrides=overrides)
+    out = xf.run()
+    ed = out["reconstruction_results"]["0"]["error_dict"]
+    main = np.asarray(ed["main"])
+    rec = np.asarray(ed["reciprocal"])
+    real = np.asarray(ed["real_l2_projection_diff"])
+    deg2 = np.asarray(ed["reciprocal_deg2_invariant_l2_diff"])
+    assert np.isfinite(main).all() and np.isfinite(deg2).all()
+    assert (deg2 >= 0).all()
+    # main == mean(real l2, reciprocal l2) per the configured combiner
+    np.testing.assert_allclose(main, (real + rec) / 2, rtol=2e-5, atol=1e-7)
+    # the deg2 fidelity of a converging run improves overall
+    assert deg2[-1] < deg2[0]
+
+    # unknown metric name -> explicit setup error
+    bad = dict(overrides)
+    bad["main_loop"] = {**REC_LOOP, "error": {"methods": {
+        "real": {"calculate": ["not_a_metric"]}}}}
+    xf.select_project("fxs", "reconstruct", overrides=bad)
+    with pytest.raises(ValueError, match="unknown error metric"):
+        xf.run()

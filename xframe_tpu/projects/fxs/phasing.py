@@ -141,7 +141,7 @@ class MTIP:
                  shrink_wrap: ShrinkWrap, integration_weights, initial_support,
                  enforce_initial_support_limit=np.inf, real_dtype=jnp.float32,
                  harmonic=None, fix_global_phase=True, fused_pipeline=None,
-                 pn_estimate_in=None):
+                 pn_estimate_in=None, error_config=None):
         """harmonic: intensity↔coefficient transform for the data projection;
         defaults to ft.sht (3D). Pass projections.RealCircularHarmonics for
         the 2D polar pipeline.
@@ -183,6 +183,45 @@ class MTIP:
         # None = all methods
         self._pn_estimate_in = (None if pn_estimate_in is None
                                 else tuple(pn_estimate_in))
+        # configurable in-loop error metrics (reference main_loop.error
+        # methods + main combiner, fxs_IO_methods.py:287-401,746-765;
+        # reconstruct.py:796-799). The default reproduces the tutorial:
+        # main = mean([real l2_projection_diff inside the initial support]).
+        cfg = dict(error_config or {})
+        self._err_real_masked = bool(cfg.get("real_inside_initial_support",
+                                             True))
+        self._real_metrics = tuple(cfg.get("real", ("l2_projection_diff",)))
+        self._rec_metrics = tuple(cfg.get("reciprocal", ()))
+        main_cfg = cfg.get("main", None) or {}
+        mm = main_cfg.get("metrics", None) or {}
+        self._main_metrics = (tuple(mm.get("real", ("l2_projection_diff",))),
+                              tuple(mm.get("reciprocal", ())))
+        self._main_type = str(main_cfg.get("type", "mean"))
+        known_real = {"l2_projection_diff"}
+        known_rec = {"l2_projection_diff", "deg2_invariant_l2_diff"}
+        unknown = ((set(self._real_metrics) | set(self._main_metrics[0]))
+                   - known_real) \
+            | ((set(self._rec_metrics) | set(self._main_metrics[1]))
+               - known_rec)
+        if unknown:
+            raise ValueError(f"unknown error metrics {sorted(unknown)}; "
+                             f"known real={sorted(known_real)}, "
+                             f"reciprocal={sorted(known_rec)}")
+        self._default_err_cfg = (
+            self._err_real_masked
+            and self._real_metrics == ("l2_projection_diff",)
+            and not self._rec_metrics
+            and self._main_metrics == (("l2_projection_diff",), ())
+            and self._main_type == "mean")
+        self._deg2_ref = None
+        if "deg2_invariant_l2_diff" in (set(self._rec_metrics)
+                                        | set(self._main_metrics[1])):
+            self._deg2_ref = self._build_deg2_ref(
+                int(cfg.get("deg2_order", 2)))
+        self._err_extra_names = [] if self._default_err_cfg else (
+            [f"real_{n}" for n in self._real_metrics]
+            + [f"reciprocal_{n}" for n in self._rec_metrics])
+        self._err_cols += len(self._err_extra_names)
         # fully-fused iteration path (ops.pallas_mtip): intensity squaring,
         # amplitude projection, ft-stab correction, phase anchor, real
         # constraint, IO update, and error/anchor reductions all run inside
@@ -195,6 +234,7 @@ class MTIP:
         if (fused_pipeline and fused is not None and self.sht is fused
                 and getattr(fused, 'm_splits', 0) == 1
                 and not self._pn_enabled and hasattr(ft, 'hankel')
+                and self._default_err_cfg
                 and isinstance(real, RealConstraint)):
             from xframe_tpu.ops.pallas_mtip import FusedIteration
             self._fi = FusedIteration(fused)
@@ -271,12 +311,54 @@ class MTIP:
 
     # ------------------------------------------------------------- iteration
     def _real_error(self, rho_p, rho_proj):
-        """relative L2 projection diff inside the initial support
-        (fxs_IO_methods.py:97-129, tutorial main error)."""
+        """relative L2 projection diff, by default inside the initial support
+        (fxs_IO_methods.py:97-129,287-299; the inside_initial_support flag
+        maps to main_loop.error.methods.real.l2_projection_diff)."""
+        if self._err_real_masked or self._w_err_premasked:
+            # premasked legacy weights cannot be unmasked — keep them
+            w = self._w_err
+        else:
+            w = jnp.asarray(self._w_err_host)
         d = rho_p - rho_proj
-        num = jnp.sum(self._w_err * (d * d.conj()).real)
-        den = jnp.sum(self._w_err * (rho_p * rho_p.conj()).real)
+        num = jnp.sum(w * (d * d.conj()).real)
+        den = jnp.sum(w * (rho_p * rho_p.conj()).real)
         return jnp.where(den > 0, num / den, jnp.inf)
+
+    @property
+    def error_names(self):
+        """Column names of the per-iteration errors array."""
+        return (["main", "reciprocal"]
+                + (["n_particles"] if self._pn_enabled else [])
+                + list(self._err_extra_names))
+
+    def _build_deg2_ref(self, k):
+        """Reference B_k = V_k V_k† (masked, order-0 scaled by 1/N) and its
+        norm, for the deg2_invariant_l2_diff in-loop metric (reference
+        _generate_deg2_invariant_diff_*, fxs_IO_methods.py:384-458)."""
+        if hasattr(self.rc, "V_pad"):                     # 3D
+            Vk = np.asarray(self.rc.V_pad[k])             # (n_q, n_m)
+            B = Vk @ Vk.conj().T
+        else:                                             # 2D polar
+            vk = np.asarray(self.rc.V[k]).reshape(-1)
+            B = np.outer(vk, vk.conj())
+        if k == 0:
+            # order 0 scales by 1/N (reference invariant_error, :393)
+            B = B / float(self.rc.n_particles)
+        rmask = np.asarray(self.rc.radial_mask[k]).reshape(-1)
+        m2 = rmask[:, None] & rmask[None, :]
+        B = B * m2
+        norm = float((B * B.conj()).real.sum())
+        return (int(k), jnp.asarray(B, dtype=self.cdtype), jnp.asarray(m2),
+                norm if norm > 0 else float("inf"))
+
+    def _deg2_error(self, Ilm):
+        """Relative L2 diff of the iterate's order-k invariant against the
+        data's (reference deg2_invariant_l2_diff with `order: k`)."""
+        k, B_ref, m2, norm = self._deg2_ref
+        Ik = Ilm[:, :, k] if Ilm.ndim == 3 else Ilm[:, k: k + 1]
+        Bk = (Ik @ Ik.conj().T) * m2
+        d = B_ref - Bk
+        return jnp.sum((d * d.conj()).real) / norm
 
     def _reciprocal_error(self, psi, psi_p):
         """relative L2 distance of the amplitude projection
@@ -346,15 +428,33 @@ class MTIP:
             corr = rho_in - rt
             rho_p = rho_p + corr.at[0].set(0)
         rho_proj, invalid = self.real(rho_p, support)
-        err = self._real_error(rho_p, rho_proj)
+        err_real = self._real_error(rho_p, rho_proj)
         err_rec = self._reciprocal_error(psi, psi_p)
+        if self._default_err_cfg:
+            err, extras = err_real, ()
+        else:
+            # configured metric set + main combiner (reference
+            # generate_main_error_routine, fxs_IO_methods.py:746-765)
+            vals = {("real", "l2_projection_diff"): err_real,
+                    ("reciprocal", "l2_projection_diff"): err_rec}
+            if self._deg2_ref is not None:
+                vals[("reciprocal", "deg2_invariant_l2_diff")] = \
+                    self._deg2_error(Ilm)
+            sel = ([vals[("real", n)] for n in self._main_metrics[0]]
+                   + [vals[("reciprocal", n)] for n in self._main_metrics[1]])
+            op = {"mean": jnp.mean, "min": jnp.min, "max": jnp.max,
+                  "prod": jnp.prod}[self._main_type]
+            err = op(jnp.stack(sel)) if sel else err_real
+            extras = tuple([vals[("real", n)] for n in self._real_metrics]
+                           + [vals[("reciprocal", n)]
+                              for n in self._rec_metrics])
         if method == 'HIO':
             rho_new = hio_update(rho_in, rho_p, rho_proj, invalid, beta)
         elif method == 'RAAR':
             rho_new = raar_update(rho_in, rho_p, rho_proj, invalid, beta)
         else:
             rho_new = er_update(rho_proj)
-        return rho_new, err, err_rec, n_hat
+        return rho_new, err, err_rec, n_hat, extras
 
     # ------------------------------------------------------- fused iteration
     def _anchor_scalar(self, z, z2):
@@ -496,13 +596,14 @@ class MTIP:
 
         def body(carry, beta):
             rho, best_rho, best_mask, best_err, _ = carry
-            rho_new, err, err_rec, n_hat = self.mtip_iteration(
+            rho_new, err, err_rec, n_hat, extras = self.mtip_iteration(
                 rho, state.support, beta, seg.method, seg.ft_stab)
             better = err < best_err
             best_rho = jnp.where(better, rho_new, best_rho)
             best_mask = jnp.where(better, state.support, best_mask)
             best_err = jnp.minimum(err, best_err)
-            cols = [err, err_rec] + ([n_hat] if self._pn_enabled else [])
+            cols = [err, err_rec] + ([n_hat] if self._pn_enabled else []) \
+                + list(extras)
             return (rho_new, best_rho, best_mask, best_err, err), \
                 jnp.stack(cols)
 

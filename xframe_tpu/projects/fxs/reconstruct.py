@@ -473,7 +473,8 @@ class ProjectWorker(ProjectWorkerInterface):
         mtip = MTIP(ft, rc_constraint, real_constraint, sw, w_err,
                     initial_support,
                     enforce_initial_support_limit=enforce_limit,
-                    real_dtype=real_dtype, pn_estimate_in=pn_estimate_in)
+                    real_dtype=real_dtype, pn_estimate_in=pn_estimate_in,
+                    error_config=self._error_config(opt))
         # SW_center support: cartesian grid tables for the c.o.m. shift
         from xframe_tpu.library.shapes import spherical_to_cartesian
         grid_q = spherical_grid(ft.qs, ft.sht.theta, ft.sht.phi)
@@ -700,7 +701,8 @@ class ProjectWorker(ProjectWorkerInterface):
         mtip = MTIP(ft, rc_constraint, real_constraint, sw, w_err,
                     initial_support,
                     enforce_initial_support_limit=enforce_limit,
-                    real_dtype=real_dtype, harmonic=cht)
+                    real_dtype=real_dtype, harmonic=cht,
+                    error_config=self._error_config(opt))
 
         total_intensity = float(np.trapezoid(avg_intensity * ft.qs, ft.qs)
                                 * 2 * np.pi)
@@ -744,6 +746,32 @@ class ProjectWorker(ProjectWorkerInterface):
                    so_radial_high_pass=float(so_opt.get("radial_high_pass",
                                                         0.2)))
         return mtip, ft, aux
+
+    def _error_config(self, opt):
+        """main_loop.error.methods → MTIP error_config (reference
+        reconstruct.py:796-799 + fxs_IO_methods.py:287-401,746-765)."""
+        eopt = opt.main_loop.get("error", {})
+        methods = eopt.get("methods", {})
+        real = methods.get("real", {})
+        rec = methods.get("reciprocal", {})
+        main = methods.get("main", {})
+        cfg = {
+            "real": list(real.get("calculate", ["l2_projection_diff"])),
+            "reciprocal": list(rec.get("calculate", [])),
+            "real_inside_initial_support": bool(
+                real.get("l2_projection_diff", {})
+                .get("inside_initial_support", True)),
+            "deg2_order": int(rec.get("deg2_invariant_l2_diff", {})
+                              .get("order", 2)),
+        }
+        if main:
+            mm = main.get("metrics", {})
+            cfg["main"] = {
+                "metrics": {
+                    "real": list(mm.get("real", ["l2_projection_diff"])),
+                    "reciprocal": list(mm.get("reciprocal", []))},
+                "type": str(main.get("type", "mean"))}
+        return cfg
 
     def _radial_mask(self, ropt, L, qs, qs_data=None, q_id_limits=None):
         """Reciprocal-projection radial mask of shape (L+1, n_q).
@@ -899,7 +927,15 @@ class ProjectWorker(ProjectWorkerInterface):
                 "fxs_unknowns": to_host(W),
                 "error_dict": {"main": errors_h[i][:, 0],
                                "reciprocal": errors_h[i][:, 1],
-                               "final": float(to_host(states.best_err[i]))},
+                               "final": float(to_host(states.best_err[i])),
+                               # configured per-metric curves (main_loop
+                               # .error.methods, reference error_dict layout)
+                               **{nm: errors_h[i][:, j]
+                                  for j, nm in enumerate(
+                                      getattr(mtip, "error_names",
+                                              ["main", "reciprocal"]))
+                                  if j >= 2 + int(getattr(
+                                      mtip, "_pn_enabled", False))}},
                 "n_particles": float(mtip.rc.n_particles),
             }
             if errors_h[i].shape[-1] > 2:
