@@ -689,3 +689,24 @@ def test_configurable_error_metrics(invariants_lowres, home):
     xf.select_project("fxs", "reconstruct", overrides=bad)
     with pytest.raises(ValueError, match="unknown error metric"):
         xf.run()
+
+
+def test_per_method_ft_stab_in_schedule():
+    """methods.<m>.ft_stab (reference reconstruct.py:836-850) is honored per
+    method and wins over the loop-level ft_stabilization map."""
+    from xframe_tpu.projects.fxs.phasing import build_schedule
+    main_loop = {"order": ["main"], "main": {
+        "iterations": 1, "order": ["HIO", "ER"],
+        "methods": {"HIO": {"iterations": 2, "ft_stab": True},
+                    "ER": {"iterations": 2}}}}
+    segs = build_schedule(main_loop, [[0.5, 0.5, -1.0, 10]], [False], [0.1],
+                          {"main": {"ER": True}}, 1.0)
+    by_method = {s.method: s.ft_stab for s in segs}
+    assert by_method["HIO"] is True    # per-method key
+    assert by_method["ER"] is True     # loop-level map fallback
+    # unsupported dynamic variant degrades to False with a warning
+    main_loop["main"]["methods"]["HIO"]["ft_stab"] = \
+        "link_to_enforce_initial_support"
+    segs = build_schedule(main_loop, [[0.5, 0.5, -1.0, 10]], [False], [0.1],
+                          {}, 1.0)
+    assert [s.ft_stab for s in segs if s.method == "HIO"] == [False]

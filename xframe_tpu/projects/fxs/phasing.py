@@ -110,9 +110,25 @@ def build_schedule(main_loop_opt, hio_beta_opt, sw_sigmas_opt, sw_thresholds_opt
                     betas = np.array([beta_ramp(step + i) for i in range(repeats)],
                                      dtype=np.float64)
                     step += repeats
+                    # per-method ft_stab (reference methods.<m>.ft_stab,
+                    # reconstruct.py:836-850) wins over the rebuild's
+                    # main_loop.ft_stabilization {loop: {method: bool}} map;
+                    # the reference's 'link_to_enforce_initial_support'
+                    # dynamic variant is not supported (static schedules)
+                    fts = mopt.get('ft_stab', None) \
+                        if hasattr(mopt, 'get') else None
+                    if isinstance(fts, str):
+                        import logging
+                        logging.getLogger("xframe_tpu").warning(
+                            "ft_stab=%r is not supported (schedules are "
+                            "static); using ft_stab=False for %s", fts, method)
+                        fts = False
+                    if fts is None:
+                        fts = bool(method_ft_stab.get(loop_name, {})
+                                   .get(method, False))
                     segments.append(Segment(
                         method=base, n=repeats, betas=betas,
-                        ft_stab=bool(method_ft_stab.get(loop_name, {}).get(method, False))))
+                        ft_stab=bool(fts)))
             if n_first is not None and it == int(n_first):
                 segments.append(Segment(method='SNAPSHOT'))
         if n_first is not None:
