@@ -98,8 +98,11 @@ class ProjectWorker(ProjectWorkerInterface):
             out["data_projection_matrix_error_estimates"]["I2I2"] = \
                 itools.projection_matrix_error_estimate(bls["I2I2"], proj2)
             if "I2I1" in bls:
-                method = str(opt.get("unknown_transform", {})
-                             .get("method", "procrustes"))
+                # reference key (typo included): extract.py:466
+                method = str(opt.get(
+                    "I2I1_unknown_tranrform_extraction_method", None)
+                    or opt.get("unknown_transform", {})
+                    .get("method", "procrustes"))
                 W, w_err = itools.calc_unknown_unitary_transform(
                     proj1, eig1, proj2, eig2, bls["I2I1"], qs, method=method)
                 out["data_projection_matrices"]["I2I1"] = W
