@@ -166,7 +166,9 @@ def test_io_file_options_toggles(tmp_path, monkeypatch):
     db_noviz = ProjectDB(DictNamespace({
         "structure_name": "s3",
         "IO": {"files": {"reconstructions": {"options": {
-            "generate_vtk_files": False, "plot_error_metrics": False}}}}}))
+            "generate_vtk_files": False, "plot_error_metrics": False,
+            "plot_first_used_invariants": False,
+            "generate_2d_images": False}}}}}))
     p, _ = db_noviz.save_reconstructions(rec)
     folder = os.path.dirname(p)
     assert not any(f.endswith(".vts") or f.endswith(".png")
@@ -176,3 +178,38 @@ def test_io_file_options_toggles(tmp_path, monkeypatch):
     folder = os.path.dirname(p)
     assert any(f.endswith(".vts") for f in os.listdir(folder))
     assert "errors.png" in os.listdir(folder)
+    assert "real_density_0.png" in os.listdir(folder)
+
+
+def test_invariants_plot_options(tmp_path, monkeypatch):
+    """invariants options plot_first_invariants_from_proj_matrices (default
+    on) and plot_first_projection_matrix_error_estimates (default off)."""
+    import numpy as np
+    monkeypatch.setenv("XFRAME_TPU_HOME", str(tmp_path))
+    from xframe_tpu.projects.fxs._database_ import ProjectDB
+    from xframe_tpu.settings.tools import DictNamespace
+
+    rng = np.random.default_rng(0)
+    bl = rng.normal(size=(3, 5, 5)) + 0j
+    inv = {"deg_2_invariant": {"I1I1": bl},
+           "data_projection_matrices": {"I1I1": [rng.normal(size=(5, 1)) + 0j,
+                                                 rng.normal(size=(5, 3)) + 0j,
+                                                 rng.normal(size=(5, 5)) + 0j]},
+           "data_projection_matrix_error_estimates": {
+               "I1I1": np.abs(rng.normal(size=(3, 5, 5)))},
+           "max_order": 2, "dimensions": 3,
+           "data_radial_points": np.linspace(0.1, 1, 5)}
+    db = ProjectDB(DictNamespace({"structure_name": "pI"}))
+    p, _ = db.save_invariants(dict(inv))
+    files = os.listdir(os.path.dirname(p))
+    assert "first_invariants.png" in files
+    assert "first_invariants_from_proj_matrices.png" in files
+    assert "first_projection_matrix_error_estimates.png" not in files
+
+    db2 = ProjectDB(DictNamespace({
+        "structure_name": "pII",
+        "IO": {"files": {"invariants": {"options": {
+            "plot_first_projection_matrix_error_estimates": True}}}}}))
+    p, _ = db2.save_invariants(dict(inv))
+    assert "first_projection_matrix_error_estimates.png" in \
+        os.listdir(os.path.dirname(p))

@@ -151,14 +151,15 @@ class ProjectDB(DefaultDB):
             k: [np.asarray(v) for v in vs] for k, vs in pm.items()}
         return data
 
-    def _plot_first_invariants(self, data, folder, n=4):
-        """First-invariant diagnostic figures (reference
-        _save_first_invariants, _database_.py:395-450)."""
+    def _plot_matrix_stack(self, bl, folder, fname, n=4, label="B"):
+        """Log-magnitude images of the first n nonzero orders of a stacked
+        (L+1, n_q, n_q) matrix family (reference _save_first_invariants,
+        _database_.py:395-450)."""
         try:
             import matplotlib
             matplotlib.use("Agg")
             import matplotlib.pyplot as plt
-            bl = np.asarray(data["deg_2_invariant"]["I1I1"])
+            bl = np.asarray(bl)
             orders = [l for l in range(min(2 * n, bl.shape[0]))
                       if np.abs(bl[l]).max() > 0][:n]
             if not orders:
@@ -168,11 +169,55 @@ class ProjectDB(DefaultDB):
             axes = np.atleast_1d(axes)
             for ax, l in zip(axes, orders):
                 im = ax.imshow(np.log10(np.abs(bl[l]) + 1e-20), origin="lower")
-                ax.set_title(f"log10 |B_{l}|")
+                ax.set_title(f"log10 |{label}_{l}|")
                 fig.colorbar(im, ax=ax)
             fig.tight_layout()
-            fig.savefig(os.path.join(folder, "first_invariants.png"), dpi=100)
+            fig.savefig(os.path.join(folder, fname), dpi=100)
             plt.close(fig)
+        except Exception:  # plotting must never break the pipeline
+            pass
+
+    @staticmethod
+    def _bl_from_projection_matrices(proj_list):
+        """B_l = V_l V_l† from a per-l matrix list (reference
+        projection_matrices_to_deg2_invariant, fxs_invariant_tools.py:1240)."""
+        out = []
+        n_q = np.atleast_2d(np.asarray(proj_list[0])).shape[0]
+        for v in proj_list:
+            v = np.atleast_2d(np.asarray(v))
+            if v.shape[0] != n_q:
+                v = v.T
+            out.append(v @ v.conj().T)
+        return np.asarray(out)
+
+    def _plot_first_invariants(self, data, folder, n=4):
+        """First-invariant diagnostic figures (reference
+        _save_first_invariants, _database_.py:395-450, 655-676): |B_l| from
+        the data, optionally the V_l V_l† rebuild and the factorization
+        error estimates (invariants options
+        plot_first_invariants_from_proj_matrices /
+        plot_first_projection_matrix_error_estimates)."""
+        try:
+            bl = np.asarray(data["deg_2_invariant"]["I1I1"])
+            self._plot_matrix_stack(bl, folder, "first_invariants.png", n)
+            if bool(self._io_option(
+                    "invariants", "plot_first_invariants_from_proj_matrices",
+                    True)):
+                proj = data.get("data_projection_matrices", {}).get("I1I1")
+                if proj:
+                    self._plot_matrix_stack(
+                        self._bl_from_projection_matrices(proj), folder,
+                        "first_invariants_from_proj_matrices.png", n)
+            if bool(self._io_option(
+                    "invariants",
+                    "plot_first_projection_matrix_error_estimates", False)):
+                est = data.get("data_projection_matrix_error_estimates",
+                               {}).get("I1I1")
+                if est is not None:
+                    self._plot_matrix_stack(
+                        np.abs(np.asarray(est)), folder,
+                        "first_projection_matrix_error_estimates.png", n,
+                        label="err")
         except Exception:  # plotting must never break the pipeline
             pass
 
@@ -195,7 +240,45 @@ class ProjectDB(DefaultDB):
         if bool(self._io_option("reconstructions", "plot_error_metrics",
                                 True)):
             self._plot_errors(data, folder)
+        # plot_first_used_invariants: |B_l| of the regridded projection
+        # matrices the reconstruction actually used (reference
+        # _database_.py:376-384)
+        if bool(self._io_option("reconstructions",
+                                "plot_first_used_invariants", True)):
+            proj = data.get("projection_matrices")
+            if isinstance(proj, dict):
+                proj = [proj[k] for k in sorted(proj, key=int)]
+            if proj is not None and len(proj):
+                self._plot_matrix_stack(
+                    self._bl_from_projection_matrices(proj), folder,
+                    "first_used_invariants.png")
+        # generate_2d_images: density-slice pngs per result (reference
+        # reconstructions options, default_0.01.yaml:382-386; 2D there,
+        # rendered for both dims here via the headless viewer figures)
+        n_img = self._io_option("reconstructions", "generate_2d_images", 2)
+        if n_img is not False:
+            self._export_reconstruction_images(
+                data, folder, max_exports=2 if n_img is True else int(n_img))
         return path, run
+
+    def _export_reconstruction_images(self, data, folder, max_exports=2):
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            from xframe_tpu.presenters.viewer import (reconstruction_figure,
+                                                      _grid_from_config)
+            grid = _grid_from_config(data["configuration"])
+            results = data.get("reconstruction_results", {})
+            for i, key in enumerate(sorted(results, key=lambda k: int(k))):
+                if i >= max_exports:
+                    break
+                fig = reconstruction_figure(results[key], grid, key=key)
+                fig.savefig(os.path.join(folder, f"real_density_{key}.png"),
+                            dpi=100)
+                import matplotlib.pyplot as plt
+                plt.close(fig)
+        except Exception:
+            pass
 
     def load_reconstructions(self, run=None, path=None, **kw):
         if path is None:
