@@ -583,6 +583,10 @@ def test_vmem_plans_match_measured_chip_boundaries():
     assert fused_sht_vmem_plan(320, 640, 128, 257, 2) == (8, 124 * MiB)
     # f32 tutorial: q_block=16 fits the default 100 MB cap (32 OOM'd)
     assert fused_sht_vmem_plan(256, 512, 64, 129, 4) == (16, 100 * MiB)
+    # f32 production with the lane-ALIGNED order L=127 (1.31x faster MXU
+    # work): q_block=13 measured 149.6 MB, q_block=8 measured 126.2 MB
+    # (both OOM over the 124 MiB cap); q_block=6 compiled and ran
+    assert fused_sht_vmem_plan(320, 640, 127, 255, 4) == (6, 124 * MiB)
     # K4 f32 production (P_t (264,129,320), 44.9 MB resident): the cap
     # auto-raises (measured 104.6 MB needed at q_block 1) and the fused
     # start block 5//2=2 survives

@@ -85,6 +85,18 @@ def fused_sht_vmem_plan(n_theta, n_phi, l_max, n_m, table_itemsize,
         vmem_limit_bytes = max(vmem_limit_bytes, 124 * 1024 * 1024)
     plane = n_theta * n_phi * 4
     out_blk = padded_vmem_bytes(m8, l_max + 1)
+    if (l_max + 1) % 128 == 0:
+        # lane-ALIGNED l contraction (L = 127, 255, ...): no 2× lane padding
+        # in the analysis table, so `tab` is small — but the register
+        # allocator's spill slots become the binding term. Chip-measured at
+        # L=127, 320×640, f32 under the 124 MiB cap: 149.6 MB needed at
+        # qb=13, 126.2 MB at qb=8, fits at qb=6 → fixed ≈ tab + 40 MB,
+        # slope ≈ 4.67 MB/q (spill-dominated). The aligned MXU work runs 1.31× faster than
+        # L=128 on the same grid (0.0371 vs 0.0486 s/iter), so the smaller
+        # q-block is well worth it.
+        per_q = int((4.67 if table_itemsize == 4 else 7.0) * 1024 * 1024)
+        budget = int(vmem_limit_bytes * 0.95) - tab - 40 * 1024 * 1024
+        return max(1, min(16, budget // per_q)), int(vmem_limit_bytes)
     per_q = 6 * plane + 4 * out_blk
     if table_itemsize == 2:
         per_q = 9 * plane + 6 * out_blk

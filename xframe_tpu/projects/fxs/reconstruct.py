@@ -324,6 +324,15 @@ class ProjectWorker(ProjectWorkerInterface):
                      and len(jax.devices()) == 1)
         else:
             fused = bool(fused_cfg)
+        if fused and L >= 96 and (L + 1) % 128:
+            # at MXU-bound scales the l contraction pads (L+1) up to the next
+            # 128-lane multiple — L=127 measured 1.31x faster than L=128 on
+            # the identical 320x640 grid (docs/performance.md)
+            logger.info(
+                "grid.max_order=%d: the fused kernels pad the l dimension to "
+                "%d lanes; max_order=%d would align the MXU exactly "
+                "(measured 1.31x at production scale)", L,
+                -(-(L + 1) // 128) * 128, (L + 1) // 128 * 128 - 1 or 127)
         # bf16-resident fused tables: MXU matmuls in bf16/f32-accumulate —
         # measured 1.21× at production scale (MXU-bound kernels), parity at
         # tutorial scale (DMA-bound); ~4e-3 relative per transform
