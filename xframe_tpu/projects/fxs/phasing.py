@@ -677,12 +677,17 @@ class MTIP:
                             best_mask=jnp.asarray(self.initial_support),
                             best_err=inf, last_err=inf)
 
-    def initial_state_batch(self, rho0_batch):
+    def initial_state_batch(self, rho0_batch, support=None):
         """Fresh batched PhasingState (restart axis leading); jit this —
-        complex casts must not run eagerly on the axon backend."""
+        complex casts must not run eagerly on the axon backend. `support`
+        may be passed as a (traced) argument: at production scale the
+        initial-support constant is ~50 MB, and embedding it re-hashes the
+        program on every fresh jit wrapper (~3 s/call measured on the
+        tunnel)."""
         n = rho0_batch.shape[0]
-        sup = jnp.broadcast_to(jnp.asarray(self.initial_support),
-                               rho0_batch.shape)
+        if support is None:
+            support = jnp.asarray(self.initial_support)
+        sup = jnp.broadcast_to(support, rho0_batch.shape)
         inf = jnp.full((n,), np.inf, dtype=self.rdtype)
         rho = rho0_batch.astype(self.cdtype)
         return PhasingState(rho=rho, support=sup, best_rho=rho,
