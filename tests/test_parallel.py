@@ -86,6 +86,19 @@ def test_checkpointing_runner_resume(problem, schedule, tmp_path):
                        np.asarray(ref_states.best_err), rtol=2e-2, atol=1e-5)
 
 
+def test_checkpointing_runner_reuses_initial_state_jit(problem, schedule):
+    """Regression: a fresh jax.jit(initial_state_batch) wrapper per __call__
+    re-traced and re-hashed the embedded initial-support constant on every
+    run (3.1 s/call measured at production scale on the tunnel). The wrapper
+    is built once in __init__ with the support as a device argument, so
+    repeated same-shape calls must hit one compiled entry."""
+    runner = CheckpointingRunner(problem.mtip, schedule, None)
+    rho0s = problem.initial_density_batch(7, 2)
+    runner(rho0s, resume=False)
+    runner(rho0s, resume=False)
+    assert runner._init_state._cache_size() == 1
+
+
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_theta_mesh_with_weights_as_arguments(problem):
     """L_max-scaling path (SURVEY.md §5): on grids whose Hankel tables are
