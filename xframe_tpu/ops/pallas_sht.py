@@ -94,7 +94,16 @@ def fused_sht_vmem_plan(n_theta, n_phi, l_max, n_m, table_itemsize,
         # slope ≈ 4.67 MB/q (spill-dominated). The aligned MXU work runs 1.31× faster than
         # L=128 on the same grid (0.0371 vs 0.0486 s/iter), so the smaller
         # q-block is well worth it.
-        per_q = int((4.67 if table_itemsize == 4 else 7.0) * 1024 * 1024)
+        if table_itemsize == 2:
+            # bf16 tables halve `tab` below the 36 MB raise threshold, but
+            # the spill term still dominates: chip point at L=127, 320×640 —
+            # qb=4 needs 101.08 MB (OOM over the 100 MB cap) → slope
+            # ≈ 10 MB/q over fixed ≈ tab + 40 MB. Raise the cap as the f32
+            # aligned case does (its bigger table crosses the threshold).
+            vmem_limit_bytes = max(vmem_limit_bytes, 124 * 1024 * 1024)
+            per_q = int(10.5 * 1024 * 1024)
+        else:
+            per_q = int(4.67 * 1024 * 1024)
         budget = int(vmem_limit_bytes * 0.95) - tab - 40 * 1024 * 1024
         return max(1, min(16, budget // per_q)), int(vmem_limit_bytes)
     per_q = 6 * plane + 4 * out_blk
