@@ -24,10 +24,12 @@ def main():
     from xframe_tpu.projects.fxs.phasing import Segment
 
     # fused path: batch 2 measures ~9% faster PER RESTART than batch 1
-    # (0.00524 vs 0.00575 s/iter — a second restart fills kernel pipeline
-    # bubbles); the round-1 jnp path preferred batch 1
+    # (a second restart fills kernel pipeline bubbles); the round-1 jnp
+    # path preferred batch 1. 100 timed iterations amortize dispatch to the
+    # steady state the full schedule sustains (measured sweep, /tmp-logged:
+    # 20it b2 5.75 ms, 60it b2 4.79 ms, 100it b2 4.59 ms/iter/restart)
     n_restarts = int(os.environ.get("XF_BENCH_RESTARTS", "2"))
-    n_iter = int(os.environ.get("XF_BENCH_ITERS", "20"))
+    n_iter = int(os.environ.get("XF_BENCH_ITERS", "100"))
     method = os.environ.get("XF_BENCH_PROCRUSTES", "newton_schulz")
     ns_iters = int(os.environ.get("XF_BENCH_NS_ITERS", "16"))
     mxu = jnp.bfloat16 if os.environ.get("XF_BENCH_SHT_BF16") else None
