@@ -82,7 +82,9 @@ def main():
         # Run shrink-wrap-bounded chunks instead: identical chunk
         # structures share one (small) compiled program.
         from xframe_tpu.parallel.mesh import CheckpointingRunner
-        runner = CheckpointingRunner(p.mtip, schedule, arg_tables=True)
+        # pass the already device-resident tables: arg_tables=True would
+        # device_put a second ~½ GB copy
+        runner = CheckpointingRunner(p.mtip, schedule, arg_tables=tables)
         run = lambda t, r: runner(r, resume=False)  # noqa: E731
     else:
         run = jax.jit(lambda t, r: p.mtip.run_batch(r, schedule, tables=t))

@@ -619,6 +619,29 @@ def test_bl_enforce_psd_per_dataset_override(ccd1, home, monkeypatch):
     xf.select_project("fxs", "extract", overrides=base)
     xf.run()
     assert len(calls) == 1
+    # the per-dataset default is null: the GLOBAL flag must be honored when
+    # no per-dataset override is given (the old default of True shadowed it)
+    xf.select_project("fxs", "extract", overrides={
+        **base, "invariant_constraints": {"positive_semidefinite": {
+            "apply": False}}})
+    xf.run()
+    assert len(calls) == 1  # no new PSD call
+
+
+def test_extract_rejects_qrange_xcca_ccd(home, ccd1):
+    """A qrange_xcca-restricted ccd (rectangular CC vs full radial_points,
+    the reference file layout, correlate.py:290) must fail extraction with
+    a descriptive error instead of a broadcast crash."""
+    import copy
+    from xframe_tpu.projects.fxs.extract import ProjectWorker
+    ccd = copy.deepcopy(ccd1)
+    ccd["cross_correlation"]["I1I1"] = \
+        np.asarray(ccd["cross_correlation"]["I1I1"])[:3, :2]
+    xf.select_project("fxs", "extract", overrides={
+        "structure_name": "np1", "dimensions": 3, "max_order": L})
+    w = ProjectWorker()
+    with pytest.raises(ValueError, match="qrange_xcca"):
+        w.extract(ccd, 3)
 
 
 def test_projection_matrix_error_estimates(invariants_lowres):

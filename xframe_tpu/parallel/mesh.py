@@ -80,7 +80,7 @@ class MultiStartRunner:
 
     def __init__(self, mtip, schedule, mesh: Mesh | None = None,
                  restart_axis: str = "restarts", theta_axis: str | None = "theta",
-                 arg_tables: bool | str = "auto"):
+                 arg_tables: bool | str | dict = "auto"):
         """arg_tables: thread the big numeric tables (Hankel, fused SHT,
         projection matrices — mtip.arg_tables) into jit as ARGUMENTS instead
         of embedded constants. 'auto' enables it when the tables exceed
@@ -124,7 +124,12 @@ class MultiStartRunner:
 
     @staticmethod
     def _resolve_tables(mtip, arg_tables, mesh):
-        """→ device-resident tables dict ({} = embedded-constant mode)."""
+        """→ device-resident tables dict ({} = embedded-constant mode).
+        A dict is taken as already-resolved (possibly device-resident)
+        tables — callers that device_put their own copy pass it here so the
+        ~½ GB set is not resident twice."""
+        if isinstance(arg_tables, dict):
+            return arg_tables
         if not arg_tables or not hasattr(mtip, "arg_tables"):
             return {}
         t = mtip.arg_tables()
@@ -201,7 +206,7 @@ class CheckpointingRunner:
     def __init__(self, mtip, schedule, mesh: Mesh | None = None,
                  checkpoint_path: str | None = None, save_every: int = 1,
                  restart_axis: str = "restarts", theta_axis: str = "theta",
-                 arg_tables: bool | str = "auto"):
+                 arg_tables: bool | str | dict = "auto"):
         self.mtip = mtip
         self.chunks = split_schedule_chunks(schedule)
         self.mesh = mesh

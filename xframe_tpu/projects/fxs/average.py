@@ -434,8 +434,11 @@ class ProjectWorker(ProjectWorkerInterface):
     def _averaged_projection_matrices(proj_per_file, used_meta,
                                       scaling_factors, all_meta):
         """V̄_l = mean_files V_l^{(f)} / s_f², s_f the mean normalization
-        scale of file f's used reconstructions (reference
-        get_averaged_projection_matrices, average.py:90-100)."""
+        scale over ALL of file f's selected reconstructions — including ones
+        the later l2 alignment filter drops, as in the reference, whose
+        average_scaling_factors_per_file is computed at load time
+        (average.py:90-100,183-186); only files that contributed at least
+        one used candidate enter the mean."""
         if not proj_per_file or proj_per_file[0] is None:
             return None
         used_files = sorted({m["file_index"] for m in used_meta})

@@ -481,6 +481,14 @@ class ProjectWorker(ProjectWorkerInterface):
             "num_images_processed": len(paths),
             "num_images_good": out["num_images_good"],
         }
+        if len(corr.q1_pos) != corr.n_q or len(corr.q2_pos) != corr.n_q:
+            # qrange_xcca-restricted CCF: radial_points stays the full ring
+            # grid (reference format, correlate.py:290) — record the ring
+            # subsets so the file is self-describing
+            data["qrange_xcca_q1_ids"] = corr.q1_pos
+            data["qrange_xcca_q2_ids"] = corr.q2_pos
+            data["qrange_xcca_q1_points"] = corr.qs[corr.q1_pos]
+            data["qrange_xcca_q2_points"] = corr.qs[corr.q2_pos]
         path, run = self.db.save("ccd", data)
         print(f"correlate: {len(paths)} frames "
               f"({out['num_images_good']} good); saved to {path}")

@@ -103,10 +103,11 @@ def make_demo_problem(n_radial: int = 32, l_max: int = 16, *, q_max: float = Non
 
     from functools import partial
 
-    @partial(jax.jit, static_argnums=(0, 1))
+    @partial(jax.jit, static_argnums=(1,))
     def _batch_from_seed(seed, n_restarts):
-        # key creation + split INSIDE jit: eager integer ops are
-        # unimplemented on the axon backend
+        # seed is TRACED (fresh seeds reuse one compilation, as in the
+        # reconstruct worker); key creation + split INSIDE jit: eager
+        # integer ops are unimplemented on the axon backend
         key = jax.random.PRNGKey(seed)
         return jax.vmap(_guess)(jax.random.split(key, n_restarts))
 
@@ -114,7 +115,7 @@ def make_demo_problem(n_radial: int = 32, l_max: int = 16, *, q_max: float = Non
     def _batch_from_key(key, n_restarts):
         return jax.vmap(_guess)(jax.random.split(key, n_restarts))
 
-    @partial(jax.jit, static_argnums=(1, 2))
+    @partial(jax.jit, static_argnums=(2,))
     def _batch_from_seed_tables(tables, seed, n_restarts):
         # production scale: the guess's FT roundtrip references the Hankel +
         # fused-SHT tables, which must enter as arguments (compile-payload

@@ -51,6 +51,17 @@ class ProjectWorker(ProjectWorkerInterface):
             raise ValueError(
                 f"none of datasets_to_process {wanted} found in the ccd file "
                 f"(has {sorted(ccd['cross_correlation'])})")
+        for name in present:
+            sh = np.asarray(ccd["cross_correlation"][name]).shape
+            if sh[0] != len(qs) or sh[1] != len(qs):
+                raise ValueError(
+                    f"ccd dataset {name} has radial shape {sh[:2]} but "
+                    f"radial_points has {len(qs)} entries — the ccd was "
+                    "produced with a restricted qrange_xcca (its "
+                    "radial_points stay on the full ring grid, matching the "
+                    "reference format); invariant extraction needs a full "
+                    "square C(q1,q2,Δ) — re-run correlate without "
+                    "qrange_xcca")
         inv_opt = opt.get("invariant_constraints", {})
         apply_psd = bool(inv_opt.get("positive_semidefinite", {})
                          .get("apply", True))

@@ -584,6 +584,8 @@ def cc_mask(qs, phis, mask_type="none", xray_wavelength=None, pixel_size=None,
         pi_index = n_phi // 2
         ids = list(range(n)) + list(range(n_phi - n, n_phi))
         if mask_at_pi and n > 0:
+            # reference-exact window (fxs_invariant_tools.py:160): 2n-2 ids,
+            # asymmetric around pi and EMPTY for n=1 — parity, not a bug
             ids += list(range(pi_index - (n - 1), pi_index + (n - 1)))
         mask = np.ones((n_q, n_q, n_phi), dtype=bool)
         if ids:
@@ -781,6 +783,9 @@ def line_q_id_limits(qs, l_max, min_line=None, max_line=None, q_mask=None):
     row_masks = np.ones((l_max + 1, n_q), dtype=bool)
     if min_line is not None:
         m = -_distance_from_line(min_line[0], min_line[1], orders, qs) >= 0
+        # all-masked orders get [n_q-1, n_q) rather than an empty range —
+        # reference-exact (extract.py:381-384 sets q_id = n_qs-1 there); the
+        # all-False row mask is what excludes the order downstream
         lo = np.where(m.any(axis=1), np.argmax(m, axis=1), n_q - 1)
         limits[:, 0] = lo
         row_masks &= m
