@@ -13,8 +13,11 @@ from scipy.stats import special_ortho_group
 
 # -------------------------------------------------------------- coordinates
 def spherical_to_cartesian(grid: np.ndarray) -> np.ndarray:
-    """(r,θ,φ)→(x,y,z) or (r,φ)→(x,y); θ polar from +z (mathLibrary.py:673-700)."""
-    g = np.asarray(grid, dtype=float)
+    """(r,θ,φ)→(x,y,z) or (r,φ)→(x,y); θ polar from +z (mathLibrary.py:673-700).
+    Preserves a float32 input dtype (integer/other inputs upcast to f64)."""
+    g = np.asarray(grid)
+    if g.dtype != np.float32:
+        g = g.astype(float)
     out = g.copy()
     if g.shape[-1] == 2:
         r, phi = g[..., 0], g[..., 1]
@@ -66,23 +69,27 @@ def _ones(points):
 
 
 def ball_density(grid_spherical, radius, center=None, amplitude=1.0,
-                 random_orientation=False, rng=None):
-    """Homogeneous ball of given radius at `center` (spherical coords)."""
-    cart = spherical_to_cartesian(grid_spherical)
+                 random_orientation=False, rng=None, cart=None):
+    """Homogeneous ball of given radius at `center` (spherical coords).
+    `cart` lets callers share one precomputed cartesian grid across shapes
+    (the conversion dominates at simulation grids — 67M points × trig)."""
+    if cart is None:
+        cart = spherical_to_cartesian(grid_spherical)
     if center is not None:
         cart = cart - spherical_to_cartesian(np.asarray(center, dtype=float))
     if random_orientation:
         rng = rng or np.random.default_rng()
         rot = special_ortho_group.rvs(cart.shape[-1], random_state=rng)
         cart = cart @ rot
-    mask = np.linalg.norm(cart, axis=-1) < radius
+    mask = np.einsum("...i,...i->...", cart, cart) < radius * radius
     return np.where(mask, amplitude, 0.0)
 
 
 def cube_density(grid_spherical, edge_lengths, center=None, amplitude=1.0,
-                 random_orientation=False, rng=None):
+                 random_orientation=False, rng=None, cart=None):
     """Axis-aligned (or randomly rotated) rectangular box."""
-    cart = spherical_to_cartesian(grid_spherical)
+    if cart is None:
+        cart = spherical_to_cartesian(grid_spherical)
     if center is not None:
         cart = cart - spherical_to_cartesian(np.asarray(center, dtype=float))
     if random_orientation:
@@ -118,8 +125,9 @@ def _tetrahedron_planes(radius=1.0):
 
 
 def tetrahedron_density(grid_spherical, radius, center=None, amplitude=1.0,
-                        random_orientation=False, rng=None):
-    cart = spherical_to_cartesian(grid_spherical)
+                        random_orientation=False, rng=None, cart=None):
+    if cart is None:
+        cart = spherical_to_cartesian(grid_spherical)
     if center is not None:
         cart = cart - spherical_to_cartesian(np.asarray(center, dtype=float))
     if random_orientation:

@@ -161,9 +161,12 @@ class ProjectWorker(ProjectWorkerInterface):
         r_ids = None if (isinstance(rl, str) and rl == "all") \
             else np.asarray(rl, dtype=int)
         if dim == 3:
+            from xframe_tpu.projects.fxs.reconstruct import \
+                load_cached_weights
             ft = SphericalFourierTransform(
                 len(rs), L, q_max=q_max, mode=ft_mode,
                 reciprocity_coefficient=rc,
+                weights_dict=load_cached_weights(L, len(rs), rc, 3, ft_mode),
                 n_theta=len(thetas), n_phi=len(phis))
             integ = SphericalIntegrator(rs, len(thetas), len(phis))
             lma = fr.get("l_max_align", "auto")

@@ -159,8 +159,11 @@ class ProjectWorker(ProjectWorkerInterface):
         wavelength = float(sh.xray_wavelength)
         if dim == 3:
             from xframe_tpu.ops.fourier import SphericalFourierTransform
-            ft = SphericalFourierTransform(N, L, q_max=q_max, mode=mode,
-                                           reciprocity_coefficient=rc)
+            from xframe_tpu.projects.fxs.reconstruct import \
+                load_cached_weights
+            ft = SphericalFourierTransform(
+                N, L, q_max=q_max, mode=mode, reciprocity_coefficient=rc,
+                weights_dict=load_cached_weights(L, N, rc, 3, mode))
             grid = spherical_grid(ft.rs, ft.sht.theta, ft.sht.phi)
             density = build_density_from_shapes(grid, sh.shapes)
 

@@ -34,13 +34,20 @@ def build_density_from_shapes(grid, shapes_opt, rng=None):
     sizes = list(shapes_opt["sizes"])
     amplitudes = list(shapes_opt["densities"])
     randoms = list(shapes_opt.get("random_orientation", [False] * len(types)))
+    # one spherical→cartesian conversion shared by every shape: the trig over
+    # the full grid dominates at simulation scale (67M points for the
+    # tutorial's N=512), and float32 halves its memory traffic without
+    # affecting the binary shape masks
+    from xframe_tpu.library.shapes import spherical_to_cartesian
+    cart = spherical_to_cartesian(
+        np.asarray(grid, dtype=np.float32)).astype(np.float32)
     for typ, center, size, amp, rnd in zip(types, centers, sizes, amplitudes,
                                            randoms):
         builder = SHAPE_BUILDERS[str(typ)]
         density += builder(grid, float(np.asarray(size).ravel()[0]),
                            center=np.asarray(center, dtype=float),
                            amplitude=float(amp), random_orientation=bool(rnd),
-                           rng=rng)
+                           rng=rng, cart=cart)
     return density
 
 
@@ -64,9 +71,20 @@ class ProjectWorker(ProjectWorkerInterface):
                 import os
                 from xframe_tpu.io import vtk as vtk_io
                 density, (rs, thetas, phis) = self._model
+                density = np.asarray(density)
+                # cap the viz artifact: at the tutorial's 512×256×512 grid a
+                # full-resolution .vts is ~1.4 GB of base64 and minutes of
+                # host time; stride each axis down to ~max_points total
+                # (IO.files.ccd.options.model_vtk_max_points, 0 = full)
+                cap = int(self.db._io_option("ccd", "model_vtk_max_points",
+                                             2_000_000) or 0)
+                if cap and density.size > cap:
+                    s = int(np.ceil((density.size / cap) ** (1 / 3)))
+                    density = density[::s, ::s, ::s]
+                    rs, thetas, phis = rs[::s], thetas[::s], phis[::s]
                 vtk_io.save_spherical(
                     os.path.join(os.path.dirname(path), "model_density.vts"),
-                    rs, thetas, phis, {"density": np.asarray(density)})
+                    rs, thetas, phis, {"density": density})
             except Exception:
                 pass
         print(f"simulate_ccd: saved synthetic CC dataset to {path}")
@@ -81,8 +99,13 @@ class ProjectWorker(ProjectWorkerInterface):
         mode = str(opt.fourier_transform.type)
         rc = float(opt.fourier_transform.reciprocity_coefficient)
 
+        # Hankel weights through the shared disk cache (reference
+        # fourier_transforms.py:17-35 caches them keyed by N/L/rc/mode;
+        # generation is ~47 s host-side at the tutorial's N=512, L=128)
+        from xframe_tpu.projects.fxs.reconstruct import load_cached_weights
         ft = SphericalFourierTransform(
             N, L, q_max=q_max, mode=mode, reciprocity_coefficient=rc,
+            weights_dict=load_cached_weights(L, N, rc, 3, mode),
             n_theta=int(opt.grid.get("n_theta", 0) or 0) or None,
             n_phi=int(opt.grid.get("n_phi_internal", 0) or 0) or None)
         grid = spherical_grid(ft.rs, ft.sht.theta, ft.sht.phi)
@@ -229,8 +252,11 @@ class ProjectWorker(ProjectWorkerInterface):
         if n_phi <= 0:
             n_phi = 2 ** int(np.ceil(np.log2(2 * (M + 1))))
 
+        from xframe_tpu.projects.fxs.reconstruct import load_cached_weights
         ft = PolarFourierTransform(N, M, n_phi, q_max, mode=mode,
-                                   reciprocity_coefficient=rc)
+                                   reciprocity_coefficient=rc,
+                                   weights_dict=load_cached_weights(
+                                       M, N, rc, 2, mode))
         grid = polar_grid(ft.rs, 2 * np.pi * np.arange(n_phi) / n_phi)
         density = build_density_from_shapes(grid, opt.shapes)
         import jax
