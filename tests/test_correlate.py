@@ -444,3 +444,58 @@ def test_static_binary_mask():
     assert not np.allclose(np.nan_to_num(cm),
                            np.nan_to_num(out_p["cross_correlation"]),
                            rtol=1e-4)
+
+
+def test_roi_normalize_negative_mean_and_empty_roi():
+    """Background-subtracted frames can have a NEGATIVE ROI mean: the
+    normalization must divide by the actual mean (reference correlate.py:432
+    np.divide) rather than a clamp (which used to scale the frame by ~1e30
+    and poison the CCF); a frame whose ROI is fully masked is flagged bad."""
+    ny = nx = 64
+    oy = ox = 31.5
+    frames = np.stack([_blob_frame(ny, nx, oy, ox, s) for s in range(2)])
+    kw = dict(pixel_size_um=200.0, sample_distance_mm=800.0,
+              wavelength=1.23984, n_phi=64, n_q=16)
+    plain = Correlator((ny, nx), (oy, ox), **kw)
+    roi_range = (plain.qs[4], plain.qs[10])
+
+    # frame 1 strongly negative via a large background
+    bg = np.zeros((ny, nx), dtype=np.float32)
+    frames_neg = frames.copy()
+    frames_neg[1] -= 5.0  # emulate background-subtracted negative frame
+    norm = Correlator((ny, nx), (oy, ox), roi_q_range=roi_range,
+                      roi_normalize=True, background=bg, **kw)
+    out = norm.correlate_frames(iter([frames_neg]))
+    cc = out["cross_correlation"]
+    assert np.isfinite(cc).all()
+    assert np.abs(cc).max() < 1e6  # no clamp-driven 1e30 blowup
+
+    # numpy reference: divide by the true (negative for frame 1) ROI mean
+    polar = np.stack([map_coordinates(f, plain._coords, order=1, cval=0.0)
+                      for f in frames_neg])
+    lo, hi = norm._roi
+    means = polar[:, lo:hi, :].mean(axis=(1, 2))
+    assert means[1] < 0
+    expected = _numpy_cc(polar / means[:, None, None],
+                         np.ones_like(polar), 64)
+    assert np.allclose(cc, expected, rtol=1e-3,
+                       atol=1e-5 * np.abs(expected).max())
+
+    # fully-masked ROI (mask_above kills everything) → frame flagged bad
+    dead = Correlator((ny, nx), (oy, ox), roi_q_range=roi_range,
+                      roi_normalize=True, mask_above=-10.0, **kw)
+    out_dead = dead.correlate_frames(iter([frames]))
+    assert out_dead["num_images_good"] == 0
+
+
+def test_refine_beam_center_degenerate_frames_keep_origin():
+    """All-zero frames and edge origins score +inf, so the search returns
+    the initial origin instead of silently walking to a corner."""
+    from xframe_tpu.projects.fxs.correlate import refine_detector_origin
+    zero = np.zeros((64, 64), dtype=np.float32)
+    assert refine_detector_origin(zero, (31.5, 31.5)) == (31.5, 31.5)
+    # origin on the edge: every candidate has r_max <= 0
+    frame = _blob_frame(64, 64, 31.5, 31.5)
+    assert refine_detector_origin(frame, (0.0, 0.0),
+                                  search_radius_pix=1.0,
+                                  steps=3) == (0.0, 0.0)

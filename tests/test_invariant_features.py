@@ -290,3 +290,81 @@ def test_extract_with_line_limits_changes_projection_support(tmp_path,
     mask = np.asarray(inv["deg_2_invariant_masks"]["I1I1"])
     assert mask.shape == (L + 1, n_q, n_q)
     assert not mask[0, 0, 0] and mask[0, 5, 5]
+
+
+def test_symmetrize_cc_q1q2_reference_semantics():
+    """q1q2_symmetrize must average cc(q1,q2,Δ) with the Δ-REVERSED transpose
+    cc(q2,q1,−Δ) under mask weights (reference fxs_invariant_tools.py:271-281)
+    — not the plain transpose."""
+    rng = np.random.default_rng(3)
+    n_q, n_phi = 5, 8
+    cc = rng.normal(size=(n_q, n_q, n_phi))
+    mask = rng.random((n_q, n_q, n_phi)) > 0.3
+    out, omask = itools.symmetrize_cc_q1q2(cc, mask)
+
+    # reference-style numpy construction
+    sw = cc.copy(); sw[..., 1:] = cc[..., 1:][..., ::-1]
+    swm = mask.copy(); swm[..., 1:] = mask[..., 1:][..., ::-1]
+    sw, swm = np.swapaxes(sw, 0, 1), np.swapaxes(swm, 0, 1)
+    both = mask & swm
+    only_a, only_b = mask & ~swm, swm & ~mask
+    assert np.allclose(out[both], (cc[both] + sw[both]) / 2)
+    assert np.allclose(out[only_a], cc[only_a])
+    assert np.allclose(out[only_b], sw[only_b])
+    assert (out[~(mask | swm)] == 0).all()
+    assert (omask == (mask | swm)).all()
+
+    # the symmetrized CC satisfies out(q1,q2,Δk) == out(q2,q1,Δ_{n−k})
+    rev = out.copy(); rev[..., 1:] = out[..., 1:][..., ::-1]
+    assert np.allclose(out, np.swapaxes(rev, 0, 1))
+
+    # a Δ-odd component is NOT killed by the correct symmetrization when it
+    # is q1q2-antisymmetric in the right way (plain-transpose averaging
+    # zeroed it): build cc(q1,q2,Δ)=s(q1,q2)·sin(Δ) with s antisymmetric
+    phis = 2 * np.pi * np.arange(n_phi) / n_phi
+    s = rng.normal(size=(n_q, n_q)); s = s - s.T
+    cc2 = s[:, :, None] * np.sin(phis)[None, None, :]
+    full = np.ones_like(cc2, dtype=bool)
+    out2, _ = itools.symmetrize_cc_q1q2(cc2, full)
+    assert np.allclose(out2, cc2, atol=1e-12)  # already symmetric: unchanged
+    plain = (cc2 + np.swapaxes(cc2, 0, 1)) / 2
+    assert np.abs(plain).max() < 1e-12  # the old averaging destroyed it
+
+
+def test_enforce_max_order_caps_below_low_pass_order(tmp_path, monkeypatch):
+    """modify_cc: when both low_pass_order and enforce_max_order are set,
+    the tighter cap wins — enforce_max_order zeroes every CC harmonic above
+    the grid L (reference fxs_invariant_tools.py:254-260), so a looser
+    low_pass_order must not resurrect them."""
+    import os
+    import xframe_tpu as xf
+    from xframe_tpu.io import hdf5 as hdf5_io
+    monkeypatch.setenv("XFRAME_TPU_HOME", str(tmp_path))
+    rng = np.random.default_rng(5)
+    n_q, L, n_phi = 12, 4, 64
+    qs = np.linspace(0.02, 0.4, n_q)
+    cc = rng.normal(size=(n_q, n_q, n_phi))  # broadband: harmonics at all n
+    folder = os.path.join(str(tmp_path), "data", "fxs", "ccd", "cap_test",
+                          "run_1")
+    os.makedirs(folder, exist_ok=True)
+    data = {"dimensions": 3, "radial_points": qs,
+            "angular_points": 2 * np.pi * np.arange(n_phi) / n_phi,
+            "xray_wavelength": 1.23984,
+            "average_intensity": np.zeros(n_q),
+            "cross_correlation": {"I1I1": cc},
+            "num_images_processed": 1, "num_images_good": 1}
+    hdf5_io.save(os.path.join(folder, "ccd.h5"), data)
+
+    def run(modify):
+        overrides = {"structure_name": "cap_test", "max_order": L,
+                     "cross_correlation": {"datasets": {"I1I1": {
+                         "modify_cc": dict(
+                             subtract_average_intensity=False, **modify)}}}}
+        xf.select_project("fxs", "extract", overrides=overrides)
+        return xf.run()
+
+    both = run({"low_pass_order": L + 40, "enforce_max_order": True})
+    capped = run({"enforce_max_order": True})
+    a = np.asarray(both["deg_2_invariant"]["I1I1"])
+    b = np.asarray(capped["deg_2_invariant"]["I1I1"])
+    assert np.allclose(a, b, atol=1e-10)

@@ -525,3 +525,20 @@ def test_pallas_polar_kernel_matches(problem):
     W_ns = np.asarray(rc_ns.approximate_unknowns(Ilm))
     W_pl = np.asarray(rc_pl.approximate_unknowns(Ilm))
     assert np.abs(W_ns - W_pl).max() < 5e-3
+
+
+def test_initial_density_batch_key_seed_with_tables():
+    """initial_density_batch accepts a PRNG key array (documented form) on
+    BOTH the plain and the tables-as-arguments path, and the tables path
+    reproduces the embedded-constant guess bit-for-bit."""
+    from xframe_tpu.projects.fxs.demo import make_demo_problem
+    p = make_demo_problem(12, 6)
+    tables = p.mtip.arg_tables()
+    a = np.asarray(p.initial_density_batch(3, 2))
+    b = np.asarray(p.initial_density_batch(3, 2, tables=tables))
+    assert np.array_equal(a, b)
+    key = jax.random.PRNGKey(3)
+    c = np.asarray(p.initial_density_batch(key, 2))
+    d = np.asarray(p.initial_density_batch(key, 2, tables=tables))
+    assert np.array_equal(c, d)
+    assert c.shape == a.shape

@@ -401,3 +401,31 @@ def test_extract_datasets_to_process_missing(home, ccd):
     })
     with pytest.raises(ValueError, match="datasets_to_process"):
         xf.run()
+
+
+def test_reconstruct_arg_tables_guess_path(invariants, home, monkeypatch):
+    """Production-payload mode end-to-end: with the auto threshold forced to
+    0, the worker's initial-guess jits and the runner all take the FT/MTIP
+    tables as ARGUMENTS (never embedded constants) and the run completes with
+    finite errors — the path the real production scale (N_q>=256, L=128)
+    exercises against the tunnel's compile-payload limit."""
+    from xframe_tpu.parallel import mesh as mesh_mod
+    monkeypatch.setattr(mesh_mod.MultiStartRunner,
+                        "ARG_TABLES_AUTO_BYTES", 0)
+    xf.select_project("fxs", "reconstruct", overrides={
+        "structure_name": "pytest",
+        "dimensions": 3,
+        "particle_radius": 50,
+        "grid": {"n_radial_points": N_REC, "max_order": L_REC},
+        "multi_start": {"n_reconstructions": 2, "seed": 7},
+        "main_loop": {"sub_loops": {
+            "order": ["main"],
+            "main": {"iterations": 1, "order": ["HIO", "ER"],
+                     "methods": {"HIO": {"iterations": 5},
+                                 "ER": {"iterations": 5}}},
+        }},
+    })
+    out = xf.run()
+    results = out["reconstruction_results"]
+    for res in results.values():
+        assert np.isfinite(np.asarray(res["error_dict"]["main"])).all()

@@ -58,21 +58,15 @@ def refine_beam_center(mean_frame, pixel_centers, search_radius=2.0e-3,
     """Grid-search the transverse beam offset that maximizes the azimuthal
     symmetry of the averaged pattern (reference expLibrary centering):
     minimizes the variance of I within radial rings. → (dx, dy) in meters."""
+    from xframe_tpu.library.mathtools import ring_symmetry_score
     mean_frame = np.asarray(mean_frame, dtype=np.float64).ravel()
     pos = np.asarray(pixel_centers)[..., :2].reshape(-1, 2)
     offsets = np.linspace(-search_radius, search_radius, steps)
     best = (np.inf, (0.0, 0.0))
-    n_bins = 64
     for dx in offsets:
         for dy in offsets:
             r = np.linalg.norm(pos - np.array([dx, dy]), axis=1)
-            idx = np.floor(r / r.max() * n_bins).clip(0, n_bins - 1).astype(int)
-            sums = np.bincount(idx, weights=mean_frame, minlength=n_bins)
-            sq = np.bincount(idx, weights=mean_frame ** 2, minlength=n_bins)
-            counts = np.maximum(np.bincount(idx, minlength=n_bins), 1)
-            ring_var = (sq / counts - (sums / counts) ** 2)
-            ring_mean = np.abs(sums / counts) + 1e-30
-            score = float(np.mean(ring_var / ring_mean ** 2))
+            score = ring_symmetry_score(r, mean_frame, n_bins=64)
             if score < best[0]:
                 best = (score, (float(dx), float(dy)))
     return best[1]

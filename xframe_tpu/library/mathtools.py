@@ -40,3 +40,36 @@ def back_substitution(U, b):
     for i in range(n - 1, -1, -1):
         x[i] = (b[i] - U[i, i + 1:] @ x[i + 1:]) / U[i, i]
     return x
+
+
+def ring_symmetry_score(r, weights, n_bins=64, r_max=None):
+    """Azimuthal-symmetry figure of merit of a pattern around a candidate
+    center: mean over radial rings of var(I)/mean(I)² (reference SPB
+    expLibrary centering criterion). r/weights are flat per-pixel radius and
+    intensity; pixels with r >= r_max are ignored. Degenerate candidates —
+    no pixels inside r_max, or zero intensity everywhere — score +inf so a
+    beam-center grid search can never prefer them over a real minimum."""
+    r = np.asarray(r, dtype=np.float64).ravel()
+    w = np.asarray(weights, dtype=np.float64).ravel()
+    if r_max is None:
+        r_max = float(r.max()) if r.size else 0.0
+    if r_max <= 0:
+        return np.inf
+    inside = r < r_max
+    if not inside.any():
+        return np.inf
+    idx = np.floor(r[inside] / r_max * n_bins).clip(0, n_bins - 1).astype(int)
+    wi = w[inside]
+    if not np.any(wi):
+        return np.inf
+    raw_counts = np.bincount(idx, minlength=n_bins)
+    if (raw_counts > 0).sum() < n_bins // 2:
+        # a candidate center whose rings are mostly empty (origin at the
+        # detector edge) would trivially score ~0 — reject it instead
+        return np.inf
+    sums = np.bincount(idx, weights=wi, minlength=n_bins)
+    sq = np.bincount(idx, weights=wi ** 2, minlength=n_bins)
+    counts = np.maximum(raw_counts, 1)
+    ring_mean = sums / counts
+    ring_var = sq / counts - ring_mean ** 2
+    return float(np.mean(ring_var / (np.abs(ring_mean) + 1e-30) ** 2))

@@ -55,7 +55,9 @@ def refine_detector_origin(mean_frame, origin0, search_radius_pix=3.0,
     """Grid-search the beam center that maximizes azimuthal symmetry of the
     averaged pattern: minimizes Σ_rings var(I)/mean(I)² (the reference keeps
     this only in the SPB expLibrary; here it serves the single-panel path
-    too). → refined (oy, ox) in pixels."""
+    too). Degenerate candidates (empty frame, origin at the edge) score +inf
+    — an all-degenerate search returns origin0. → refined (oy, ox) pixels."""
+    from xframe_tpu.library.mathtools import ring_symmetry_score
     frame = np.asarray(mean_frame, dtype=np.float64)
     ny, nx = frame.shape
     yy, xx = np.mgrid[0:ny, 0:nx]
@@ -65,18 +67,9 @@ def refine_detector_origin(mean_frame, origin0, search_radius_pix=3.0,
     for dy in offsets:
         for dx in offsets:
             oy, ox = origin0[0] + dy, origin0[1] + dx
-            r = np.hypot(yy - oy, xx - ox).ravel()
+            r = np.hypot(yy - oy, xx - ox)
             r_max = min(oy, ox, ny - 1 - oy, nx - 1 - ox)
-            inside = r < r_max
-            idx = np.floor(r[inside] / r_max * n_bins).clip(
-                0, n_bins - 1).astype(int)
-            w = weights[inside]
-            sums = np.bincount(idx, weights=w, minlength=n_bins)
-            sq = np.bincount(idx, weights=w ** 2, minlength=n_bins)
-            counts = np.maximum(np.bincount(idx, minlength=n_bins), 1)
-            ring_mean = sums / counts
-            ring_var = sq / counts - ring_mean ** 2
-            score = float(np.mean(ring_var / (np.abs(ring_mean) + 1e-30) ** 2))
+            score = ring_symmetry_score(r, weights, n_bins, r_max=r_max)
             if score < best[0]:
                 best = (score, (float(oy), float(ox)))
     return best[1]
@@ -279,13 +272,21 @@ class Correlator:
         if self._roi is not None:
             lo, hi = self._roi
             rm = pmask[:, lo:hi, :].astype(polar.dtype)
+            roi_cnt = rm.sum(axis=(1, 2))
             roi_mean = (polar[:, lo:hi, :] * rm).sum(axis=(1, 2)) \
-                / jnp.maximum(rm.sum(axis=(1, 2)), 1.0)
+                / jnp.maximum(roi_cnt, 1.0)
             if self.roi_mean_bounds is not None:
                 lo_v, hi_v = self.roi_mean_bounds
                 good = good * ((roi_mean >= lo_v) & (roi_mean <= hi_v))
             if self.roi_normalize:
-                polar = polar / jnp.maximum(roi_mean, 1e-30)[:, None, None]
+                # divide by the ACTUAL (possibly negative, after background
+                # subtraction) ROI mean as the reference does
+                # (correlate.py:432 np.divide); frames whose ROI is fully
+                # masked or has an exactly-zero mean cannot be normalized
+                # and are flagged bad instead of being scaled by a clamp
+                ok = (roi_cnt > 0) & (roi_mean != 0)
+                good = good * ok
+                polar = polar / jnp.where(ok, roi_mean, 1.0)[:, None, None]
 
         polar = polar * self._corrections * pmask
 

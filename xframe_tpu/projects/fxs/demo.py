@@ -124,10 +124,17 @@ def make_demo_problem(n_radial: int = 32, l_max: int = 16, *, q_max: float = Non
             key = jax.random.PRNGKey(seed)
             return jax.vmap(_guess)(jax.random.split(key, n_restarts))
 
+    @partial(jax.jit, static_argnums=(2,))
+    def _batch_from_key_tables(tables, key, n_restarts):
+        with ft.bound_tables(tables):
+            return jax.vmap(_guess)(jax.random.split(key, n_restarts))
+
     def initial_density_batch(seed, n_restarts, tables=None):
         """seed: python int (preferred on TPU) or a PRNG key array."""
         if tables is not None:
-            return _batch_from_seed_tables(tables, int(seed), n_restarts)
+            if isinstance(seed, (int, np.integer)):
+                return _batch_from_seed_tables(tables, int(seed), n_restarts)
+            return _batch_from_key_tables(tables, seed, n_restarts)
         if isinstance(seed, (int, np.integer)):
             return _batch_from_seed(int(seed), n_restarts)
         return _batch_from_key(seed, n_restarts)

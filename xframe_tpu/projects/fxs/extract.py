@@ -253,13 +253,16 @@ class ProjectWorker(ProjectWorkerInterface):
         lp = mod.get("low_pass_order", False)
         if lp or mod.get("enforce_max_order", False) \
                 or mod.get("zero_odd_harmonics", False):
-            cap = int(lp) if lp else (
-                L if mod.get("enforce_max_order", False) else None)
+            # enforce_max_order caps at the grid L (reference
+            # fxs_invariant_tools.py:254-260); an explicit low_pass_order
+            # tightens but cannot loosen that cap
+            caps = ([int(lp)] if lp else []) \
+                + ([L] if mod.get("enforce_max_order", False) else [])
             cc = itools.zero_cc_harmonics(
-                cc, max_order=cap,
+                cc, max_order=min(caps) if caps else None,
                 zero_odd=bool(mod.get("zero_odd_harmonics", False)))
         if mod.get("q1q2_symmetrize", False):
-            cc = (cc + np.swapaxes(cc, 0, 1)) / 2
+            cc, mask = itools.symmetrize_cc_q1q2(cc, mask)
         if mod.get("pi_periodicity", False):
             cc = itools.enforce_pi_periodicity(cc)
         if mod.get("binned_mean", False):

@@ -707,6 +707,25 @@ def enforce_pi_periodicity(cc):
     return 0.5 * (cc + np.roll(cc, cc.shape[-1] // 2, axis=-1))
 
 
+def symmetrize_cc_q1q2(cc, mask):
+    """Enforce cc(q1,q2,Δ) = cc(q2,q1,−Δ): mask-aware average of the CC with
+    its Δ-reversed transpose — Δ=0 maps to itself, Δ_k ↔ Δ_{n−k} — where
+    both samples are valid; the one valid sample elsewhere; the combined
+    mask is the union (reference modify_cross_correlation q1q2_symmetric,
+    fxs_invariant_tools.py:271-281 masked_mean). → (cc, mask)."""
+    cc = np.asarray(cc)
+    mask = np.asarray(mask, dtype=bool)
+    sw = np.array(cc)
+    sw[..., 1:] = cc[..., 1:][..., ::-1]
+    swm = np.array(mask)
+    swm[..., 1:] = mask[..., 1:][..., ::-1]
+    sw = np.swapaxes(sw, 0, 1)
+    swm = np.swapaxes(swm, 0, 1)
+    w = mask.astype(float) + swm.astype(float)
+    out = np.where(w > 0, (cc * mask + sw * swm) / np.maximum(w, 1), 0.0)
+    return out.astype(cc.dtype, copy=False), mask | swm
+
+
 def zero_cc_harmonics(cc, max_order=None, zero_odd=False):
     """enforce_max_order / enforce_zero_odd_harmonics CC modifications
     (reference modify_cross_correlation, fxs_invariant_tools.py:253-262):

@@ -69,6 +69,19 @@ def load_cached_weights(l_max, n_radial_points, reciprocity_coefficient,
     return wd
 
 
+def _auto_guess_tables(ft):
+    """ft.arg_tables() (host arrays — they upload as jit arguments) when the
+    tables are production-sized, else {} (embedded constants at tutorial
+    scale). Same auto threshold as MultiStartRunner: the initial-guess jits
+    reference the Hankel + fused-SHT tables too and would otherwise embed
+    them in the compile payload (HTTP-413 risk on the axon tunnel)."""
+    if not hasattr(ft, "arg_tables"):
+        return {}
+    t = ft.arg_tables()
+    total = sum(v.size * v.dtype.itemsize for v in t.values())
+    return t if total >= MultiStartRunner.ARG_TABLES_AUTO_BYTES else {}
+
+
 def _interp_radial(y, qs_data, qs_new, interpolation="linear"):
     """Interpolate (n_q_data, ...) data onto qs_new along axis 0 with the
     reference ReGrider semantics: 'nearest' | 'linear' | 'cubic', fill value
@@ -238,11 +251,16 @@ class ProjectWorker(ProjectWorkerInterface):
         # bubbles); on the jnp path single-restart chunks win. 0 = one
         # program (required for checkpointing, which snapshots the full batch).
         t_run0 = time.perf_counter()
+        # the runner already holds the device-resident argument tables at
+        # production scale — the guess jits reuse them instead of embedding
+        # the same ~250 MB as compile-payload constants
+        guess_tables = getattr(runner, "_tables", None) or None
         if batch and batch < n_restarts and ckpt_path is None:
             n_chunks = -(-n_restarts // batch)
             parts = []
             for ci in range(n_chunks):
-                r0 = aux["initial_density_batch"](int(seed) + ci, batch)
+                r0 = aux["initial_density_batch"](int(seed) + ci, batch,
+                                                  tables=guess_tables)
                 s, e = runner(r0)
                 parts.append((r0, s, e))
             jax.block_until_ready(parts[-1][2])
@@ -253,7 +271,8 @@ class ProjectWorker(ProjectWorkerInterface):
                 lambda *xs: trim(cat(*xs)), *[p[1] for p in parts])
             errors = trim(cat(*[p[2] for p in parts]))
         else:
-            rho0s = aux["initial_density_batch"](int(seed), n_restarts)
+            rho0s = aux["initial_density_batch"](int(seed), n_restarts,
+                                                 tables=guess_tables)
             states, errors = runner(rho0s)
         jax.block_until_ready(errors)
         t_run = time.perf_counter() - t_run0
@@ -534,15 +553,22 @@ class ProjectWorker(ProjectWorkerInterface):
                                   .get("interpolation", "linear")))
             Ilm = pad_coeff_dense(lr_list, N, L) / data_scale
 
+            # the FT tables referenced by the guess enter every jit below as
+            # ARGUMENTS when production-sized ({} = embedded constants at
+            # tutorial scale) — same HTTP-413 payload rule as the runners
+            ft_tables = _auto_guess_tables(ft)
+
             @jax.jit
-            def _lowres_env(c_re, c_im):
-                a = ft.inverse(ft.sht.inverse(
-                    (c_re + 1j * c_im).astype(cdtype)))
-                return jnp.clip(a.real, 0.0, None).astype(real_dtype)
+            def _lowres_env(tables, c_re, c_im):
+                with ft.bound_tables(tables):
+                    a = ft.inverse(ft.sht.inverse(
+                        (c_re + 1j * c_im).astype(cdtype)))
+                    return jnp.clip(a.real, 0.0, None).astype(real_dtype)
 
             from xframe_tpu.library.hostio import to_host
             env_full = np.asarray(
                 to_host(_lowres_env(
+                    ft_tables,
                     np.ascontiguousarray(Ilm.real, dtype=np_real),
                     np.ascontiguousarray(Ilm.imag, dtype=np_real))),
                 dtype=np_real) * bump_host[:, None, None]
@@ -558,14 +584,18 @@ class ProjectWorker(ProjectWorkerInterface):
                 rho = (rho * jnp.sqrt(total_intensity / tot)).astype(cdtype)
                 return ft.inverse(ft.forward(rho))
 
-            @partial(jax.jit, static_argnums=(2,))
-            def _batch_env(env, seed, n):
-                keys = jax.random.split(jax.random.PRNGKey(seed), n)
-                return jax.vmap(partial(_guess_env, env))(keys)
+            @partial(jax.jit, static_argnums=(3,))
+            def _batch_env(tables, env, seed, n):
+                with ft.bound_tables(tables):
+                    keys = jax.random.split(jax.random.PRNGKey(seed), n)
+                    return jax.vmap(partial(_guess_env, env))(keys)
 
-            def initial_density_batch(seed, n):
-                return _batch_env(env_dev, seed, n)
+            def initial_density_batch(seed, n, tables=None):
+                return _batch_env(tables if tables else ft_tables,
+                                  env_dev, seed, n)
         else:
+            ft_tables = _auto_guess_tables(ft)
+
             def _guess(k):
                 rho0 = bump_density_guess(k, bump_host, shape, snr=snr,
                                           total_intensity=total_intensity,
@@ -573,14 +603,18 @@ class ProjectWorker(ProjectWorkerInterface):
                                           cdtype=cdtype)
                 return ft.inverse(ft.forward(rho0))
 
-            @partial(jax.jit, static_argnums=(1,))
-            def initial_density_batch(seed, n):
+            @partial(jax.jit, static_argnums=(2,))
+            def _batch(tables, seed, n):
                 # seed is TRACED (int32): new seeds reuse one compilation —
                 # chunked restarts would otherwise pay a tunnel recompile per
                 # chunk; key made INSIDE jit (eager integer ops unimplemented
                 # on axon)
-                return jax.vmap(_guess)(
-                    jax.random.split(jax.random.PRNGKey(seed), n))
+                with ft.bound_tables(tables):
+                    return jax.vmap(_guess)(
+                        jax.random.split(jax.random.PRNGKey(seed), n))
+
+            def initial_density_batch(seed, n, tables=None):
+                return _batch(tables if tables else ft_tables, seed, n)
 
         aux = dict(grid=grid, initial_support=initial_support,
                    initial_density_batch=initial_density_batch,
@@ -740,10 +774,15 @@ class ProjectWorker(ProjectWorkerInterface):
         from functools import partial
 
         @partial(jax.jit, static_argnums=(1,))
-        def initial_density_batch(seed, n):
+        def _batch2d(seed, n):
             # seed is TRACED (int32): new seeds reuse one compilation — chunked
             # restarts would otherwise pay a tunnel recompile per chunk
             return jax.vmap(_guess)(jax.random.split(jax.random.PRNGKey(seed), n))
+
+        def initial_density_batch(seed, n, tables=None):
+            # 2D tables are tiny; the kwarg only keeps the worker call
+            # signature uniform across dimensions
+            return _batch2d(seed, n)
 
         aux = dict(grid=grid, initial_support=initial_support,
                    initial_density_batch=initial_density_batch,
