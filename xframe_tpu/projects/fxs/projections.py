@@ -266,8 +266,7 @@ class ReciprocalConstraint:
         Ilt = jnp.moveaxis(Ilm, 2, 0)                      # (L+1, n_q, n_m)
         proj = self.V_pad @ W                              # (L+1, n_q, n_m)
         # l=0: fixed data column, no unknown (zero_id branch)
-        proj = proj.at[0].set(self.V_pad[0])
-        proj = proj.at[0].divide(np.sqrt(self.n_particles))
+        proj = proj.at[0].set(self.V_pad[0] / float(np.sqrt(self.n_particles)))
         take = (self.use_order[:, None] & self.radial_mask)[:, :, None]
         out = jnp.where(take, proj, Ilt)
         return jnp.moveaxis(out, 0, 2)                     # (n_q, n_m, L+1)
@@ -393,7 +392,7 @@ class ReciprocalConstraintPolar:
 
     def project_coefficients(self, Im, phases):
         proj = self.V * phases[:, None]                    # (M+1, n_q)
-        proj = proj.at[0].set(self.V[0] / np.sqrt(self.n_particles))
+        proj = proj.at[0].set(self.V[0] / float(np.sqrt(self.n_particles)))
         take = self.use_order[:, None] & self.radial_mask
         out = jnp.where(take, proj, Im.T)
         return out.T                                       # (n_q, M+1)
