@@ -15,7 +15,47 @@ import numpy as np
 BASELINE_SEC_PER_ITER = 1.2
 
 
+def _device_live():
+    """Bounded TPU-tunnel liveness check.
+
+    The axon tunnel can go down for hours; `jax.devices()` then blocks
+    forever inside backend init, which would hang the driver's round-end
+    bench run. Probe in a SUBPROCESS (so the hang is killable) with
+    retries before committing this process to device init. Returns True
+    when a probe ran a device matmul, False when every attempt timed out
+    or failed. Knobs: XF_BENCH_PROBE_TIMEOUT (s/attempt, default 120),
+    XF_BENCH_PROBE_ATTEMPTS (default 8, sleeping 60 s between), or skip
+    entirely with XF_BENCH_NO_PROBE=1 (e.g. deliberate CPU runs).
+    """
+    if os.environ.get("XF_BENCH_NO_PROBE"):
+        return True
+    import subprocess
+    import sys
+    timeout = float(os.environ.get("XF_BENCH_PROBE_TIMEOUT", "120"))
+    attempts = int(os.environ.get("XF_BENCH_PROBE_ATTEMPTS", "8"))
+    code = ("import jax, jax.numpy as jnp; jax.devices(); "
+            "x = jnp.ones((8, 8)); (x @ x).block_until_ready()")
+    for i in range(attempts):
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               timeout=timeout, capture_output=True)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if i + 1 < attempts:
+            time.sleep(60)
+    return False
+
+
 def main():
+    if not _device_live():
+        print(json.dumps({
+            "metric": "sec_per_mtip_iteration_tutorial", "value": None,
+            "unit": "", "vs_baseline": None,
+            "error": "TPU tunnel unreachable (liveness probe failed; "
+                     "see _device_live in bench.py)"}))
+        raise SystemExit(1)
     import jax
     import jax.numpy as jnp
     from xframe_tpu.library.compile_cache import enable as enable_cache
@@ -141,4 +181,14 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except SystemExit:
+        raise
+    except Exception:
+        # one retry: the tunnel occasionally drops a single request
+        # (spurious UNIMPLEMENTED) even when healthy
+        import traceback
+        traceback.print_exc()
+        time.sleep(30)
+        main()
