@@ -235,6 +235,28 @@ class TestCCMasks:
         out = itools.enforce_pi_periodicity(cc)
         assert np.allclose(out[0, 0], even, atol=1e-12)
 
+    def test_pi_periodicity_masked(self):
+        """Masked variant: where only one of CC(Δ), CC(Δ+π) is valid the
+        result is a copy of the valid sample (the reference's semantics);
+        where both are valid it is their mean; the mask is or'd with its
+        π-roll."""
+        import xframe_tpu.projects.fxs.invariants as itools
+        rng = np.random.default_rng(2)
+        n_phi = 12
+        cc = rng.normal(size=(2, 2, n_phi))
+        mask = np.ones(cc.shape, dtype=bool)
+        mask[..., : n_phi // 2] = False      # first half invalid everywhere
+        out, out_mask = itools.enforce_pi_periodicity(cc, mask)
+        good = cc[..., n_phi // 2:]
+        assert np.allclose(out[..., n_phi // 2:], good)       # copy, no 1/2
+        assert np.allclose(out[..., : n_phi // 2], good)      # filled from π
+        assert out_mask.all()
+        # both valid -> mean; disjoint garbage never leaks
+        full, m2 = itools.enforce_pi_periodicity(cc, np.ones_like(mask))
+        assert np.allclose(
+            full, 0.5 * (cc + np.roll(cc, n_phi // 2, axis=-1)))
+        assert m2.all()
+
 
 class TestVectorizedHotSpots:
     """The vectorized extraction utilities must agree with serial

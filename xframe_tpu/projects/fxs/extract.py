@@ -264,7 +264,7 @@ class ProjectWorker(ProjectWorkerInterface):
         if mod.get("q1q2_symmetrize", False):
             cc, mask = itools.symmetrize_cc_q1q2(cc, mask)
         if mod.get("pi_periodicity", False):
-            cc = itools.enforce_pi_periodicity(cc)
+            cc, mask = itools.enforce_pi_periodicity(cc, mask)
         if mod.get("binned_mean", False):
             cc, mask, phis = itools.binned_mean_cc(cc, mask, L, phis)
         if not mask.all():

@@ -700,11 +700,26 @@ def interpolate_masked_cc(cc, mask, row_chunk=65536, use_native=True):
     return cc
 
 
-def enforce_pi_periodicity(cc):
-    """Average CC(Δ) with CC(Δ+π) (Friedel symmetry of the intensity on a
-    flat Ewald sphere; reference modify_cross_correlation pi_periodicity)."""
+def enforce_pi_periodicity(cc, mask=None):
+    """Enforce CC(Δ) = CC(Δ+π) (Friedel symmetry of the intensity on a flat
+    Ewald sphere; reference modify_cross_correlation pi_periodicity,
+    fxs_invariant_tools.py:263-270).
+
+    Without a mask: plain average of the two Δ-halves. With a mask:
+    mask-weighted mean of CC(Δ) and CC(Δ+π), returning (cc, mask|mask_π) —
+    the reference instead COPIES the Δ∈[π/2,3π/2) half over the other and
+    or's the masks; the masked mean reduces to that copy wherever only one
+    sample is valid and uses both (noise-averaging) where both are."""
     cc = np.asarray(cc)
-    return 0.5 * (cc + np.roll(cc, cc.shape[-1] // 2, axis=-1))
+    n2 = cc.shape[-1] // 2
+    rolled = np.roll(cc, n2, axis=-1)
+    if mask is None:
+        return 0.5 * (cc + rolled)
+    mask = np.asarray(mask, dtype=bool)
+    rm = np.roll(mask, n2, axis=-1)
+    w = mask.astype(float) + rm.astype(float)
+    out = np.where(w > 0, (cc * mask + rolled * rm) / np.maximum(w, 1), 0.0)
+    return out.astype(cc.dtype, copy=False), mask | rm
 
 
 def symmetrize_cc_q1q2(cc, mask):
