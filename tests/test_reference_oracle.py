@@ -332,3 +332,200 @@ def test_masked_mean_matches_reference(ref):
                                   axis=0) / np.maximum(w, 1), 0.0)
     np.testing.assert_allclose(ours, exp_mean, rtol=1e-12)
     np.testing.assert_array_equal(w, exp_counts)
+
+
+# ----------------------------------------------------------- Hankel weights
+@pytest.fixture(scope="session")
+def ref_ht(ref):
+    from xframe.projects.fxs.projectLibrary import hankel_transforms as rht
+    return rht
+
+
+@pytest.fixture(scope="session")
+def ref_rm(ref):
+    from xframe.projects.fxs.projectLibrary import resolution_metrics as rrm
+    return rrm
+
+
+@pytest.mark.parametrize("mode", ["trapz", "midpoint", "gauss", "Zernike"])
+@pytest.mark.parametrize("dimensions", [3, 2])
+@pytest.mark.parametrize("rc", [np.pi, 2.0])
+def test_hankel_weights_match_reference(ref_ht, mode, dimensions, rc):
+    """Raw quadrature tables AND assembled forward/inverse weights for all
+    4 modes × both dimensions × π and non-π reciprocity coefficients
+    (reference hankel_transforms.py:52-535)."""
+    from xframe_tpu.ops import hankel
+    L, N, r_max = 4, 8, 50.0
+    orders = np.arange(L + 1)
+    workers = {
+        (3, "trapz"): ref_ht.calc_spherical_trapz_weights,
+        (2, "trapz"): ref_ht.calc_polar_trapz_weights,
+        (3, "midpoint"): ref_ht.calc_spherical_mid_weights,
+        (2, "midpoint"): ref_ht.calc_polar_mid_weights,
+        (3, "gauss"): ref_ht.calc_spherical_gauss_weights,
+        (2, "gauss"): ref_ht.calc_polar_gauss_weights,
+    }
+    assemblers = {"trapz": ref_ht.assemble_weights_trapz,
+                  "midpoint": ref_ht.assemble_weights_mid,
+                  "gauss": ref_ht.assemble_weights_gauss,
+                  "Zernike": ref_ht.assemble_weights_zernike}
+    if mode == "Zernike":
+        limit = 2 * (2 * N - 1)        # our generate_weights default
+        worker = {3: ref_ht.calc_spherical_zernike_weights,
+                  2: ref_ht.calc_polar_zernike_weights}[dimensions]
+        exp_raw = worker(orders, N, limit, rc)
+    else:
+        exp_raw = workers[(dimensions, mode)](orders, N, rc)
+    got = hankel.generate_weights(L, N, reciprocity_coefficient=rc,
+                                  dimensions=dimensions, mode=mode)
+    # atol is scaled to each table's magnitude: Zernike entries that are
+    # analytically zero come out as ~1e-13 roundoff of ~1e2 summands.
+    def close(a, b):
+        atol = 1e-14 + 1e-15 * np.abs(b).max()
+        np.testing.assert_allclose(a, b, rtol=1e-12, atol=atol)
+
+    close(got["weights"], exp_raw)
+
+    exp = assemblers[mode](exp_raw.copy(), orders, r_max, rc,
+                           dimensions=dimensions)
+    ours = hankel.assemble_weights(got["weights"], r_max, rc, dimensions,
+                                   mode)
+    if dimensions == 2 and mode == "Zernike":
+        # the reference's Zernike-2D assembler builds the NEGATIVE-m
+        # prefactor from +m (hankel_transforms.py:283 all_orders without the
+        # minus sign) — inconsistent with its own trapz/mid/gauss assemblers
+        # (and with J_{-m} = (-1)^m J_m, under which (-i)^{-m} w_{-m} =
+        # (-i)^{+m} w_{+m}); we keep the consistent convention for all
+        # modes, so only the positive-m half is comparable here.
+        sl = np.s_[..., : L + 1]
+    else:
+        sl = np.s_[...]
+    close(ours["forward"][sl], exp["forward"][sl])
+    close(ours["inverse"][sl], exp["inverse"][sl])
+
+
+# --------------------------------------------------------- B_l → CC synthesis
+def test_deg2_to_cc_matches_reference(ref):
+    from xframe_tpu.projects.fxs import invariants as itools
+    p = _problem(n_q=9, n_phi=32, l_max=6, seed=17)
+    rng = p.rng
+    bl = (rng.normal(size=(p.l_max + 1, 9, 9))
+          + 1j * rng.normal(size=(p.l_max + 1, 9, 9)))
+    grid = {"qs": p.qs, "phis": p.phis}
+    exp = ref.fit.deg2_invariant_to_cc_3d(bl, p.wavelength, grid,
+                                          mode="back_substitution")
+    ours = itools.deg2_invariant_to_cc_3d(bl, p.wavelength, p.qs)
+    assert ours.shape == exp.shape                        # (q, q, 2·l_max)
+    np.testing.assert_allclose(ours, exp, rtol=1e-10, atol=1e-12)
+
+
+# ----------------------------------------------------- projection matrices
+def test_projection_matrices_match_reference(ref):
+    from xframe_tpu.projects.fxs import invariants as itools
+    rng = np.random.default_rng(19)
+    n_q, L = 12, 5
+    a = rng.normal(size=(L + 1, n_q, n_q)) \
+        + 1j * rng.normal(size=(L + 1, n_q, n_q))
+    bl = a @ np.conj(np.swapaxes(a, -1, -2))              # PSD per order
+    limits = np.zeros((L + 1, 2), dtype=int)
+    limits[:, 1] = n_q
+    limits[3] = [2, 9]                                    # non-trivial slice
+    limits[5] = [1, 11]
+    proj, eigs = itools.deg2_invariant_to_projection_matrices(
+        bl, q_id_limits=limits)
+    for l in range(L + 1):
+        ref_limits = np.array([[limits[l][0], limits[l][1]],
+                               [limits[l][0], limits[l][1]]])
+        exp_v, exp_eig = ref.fit.deg2_invariant_to_projection_matrices_3d(
+            bl[l], ref_limits, l, 0)
+        np.testing.assert_allclose(eigs[l], exp_eig, rtol=1e-9, atol=1e-9)
+        assert proj[l].shape == exp_v.shape == (n_q, min(2 * l + 1, n_q))
+        # eigenvector phases are solver-arbitrary; V·V† is the invariant
+        np.testing.assert_allclose(proj[l] @ np.conj(proj[l].T),
+                                   exp_v @ np.conj(exp_v.T),
+                                   rtol=1e-8, atol=1e-8)
+
+
+def test_projection_vectors_2d_match_reference(ref):
+    from xframe_tpu.projects.fxs import invariants as itools
+    rng = np.random.default_rng(23)
+    n_q, M = 10, 4
+    a = rng.normal(size=(M + 1, n_q, 1)) + 1j * rng.normal(size=(M + 1, n_q, 1))
+    bm = a @ np.conj(np.swapaxes(a, -1, -2))              # rank-1 per order
+    proj, eigs = itools.deg2_invariant_to_projection_vectors_2d(bm)
+    limits = np.array([[0, n_q], [0, n_q]])
+    for m in range(M + 1):
+        exp_v, exp_eig = ref.fit.deg2_invariant_to_projection_matrices_2d(
+            bm[m], limits, m, 0)
+        np.testing.assert_allclose(eigs[m], exp_eig, rtol=1e-9)
+        np.testing.assert_allclose(np.outer(proj[m], np.conj(proj[m])),
+                                   np.outer(exp_v, np.conj(exp_v)),
+                                   rtol=1e-8, atol=1e-8)
+
+
+# --------------------------------------------------------- resolution metrics
+def test_prtf_fxs_matches_reference(ref_rm):
+    from xframe_tpu.projects.fxs import resolution_metrics as rm
+    rng = np.random.default_rng(29)
+    shape = (7, 6, 12)                                    # (q, θ, φ)
+    a = rng.normal(size=shape) + 1j * rng.normal(size=shape)
+    inten = rng.random(shape) + 0.1
+    inten[2, 3, 4] = 0.0                                  # zero-denominator
+    exp_p, exp_s = ref_rm.PRTF_fxs(a, inten)
+    got_p, got_s = rm.prtf_fxs(a, inten)
+    np.testing.assert_allclose(got_p, exp_p, rtol=1e-12)
+    np.testing.assert_allclose(got_s, exp_s, rtol=1e-12)
+
+    ap = rng.normal(size=shape) + 1j * rng.normal(size=shape)
+    ip = rng.random(shape) + 0.1
+    exp_p, exp_s = ref_rm.PRTF_fxs(a, inten,
+                                   averaged_projected_scattering_amplitude=ap,
+                                   averaged_projected_intensity=ip)
+    got_p, got_s = rm.prtf_fxs(a, inten, avg_proj_amplitude=ap,
+                               avg_proj_intensity=ip)
+    np.testing.assert_allclose(got_p, exp_p, rtol=1e-12)
+    np.testing.assert_allclose(got_s, exp_s, rtol=1e-12)
+
+
+def test_fsc_matches_reference(ref_rm):
+    from xframe_tpu.projects.fxs import resolution_metrics as rm
+    rng = np.random.default_rng(31)
+    shape = (7, 6, 12)
+    a1 = rng.normal(size=shape) + 1j * rng.normal(size=shape)
+    a2 = rng.normal(size=shape) + 1j * rng.normal(size=shape)
+    exp = ref_rm.FSC_two_data_halves([a1, a2])
+    got = rm.fsc(a1, a2)
+    np.testing.assert_allclose(got.real, exp, rtol=1e-11)
+
+
+def test_fqc_matches_reference(ref_rm):
+    from xframe_tpu.projects.fxs import resolution_metrics as rm
+    rng = np.random.default_rng(37)
+    n_q, n_phi = 8, 32
+    cc1 = rng.normal(size=(n_q, n_q, n_phi))
+    cc2 = rng.normal(size=(n_q, n_q, n_phi))
+    cn1 = np.fft.rfft(cc1, axis=-1) / n_phi               # reference input
+    cn2 = np.fft.rfft(cc2, axis=-1) / n_phi
+    for skip in (False, True):
+        exp_q, exp_cc = ref_rm.FQC(cn1, cn2, return_cc=True,
+                                   skip_odd_orders=skip)
+        got_q, got_cc = rm.fqc(cc1, cc2, skip_odd_orders=skip)
+        np.testing.assert_allclose(got_cc, exp_cc, rtol=1e-10)
+        np.testing.assert_allclose(got_q, exp_q, rtol=1e-10)
+
+
+def test_fqcb_matches_reference(ref_rm):
+    from xframe_tpu.projects.fxs import resolution_metrics as rm
+    rng = np.random.default_rng(41)
+    b1 = rng.normal(size=(6, 8, 8)) + 1j * rng.normal(size=(6, 8, 8))
+    b2 = rng.normal(size=(6, 8, 8)) + 1j * rng.normal(size=(6, 8, 8))
+    for skip in (False, True):
+        for inc0 in (False, True):
+            exp_q, exp_s, exp_bb = ref_rm.FQCB_2D(
+                b1, b2, return_2d_fqcb=True, skip_odd_orders=skip,
+                include_zero_order=inc0)
+            got_q, got_s, got_bb = rm.fqcb(b1, b2, skip_odd_orders=skip,
+                                           include_zero_order=inc0)
+            np.testing.assert_allclose(got_bb, exp_bb, rtol=1e-10)
+            np.testing.assert_allclose(got_q, exp_q, rtol=1e-10)
+            np.testing.assert_allclose(got_s, exp_s, rtol=1e-10)
