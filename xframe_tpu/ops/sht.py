@@ -251,3 +251,12 @@ class CircularHarmonicTransform:
 
     def inverse(self, c):
         return jnp.fft.ifft(c.astype(self.complex_dtype) * self.n_phi, axis=-1)
+
+    # real fast paths (mathLibrary.py:484-496): rfft halves the transform for
+    # real-valued rings; coefficients keep the same 1/n_phi normalization
+    def forward_real(self, f):
+        return jnp.fft.rfft(f.real, axis=-1) / self.n_phi
+
+    def inverse_real(self, c):
+        return jnp.fft.irfft(c.astype(self.complex_dtype) * self.n_phi,
+                             n=self.n_phi, axis=-1)
