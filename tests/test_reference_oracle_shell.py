@@ -288,6 +288,45 @@ def test_symmetrize_cc_matches_reference(ref):
     np.testing.assert_allclose(symmetrize_cc(cc, phis), exp, rtol=1e-14)
 
 
+# ------------------------------------------------------- AGIPD pixel centers
+def test_agipd_sensitive_pixel_centers_match_reference():
+    """Data-pixel lab positions vs the reference's physical module model
+    (agipd.py:132-175): 519 physical columns with a double-width insensitive
+    pixel at every ASIC boundary; the 512 data columns are the sensitive
+    subset (AGIPD.sensitive_pixel_mask, agipd.py:22-24)."""
+    import sys as _sys
+    import types as _types
+    _sys.path.insert(0, REF)
+    if "xframe._version" not in _sys.modules:
+        vm = _types.ModuleType("xframe._version")
+        vm.__version__ = "0.0.0"
+        _sys.modules["xframe._version"] = vm
+    try:
+        from xframe.experiments.SPB.detectors.agipd import (
+            AGIPD as RefAGIPD, AGIPDmodule)
+    finally:
+        _sys.path.remove(REF)
+
+    # reference local frame: x = slow (519 incl. wide), y = fast, mm
+    centers = AGIPDmodule.localFramedPixelCenters[1:-1, 1:-1]   # (519,128,3)
+    sens = RefAGIPD.sensitive_pixel_mask[0]                     # (519,128)
+    exp = centers[sens[:, 0]][:, :, :] * 1e-3                   # (512,128,3) m
+
+    from xframe_tpu.experiments.SPB.detectors.agipd import AGIPD, PIXEL_SIZE
+    panels = {"p0": {"fs": np.array([0.0, 1.0, 0.0]),
+                     "ss": np.array([1.0, 0.0, 0.0]),
+                     "corner": np.zeros(3)}}
+    det = AGIPD.__new__(AGIPD)
+    det.panels = panels
+    det.origin = np.zeros(3)
+    got = det._assemble(panels)[0]                              # (512,128,3)
+    np.testing.assert_allclose(got, exp, rtol=0, atol=1e-12)
+
+    # every 64-row block is displaced by exactly 2 extra standard widths
+    assert got[64, 0, 0] - got[63, 0, 0] == pytest.approx(3 * PIXEL_SIZE)
+    assert got[1, 0, 0] - got[0, 0, 0] == pytest.approx(PIXEL_SIZE)
+
+
 # -------------------------------------------------- shrink-wrap Gaussian FT
 def test_shrinkwrap_gaussian_matches_reference(ref):
     """The reference's spherical variant squares the radius twice

@@ -20,6 +20,19 @@ N_MODULES = 16
 MODULE_SHAPE = (512, 128)    # (slow, fast) pixels
 
 
+def module_slow_offsets(n_ss=MODULE_SHAPE[0], ss0=0):
+    """Physical slow-axis pixel-center offsets, in pixel units.
+
+    The AGIPD sensor is 519 columns: every 65th physical column (index 64,
+    129, …) is an insensitive double-width (0.4 mm) pixel at an ASIC
+    boundary (reference agipd.py:132-175, Allagholi et al. §4.2). Data
+    column j therefore sits at physical position j + 2·⌊j/64⌋ + ½ standard
+    pixels from the module edge (each skipped wide column displaces the
+    following ASIC by one extra standard width on both of its flanks)."""
+    j = np.arange(ss0, ss0 + n_ss)
+    return j + 2 * (j // 64) + 0.5
+
+
 def nominal_panels(detector_distance=0.217):
     """Nominal 4-quadrant AGIPD-1M layout (approximate EuXFEL arrangement;
     production runs should load a calibrated CrystFEL .geom)."""
@@ -117,7 +130,14 @@ class AGIPD:
             asic = m.group(2)
             ss0 = int(asic) * 64 if asic is not None else 0
             n_ss = 64 if asic is not None else MODULE_SHAPE[0]
-            ss_idx = (np.arange(n_ss) + 0.5)[:, None, None]
+            if asic is None:
+                # full-module panel: the corner anchors the physical sensor
+                # edge, so wide ASIC-boundary pixels shift later rows
+                ss_idx = module_slow_offsets(n_ss)[:, None, None]
+            else:
+                # asic-granular panel: its corner already encodes the wide
+                # pixels between ASICs; spacing within one ASIC is uniform
+                ss_idx = (np.arange(n_ss) + 0.5)[:, None, None]
             fs_idx = (np.arange(MODULE_SHAPE[1]) + 0.5)[None, :, None]
             pos = p["corner"][None, None, :] \
                 + ss_idx * p["ss"][None, None, :] * PIXEL_SIZE \
