@@ -288,6 +288,92 @@ def test_symmetrize_cc_matches_reference(ref):
     np.testing.assert_allclose(symmetrize_cc(cc, phis), exp, rtol=1e-14)
 
 
+# --------------------------------------------------------- SPB frame filters
+@pytest.fixture(scope="session")
+def ref_filters(ref):
+    sys.path.insert(0, REF)
+    try:
+        from xframe.experiments.SPB.expLibrary import filters as rf
+    finally:
+        sys.path.remove(REF)
+    return rf
+
+
+def _filter_chunk(n=8, shape=(2, 6, 6), seed=21):
+    rng = np.random.default_rng(seed)
+    data = rng.normal(loc=5.0, scale=2.0, size=(n,) + shape)
+    mask = rng.random(size=(n,) + shape) > 0.2
+    return data, mask
+
+
+def test_adu_filter_matches_reference(ref, ref_filters):
+    """Lower ADU limit masking (ADUFilter2D :437-458). Only the lower bound
+    is oracle-comparable: the reference's upper branch compares against
+    limits[0] (:451 `data <= limits[0]`, an apparent typo); the rebuild
+    uses limits[1]."""
+    data, mask = _filter_chunk()
+    opt = ref.DictNamespace.dict_to_dictnamespace(
+        {"name": "adu", "roi_mask": np.ones(data.shape[1:], bool),
+         "limits": [4.0, None]})
+    rf = ref_filters.ADUFilter2D(opt)
+    chunk, _masks = rf.apply({"data": data.copy(), "mask": mask.copy()}, {})
+
+    from xframe_tpu.experiments.SPB.exp_library import ADUFilter
+    ours = ADUFilter((4.0, None))({"data": data.copy(), "mask": mask.copy(),
+                                   "good": np.ones(len(data), bool)})
+    np.testing.assert_array_equal(ours["mask"], chunk["mask"])
+
+
+def test_normalization_filter_matches_reference(ref_filters):
+    data, mask = _filter_chunk(shape=(2, 6, 6))
+    roi = np.zeros(data.shape[1:], bool)
+    roi[0, 2:5] = True
+    opt = {"name": "norm", "roi_mask": roi}
+    rf = ref_filters.NormalizationFilter(opt)
+    chunk, _ = rf.apply({"data": data.copy(), "mask": mask.copy()}, {})
+
+    from xframe_tpu.experiments.SPB.exp_library import NormalizationFilter
+    ours = NormalizationFilter(roi_mask=roi)(
+        {"data": data.copy(), "mask": mask.copy(),
+         "good": np.ones(len(data), bool)})
+    np.testing.assert_allclose(ours["data"], chunk["data"], rtol=1e-12)
+
+
+@pytest.mark.parametrize("metric,limits", [
+    ("mean", (4.5, 5.5)), ("std", (None, 2.1)), ("sum", (100.0, None))])
+def test_metric_filter_matches_reference(ref_filters, metric, limits):
+    """Frame rejection on masked per-frame statistics (Filter1D :481-543).
+    The reference mutates None limits in place to min/max (=no cut on that
+    side), matching our None handling."""
+    data, mask = _filter_chunk(n=16)
+    np_metric = {"mean": np.mean, "std": np.std, "sum": np.sum}[metric]
+    opt = {"name": "metric", "roi_mask": np.ones(data.shape[1:], bool),
+           "metrics": [np_metric], "limits": [list(limits)]}
+    rf = ref_filters.Filter1D(opt)
+    _, masks = rf.apply({"data": data.copy(), "mask": mask.copy()}, {})
+
+    from xframe_tpu.experiments.SPB.exp_library import MetricFilter
+    ours = MetricFilter(metric, limits)(
+        {"data": data.copy(), "mask": mask.copy(),
+         "good": np.ones(len(data), bool)})
+    # reference limits==None → clamp at observed min/max (keeps extremes)
+    np.testing.assert_array_equal(ours["good"], ~masks["total_filtered"])
+
+
+def test_lit_pixels_filter_matches_reference(ref_filters):
+    data, mask = _filter_chunk(n=16, seed=4)
+    opt = {"name": "lit", "roi_mask": np.ones(data.shape[1:], bool),
+           "lit_threshold": 6.0, "limits": [0.2, 0.4]}
+    rf = ref_filters.LitPixels(opt)
+    _, masks = rf.apply({"data": data.copy(), "mask": mask.copy()}, {})
+
+    from xframe_tpu.experiments.SPB.exp_library import LitPixelsFilter
+    ours = LitPixelsFilter(6.0, (0.2, 0.4))(
+        {"data": data.copy(), "mask": mask.copy(),
+         "good": np.ones(len(data), bool)})
+    np.testing.assert_array_equal(ours["good"], ~masks["total_filtered"])
+
+
 # ------------------------------------------------------- AGIPD pixel centers
 def test_agipd_sensitive_pixel_centers_match_reference():
     """Data-pixel lab positions vs the reference's physical module model
