@@ -427,7 +427,9 @@ def test_fixed_volume_shrink_wrap(problem):
     assert abs(vol / vol0 - frac) < 0.02, vol / vol0
     assert not (mask & ~init_sup.astype(bool)).any()
 
-    # through the jitted run path: every SW event lands on the target volume
+    # through the jitted run path: each SW event is rate-limited to a 20%
+    # volume change of the current support (reference d_vol_thresh,
+    # fxs_Projections.py:270-283), so one event lands on 0.8·vol0 ...
     mtip_fv = MTIP(problem["ft"], mtip.rc, mtip.real, sw_fv, mtip._w_err,
                    init_sup, enforce_initial_support_limit=mtip.enforce_limit)
     schedule = [
@@ -437,10 +439,31 @@ def test_fixed_volume_shrink_wrap(problem):
     ]
     rho0 = _initial_density(problem, jax.random.PRNGKey(2))
     state, errors = jax.jit(lambda r: mtip_fv.run(r, schedule))(rho0)
-    support = np.asarray(state.support)
-    vol_run = (w * support).sum()
-    assert abs(vol_run / vol0 - frac) < 0.02, vol_run / vol0
+    vol_run = (w * np.asarray(state.support)).sum()
+    assert abs(vol_run / vol0 - 0.8) < 0.02, vol_run / vol0
     assert np.isfinite(np.asarray(errors)).all()
+
+    # ... and repeated events converge geometrically onto the target:
+    # 0.8 → 0.64 → 0.512 → 0.41 → clip(0.41·[0.8,1.2] ∋ 0.37) = 0.37
+    schedule_5sw = []
+    for _ in range(5):
+        schedule_5sw += [
+            Segment('HIO', 2, betas=np.full(2, 0.5), ft_stab=True),
+            Segment('SW', sigma=mtip.sw.default_sigma, threshold=0.09)]
+    state5, _ = jax.jit(lambda r: mtip_fv.run(r, schedule_5sw))(rho0)
+    vol5 = (w * np.asarray(state5.support)).sum()
+    assert abs(vol5 / vol0 - frac) < 0.02, vol5 / vol0
+
+    # max_volume_change=None jumps straight to the target in one event
+    sw_nolim = ShrinkWrap.build(ft.qs, mode="fixed_volume",
+                                volume_fraction=frac, integration_weights=w,
+                                initial_support=init_sup,
+                                max_volume_change=None)
+    mtip_nl = MTIP(problem["ft"], mtip.rc, mtip.real, sw_nolim, mtip._w_err,
+                   init_sup, enforce_initial_support_limit=mtip.enforce_limit)
+    state_nl, _ = jax.jit(lambda r: mtip_nl.run(r, schedule))(rho0)
+    vol_nl = (w * np.asarray(state_nl.support)).sum()
+    assert abs(vol_nl / vol0 - frac) < 0.02, vol_nl / vol0
 
 
 def test_run_batch_with_arg_tables_matches_embedded():

@@ -202,8 +202,12 @@ def test_reconstruct_fixed_volume_shrink_wrap(invariants, home):
                                  "ER": {"iterations": 4}}},
         }},
         "projections": {"real": {
+            # max_volume_change null: jump straight to the target volume in
+            # the single SW event (the default 0.2 rate limit — matching the
+            # reference's d_vol_thresh — would land on 0.8·vol0 instead)
             "shrink_wrap": {"mode": "fixed_volume",
-                            "fixed_volume": {"volume": 0.4},
+                            "fixed_volume": {"volume": 0.4,
+                                             "max_volume_change": None},
                             "sigmas": [False], "thresholds": [0.1]},
             "HIO": {"beta": [[0.5, 0.4, -1 / 50, 100]]},
         }},

@@ -396,6 +396,41 @@ class TestFusedIteration:
         assert abs(float(num) - num_ref) < 1e-4 * abs(num_ref)
         assert abs(float(den) - den_ref) < 1e-4 * abs(den_ref)
 
+    def test_inverse_real_project_weighted_partials(self):
+        """w_rec-weighted reciprocal-error partials (the reciprocal-grid
+        integration weights of the reference metric, fxs_IO_methods.py:
+        97-128) against weighted numpy sums."""
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+        from xframe_tpu.ops.pallas_mtip import FusedIteration
+        from xframe_tpu.projects.fxs.projections import (
+            project_to_modified_intensity)
+        sht, fused, fi, rng = self._setup()
+        w_rec = rng.random((8, 16)).astype(np.float32) + 0.1
+        fi_w = FusedIteration(fused, q_block=fi.q_block, w_rec=w_rec)
+        c = (rng.normal(size=(8, 13, 7))
+             + 1j * rng.normal(size=(8, 13, 7))).astype(np.complex64)
+        psi = (rng.normal(size=(8, 16, 32))
+               + 1j * rng.normal(size=(8, 16, 32))).astype(np.complex64)
+        I_new = np.asarray(jax.jit(sht.inverse_real)(jnp.asarray(c)))
+        inten = (psi * psi.conj()).real
+        pp_ref = np.asarray(project_to_modified_intensity(
+            jnp.asarray(psi), jnp.asarray(inten), jnp.asarray(I_new)))
+        w3 = w_rec[:, :, None]
+        num_ref = np.sum(w3 * np.abs(psi - pp_ref) ** 2)
+        den_ref = np.sum(w3 * inten)
+        pp, num, den = jax.jit(fi_w.inverse_real_project)(
+            jnp.asarray(c), jnp.asarray(psi))
+        assert np.abs(np.asarray(pp) - pp_ref).max() \
+            < 1e-5 * np.abs(pp_ref).max()
+        assert abs(float(num) - num_ref) < 1e-4 * abs(num_ref)
+        assert abs(float(den) - den_ref) < 1e-4 * abs(den_ref)
+        c_out, num2, den2 = jax.jit(fi_w.inverse_real_project_fwd)(
+            jnp.asarray(c), jnp.asarray(psi))
+        assert abs(float(num2) - num_ref) < 1e-4 * abs(num_ref)
+        assert abs(float(den2) - den_ref) < 1e-4 * abs(den_ref)
+
     def test_synthesize_update_all_methods(self):
         import numpy as np
         import jax

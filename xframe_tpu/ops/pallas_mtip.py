@@ -72,10 +72,12 @@ def _synth_complex(cre_ref, cim_ref, p, i_re, i_im, q_b, n_theta, n_phi, m_blk):
 # ---------------------------------------------------------------- K2 kernel
 def _inv_real_project_kernel(n_theta, n_phi, m_blk, eps,
                              cre_ref, cim_ref, p_ref, ire_ref, iim_ref,
-                             pre_ref, pim_ref,
+                             pre_ref, pim_ref, w_ref,
                              ppre_ref, ppim_ref, part_ref):
     """Real intensity synthesis + amplitude projection against the ψ tile +
-    per-q-block reciprocal-error partials (Σ|ψ−ψ_p|², Σ|ψ|²)."""
+    per-q-block reciprocal-error partials (Σw|ψ−ψ_p|², Σw|ψ|²; w = the
+    reciprocal-grid integration weights, reference fxs_IO_methods.py:97-128,
+    or all-ones for the unweighted sums)."""
     q_b = cre_ref.shape[0]
     c_re = cre_ref[:].transpose(1, 0, 2)
     c_im = cim_ref[:].transpose(1, 0, 2)
@@ -96,8 +98,9 @@ def _inv_real_project_kernel(n_theta, n_phi, m_blk, eps,
     ppim_ref[:] = ppi
     dre = pr - ppr
     dim_ = pi - ppi
-    num = jnp.sum(dre * dre + dim_ * dim_)
-    den = jnp.sum(inten)
+    w = w_ref[:][:, :, None]
+    num = jnp.sum(w * (dre * dre + dim_ * dim_))
+    den = jnp.sum(w * inten)
     part_ref[:] = _scatter_scalars([num, den])[None]
 
 
@@ -127,8 +130,8 @@ def _synth_abs2_kernel(n_theta, n_phi, m_blk, mp_blk,
 # --------------------------------------------------------------- K2⁺ kernel
 def _inv_real_project_fwd_kernel(n_theta, n_phi, mp_blk, m_blk, eps,
                                  cre_ref, cim_ref, pp_ref, ipre_ref, ipim_ref,
-                                 pre_ref, pim_ref, ere_ref, eim_ref, pw_ref,
-                                 ocre_ref, ocim_ref, part_ref):
+                                 pre_ref, pim_ref, w_ref, ere_ref, eim_ref,
+                                 pw_ref, ocre_ref, ocim_ref, part_ref):
     """K2 + the analysis of ψ_p: the modulus-projected field is analysed to
     coefficients inside the same VMEM pass, so ψ_p never exists in HBM."""
     q_b = cre_ref.shape[0]
@@ -149,8 +152,9 @@ def _inv_real_project_fwd_kernel(n_theta, n_phi, mp_blk, m_blk, eps,
     ppi = pi * s
     dre = pr - ppr
     dim_ = pi - ppi
-    num = jnp.sum(dre * dre + dim_ * dim_)
-    den = jnp.sum(inten)
+    w = w_ref[:][:, :, None]
+    num = jnp.sum(w * (dre * dre + dim_ * dim_))
+    den = jnp.sum(w * inten)
     part_ref[:] = _scatter_scalars([num, den])[None]
     # forward analysis of ψ_p (full centered-m): φ-DFT + Legendre quadrature
     a_re = ppr.reshape(q_b * n_theta, n_phi)
@@ -320,10 +324,15 @@ class FusedIteration:
     Requires the FusedSHT to run with m_splits == 1 so the full-m tables are
     DMA'd once per launch and no cross-step accumulation is needed."""
 
-    def __init__(self, fused_sht, q_block: int | None = None):
+    def __init__(self, fused_sht, q_block: int | None = None, w_rec=None):
+        """w_rec: optional (n_q, n_theta) reciprocal-grid integration-weight
+        plane for the K2 error partials (reference integrates the reciprocal
+        L2 metric, fxs_IO_methods.py:97-128); None → unweighted sums."""
         if fused_sht.m_splits != 1:
             raise ValueError("FusedIteration requires FusedSHT(m_splits=1)")
         self.f = fused_sht
+        self._w_rec = None if w_rec is None else np.ascontiguousarray(
+            np.asarray(w_rec, dtype=np.float32))
         # the synthesize_update kernel holds ~10 grid-sized values per
         # q-block (epilogue temporaries + double-buffered in/out blocks):
         # at tutorial scale half the FusedSHT block fits the VMEM budget
@@ -387,6 +396,16 @@ class FusedIteration:
                 [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)]) for a in arrs)
         return arrs, rows
 
+    def _w_rec_rows(self, lead, rows, nt):
+        """(rows, n_theta) f32 weight plane for the K2 error partials: the
+        reciprocal-grid weights broadcast over any leading batch axes, or
+        all-ones when unweighted. Zero row padding (below) keeps padded rows
+        out of the sums."""
+        if self._w_rec is None:
+            return jnp.ones((rows, nt), jnp.float32)
+        return jnp.broadcast_to(jnp.asarray(self._w_rec),
+                                lead + (nt,)).reshape(rows, nt)
+
     def _coeff_planes(self, c):
         """complex (..., n_m, L+1) → zero-padded f32 planes (rows, m_pad, L+1)."""
         f = self.f
@@ -439,8 +458,9 @@ class FusedIteration:
         pr = psi.reshape((rows, nt, nph))
         p_re = pr.real.astype(jnp.float32)
         p_im = pr.imag.astype(jnp.float32)
-        (c_re, c_im, p_re, p_im), nrows = self._pad_rows_q(
-            (c_re, c_im, p_re, p_im), qb)
+        w_r = self._w_rec_rows(lead, rows, nt)
+        (c_re, c_im, p_re, p_im, w_r), nrows = self._pad_rows_q(
+            (c_re, c_im, p_re, p_im, w_r), qb)
         g = c_re.shape[0] // qb
         kern = partial(_inv_real_project_kernel, nt, nph, mb, float(eps))
         blk_c = pl.BlockSpec((qb, mb, L + 1), lambda i: (i, 0, 0),
@@ -451,12 +471,15 @@ class FusedIteration:
                               memory_space=pltpu.VMEM)
         blk_g = pl.BlockSpec((qb, nt, nph), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
+        blk_w = pl.BlockSpec((qb, nt), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
         part_spec = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
                                  memory_space=pltpu.VMEM)
         pp_re, pp_im, parts = pl.pallas_call(
             kern,
             grid=(g,),
-            in_specs=[blk_c, blk_c, p_spec, i_spec, i_spec, blk_g, blk_g],
+            in_specs=[blk_c, blk_c, p_spec, i_spec, i_spec, blk_g, blk_g,
+                      blk_w],
             out_specs=[blk_g, blk_g, part_spec],
             out_shape=[jax.ShapeDtypeStruct((g * qb, nt, nph), jnp.float32),
                        jax.ShapeDtypeStruct((g * qb, nt, nph), jnp.float32),
@@ -464,7 +487,8 @@ class FusedIteration:
             compiler_params=self._params,
             interpret=f._interp(),
         )(c_re, c_im, jnp.asarray(self._Pp_t),
-          jnp.asarray(self._Ip_re), jnp.asarray(self._Ip_im), p_re, p_im)
+          jnp.asarray(self._Ip_re), jnp.asarray(self._Ip_im), p_re, p_im,
+          w_r)
         psi_p = lax.complex(pp_re[:nrows], pp_im[:nrows]).astype(
             f.sht.complex_dtype).reshape(lead + (nt, nph))
         num = jnp.sum(parts[:, 0, 0])
@@ -542,8 +566,9 @@ class FusedIteration:
         pr = psi.reshape((rows, nt, nph))
         p_re = pr.real.astype(jnp.float32)
         p_im = pr.imag.astype(jnp.float32)
-        (c_re, c_im, p_re, p_im), nrows = self._pad_rows_q(
-            (c_re, c_im, p_re, p_im), qb)
+        w_r = self._w_rec_rows(lead, rows, nt)
+        (c_re, c_im, p_re, p_im, w_r), nrows = self._pad_rows_q(
+            (c_re, c_im, p_re, p_im, w_r), qb)
         g = c_re.shape[0] // qb
         kern = partial(_inv_real_project_fwd_kernel, nt, nph, mpb, mb,
                        float(eps))
@@ -563,11 +588,13 @@ class FusedIteration:
                               memory_space=pltpu.VMEM)
         part_spec = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
                                  memory_space=pltpu.VMEM)
+        blk_w = pl.BlockSpec((qb, nt), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
         oc_re, oc_im, parts = pl.pallas_call(
             kern,
             grid=(g,),
             in_specs=[blk_cp, blk_cp, pp_spec, ip_spec, ip_spec,
-                      blk_g, blk_g, e_spec, e_spec, pw_spec],
+                      blk_g, blk_g, blk_w, e_spec, e_spec, pw_spec],
             out_specs=[blk_oc, blk_oc, part_spec],
             out_shape=[jax.ShapeDtypeStruct((g * qb, mb, L + 1), jnp.float32),
                        jax.ShapeDtypeStruct((g * qb, mb, L + 1), jnp.float32),
@@ -576,7 +603,8 @@ class FusedIteration:
             interpret=f._interp(),
         )(c_re, c_im, jnp.asarray(self._Pp_t),
           jnp.asarray(self._Ip_re), jnp.asarray(self._Ip_im), p_re, p_im,
-          jnp.asarray(f._E_re), jnp.asarray(f._E_im), jnp.asarray(f._PW))
+          w_r, jnp.asarray(f._E_re), jnp.asarray(f._E_im),
+          jnp.asarray(f._PW))
         c_out = lax.complex(oc_re[:nrows, : f.n_m],
                             oc_im[:nrows, : f.n_m]).astype(
             f.sht.complex_dtype).reshape(lead + (f.n_m, L + 1))

@@ -187,6 +187,27 @@ class MTIP:
         self.initial_support = np.asarray(initial_support)
         self._w_err_premasked = (
             self._w_err_host.shape == self.initial_support.shape)
+        # reciprocal-grid integration weights for the reciprocal L2 metric:
+        # the reference integrates it over the reciprocal grid
+        # (fxs_IO_methods.py:97-128; its cache-aware default path spells
+        # _type='reziprocal' at :304 and thus lands on the REAL-grid
+        # integrator — harmless, reciprocity-paired radial nodes make both
+        # weight sets proportional and the constant cancels in the ratio)
+        self._w_rec_host = None
+        qs = getattr(ft, "qs", None)
+        if qs is not None:
+            from xframe_tpu.ops.integrate import (SphericalIntegrator,
+                                                  PolarIntegrator)
+            shp = self.initial_support.shape
+            if self.initial_support.ndim == 3:
+                # separable (n_q, n_θ, 1) form — never a grid-sized constant
+                self._w_rec_host = np.asarray(SphericalIntegrator(
+                    np.asarray(qs), shp[1], shp[2],
+                    real_dtype=real_dtype).w_broadcast, dtype=np_real)
+            elif self.initial_support.ndim == 2:
+                self._w_rec_host = np.asarray(PolarIntegrator(
+                    np.asarray(qs), shp[1], real_dtype=real_dtype)._w,
+                    dtype=np_real)
         self.enforce_limit = float(enforce_initial_support_limit)
         self.fix_global_phase = bool(fix_global_phase)
         self._r_cart = None
@@ -253,7 +274,9 @@ class MTIP:
                 and self._default_err_cfg
                 and isinstance(real, RealConstraint)):
             from xframe_tpu.ops.pallas_mtip import FusedIteration
-            self._fi = FusedIteration(fused)
+            self._fi = FusedIteration(
+                fused, w_rec=None if self._w_rec_host is None
+                else self._w_rec_host[..., 0])
         import os
         self.lazy_best = os.environ.get("XF_LAZY_BEST", "0").lower() \
             not in ("0", "false", "")
@@ -377,11 +400,13 @@ class MTIP:
         return jnp.sum((d * d.conj()).real) / norm
 
     def _reciprocal_error(self, psi, psi_p):
-        """relative L2 distance of the amplitude projection
-        (fxs_IO_methods.py reciprocal metric :131-206)."""
+        """relative L2 distance of the amplitude projection, integrated with
+        the reciprocal-grid weights (fxs_IO_methods.py reciprocal metric
+        :97-128; oracle-tested in tests/test_reference_oracle_phasing.py)."""
         d = psi - psi_p
-        num = jnp.sum((d * d.conj()).real)
-        den = jnp.sum((psi * psi.conj()).real)
+        w = 1.0 if self._w_rec_host is None else jnp.asarray(self._w_rec_host)
+        num = jnp.sum(w * (d * d.conj()).real)
+        den = jnp.sum(w * (psi * psi.conj()).real)
         return jnp.where(den > 0, num / den, jnp.inf)
 
     def enable_centering(self, r_cart, q_cart):
@@ -645,7 +670,8 @@ class MTIP:
         blurred = self.ft.inverse(
             self.ft.forward(jnp.abs(rho).astype(self.cdtype))
             * self.sw.gaussian_values(sigma))
-        new_support = self.sw.new_support(blurred, threshold)
+        new_support = self.sw.new_support(blurred, threshold,
+                                          current_support=state.support)
         enforce = state.last_err > self.enforce_limit
         support = jnp.where(enforce, new_support & self.initial_support, new_support)
         return PhasingState(rho, support, state.best_rho, state.best_mask,

@@ -266,9 +266,14 @@ class ReciprocalConstraint:
         Ilt = jnp.moveaxis(Ilm, 2, 0)                      # (L+1, n_q, n_m)
         proj = self.V_pad @ W                              # (L+1, n_q, n_m)
         # l=0: fixed data column, no unknown (zero_id branch)
-        proj = proj.at[0].set(self.V_pad[0] / float(np.sqrt(self.n_particles)))
+        proj = proj.at[0].set(self.V_pad[0])
         take = (self.use_order[:, None] & self.radial_mask)[:, :, None]
         out = jnp.where(take, proj, Ilt)
+        # the 1/√N particle scaling divides the ENTIRE l=0 row — including
+        # radially masked-out q that kept the iterate's coefficients
+        # (reference generate_coeff_projection, fxs_Projections.py:866-870;
+        # oracle-tested in tests/test_reference_oracle_phasing.py)
+        out = out.at[0].mul(1.0 / float(np.sqrt(self.n_particles)))
         return jnp.moveaxis(out, 0, 2)                     # (n_q, n_m, L+1)
 
     def __call__(self, Ilm):
@@ -530,11 +535,18 @@ class ShrinkWrap:
     initial_support: Any = None
     fixed_volume_method: str = "sort"   # 'sort' (exact ranks) | 'bucketed'
     #                                     (histogram refinement, O(n) passes)
+    max_volume_change: Any = 0.2   # per-event volume rate limit (reference
+    #                                d_vol_thresh, fxs_Projections.py:270-283:
+    #                                thresholds changing the volume by more
+    #                                than this fraction get an inf metric, so
+    #                                the golden search converges to the target
+    #                                over several SW events); None disables
 
     @classmethod
     def build(cls, qs, grid_rank=3, real_dtype=jnp.float32, mode="threshold",
               volume_fraction=0.5, integration_weights=None,
-              initial_support=None, fixed_volume_method="sort"):
+              initial_support=None, fixed_volume_method="sort",
+              max_volume_change=0.2):
         np_real = np.float32 if real_dtype == jnp.float32 else np.float64
         q = np.asarray(qs, dtype=np_real).reshape((-1,) + (1,) * (grid_rank - 1))
         if mode == "fixed_volume":
@@ -545,25 +557,28 @@ class ShrinkWrap:
                 * np.asarray(initial_support)
         else:
             w = None
+        mvc = None if max_volume_change in (None, False) \
+            else float(max_volume_change)
         return cls(q_radii=q, default_sigma=float(np.pi / qs.max()),
                    mode=str(mode), volume_fraction=float(volume_fraction),
                    vol_weights=w,
                    initial_support=None if initial_support is None
                    else np.asarray(initial_support),
-                   fixed_volume_method=str(fixed_volume_method))
+                   fixed_volume_method=str(fixed_volume_method),
+                   max_volume_change=mvc)
 
     def gaussian_values(self, sigma):
         a = 1.0 / (2.0 * sigma ** 2)
         return jnp.sqrt(jnp.pi / a) * jnp.exp(-np.pi ** 2 * self.q_radii ** 2 / a)
 
-    def new_support(self, conv, threshold):
+    def new_support(self, conv, threshold, current_support=None):
         if self.mode == "fixed_volume":
-            return self.new_support_fixed_volume(conv)
+            return self.new_support_fixed_volume(conv, current_support)
         c = jnp.maximum(conv.real, 0.0)
         cmax, cmin = jnp.max(c), jnp.min(c)
         return c >= cmin + threshold * (cmax - cmin)
 
-    def new_support_fixed_volume(self, conv):
+    def new_support_fixed_volume(self, conv, current_support=None):
         """Support = highest-blur points (inside the initial support) whose
         integrated volume reaches volume_fraction × initial-support volume.
 
@@ -572,10 +587,22 @@ class ShrinkWrap:
         uses scipy golden-section per SW event). 'bucketed' avoids the
         full-grid argsort (O(n log n) multi-pass on TPU at 16.8M points) with
         three 512-way weighted-histogram refinements of the boundary value
-        (O(n) elementwise passes) + one masked cumsum for the boundary bin."""
+        (O(n) elementwise passes) + one masked cumsum for the boundary bin.
+
+        With max_volume_change set (reference default 0.2) and the current
+        support given, the per-event target is clipped to within that
+        fraction of the current support volume: the blur→volume map is
+        monotone in the threshold, so the reference's inf-metric rejection
+        of faster-changing thresholds makes its golden search land exactly
+        on this clipped target (oracle-tested against the reference in
+        tests/test_reference_oracle_phasing.py)."""
         c = conv.real.ravel()
         w = jnp.asarray(self.vol_weights).ravel()
         target = self.volume_fraction * w.sum()
+        if self.max_volume_change is not None and current_support is not None:
+            old = jnp.sum(w * current_support.ravel())
+            target = jnp.clip(target, (1.0 - self.max_volume_change) * old,
+                              (1.0 + self.max_volume_change) * old)
         if self.fixed_volume_method == "bucketed":
             keep = _fixed_volume_keep_bucketed(c, w, target)
         else:

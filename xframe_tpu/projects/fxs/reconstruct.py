@@ -497,7 +497,9 @@ class ProjectWorker(ProjectWorkerInterface):
             integration_weights=np.asarray(integ._w),
             initial_support=initial_support,
             fixed_volume_method=str(swopt.get("fixed_volume", {})
-                                    .get("method", "sort")))
+                                    .get("method", "sort")),
+            max_volume_change=swopt.get("fixed_volume", {})
+                              .get("max_volume_change", 0.2))
         mtip = MTIP(ft, rc_constraint, real_constraint, sw, w_err,
                     initial_support,
                     enforce_initial_support_limit=enforce_limit,
@@ -739,7 +741,9 @@ class ProjectWorker(ProjectWorkerInterface):
             integration_weights=np.asarray(integ._w),
             initial_support=initial_support,
             fixed_volume_method=str(swopt.get("fixed_volume", {})
-                                    .get("method", "sort")))
+                                    .get("method", "sort")),
+            max_volume_change=swopt.get("fixed_volume", {})
+                              .get("max_volume_change", 0.2))
         cht = RealCircularHarmonics(n_phi, M)
         mtip = MTIP(ft, rc_constraint, real_constraint, sw, w_err,
                     initial_support,
