@@ -226,3 +226,39 @@ def test_extract_from_shapes_2d(home):
     v = np.asarray(proj[2])[:, 0]
     rel = np.linalg.norm(bm[2] - np.outer(v, v.conj())) / np.linalg.norm(bm[2])
     assert rel < 1e-3
+
+
+def test_2d_shift_to_center(home):
+    """output_density_modifiers.shift_to_center on the 2D path (the polar
+    cartesian grids wired by _setup_2d): the saved density's center of mass
+    must land near the origin (reference composes the shift for both dims,
+    reconstruct.py:453-463)."""
+    xf.select_project("fxs", "reconstruct", overrides={
+        "structure_name": "pytest2d",
+        "dimensions": 2,
+        "particle_radius": 60,
+        "grid": {"n_radial_points": 32, "max_order": 10, "n_phi": 64},
+        "multi_start": {"n_reconstructions": 1, "seed": 11},
+        "main_loop": {"sub_loops": {
+            "order": ["main"],
+            "main": {"iterations": 1, "order": ["HIO", "SW", "ER"],
+                     "methods": {"HIO": {"iterations": 12},
+                                 "SW": {"iterations": 1},
+                                 "ER": {"iterations": 8}}},
+        }},
+        "projections": {"real": {
+            "shrink_wrap": {"sigmas": [False], "thresholds": [0.09]},
+            "HIO": {"beta": [[0.5, 0.4, -1 / 50, 100]]},
+        }},
+        "output_density_modifiers": {"shift_to_center": True},
+    })
+    res = xf.run()
+    rho = np.abs(np.asarray(res["reconstruction_results"]["0"]
+                            ["real_density"]))
+    grid_r = np.asarray(res["configuration"]["internal_grid"]["real_grid"])
+    phis = 2 * np.pi * np.arange(rho.shape[1]) / rho.shape[1]
+    x = grid_r[:, None] * np.cos(phis)[None, :]
+    y = grid_r[:, None] * np.sin(phis)[None, :]
+    w = rho * grid_r[:, None]           # polar area element ∝ r
+    com = np.array([(w * x).sum(), (w * y).sum()]) / w.sum()
+    assert np.linalg.norm(com) < 0.1 * grid_r.max(), com

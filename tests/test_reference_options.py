@@ -179,8 +179,17 @@ def test_best_density_reset_markers_and_semantics():
     segs = build_schedule(main_loop, [[0.5, 0.5, -1.0, 10]], [False], [0.1],
                           {}, 1.0)
     methods = [s.method for s in segs]
-    # SNAPSHOT right after sub-loop iteration 0, RESET at loop end
-    assert methods == ["HIO", "SNAPSHOT", "HIO", "HIO", "RESET_TO_BEST"]
+    # reference convention (reconstruct.py:868 `range(1, max+1)`, :945
+    # `best_iteration > n`): n = 0 means a best from ANY iteration triggers
+    # the reset → SNAPSHOT before the first iteration, RESET at loop end
+    assert methods == ["SNAPSHOT", "HIO", "HIO", "HIO", "RESET_TO_BEST"]
+    # n = 1: bests from 1-based iteration 1 do NOT trigger; SNAPSHOT sits
+    # after the first iteration's segments
+    main_loop["main"]["best_density_not_in_first_n_iterations"] = 1
+    segs = build_schedule(main_loop, [[0.5, 0.5, -1.0, 10]], [False], [0.1],
+                          {}, 1.0)
+    assert [s.method for s in segs] == \
+        ["HIO", "SNAPSHOT", "HIO", "HIO", "RESET_TO_BEST"]
     # n >= iterations disables the feature entirely
     main_loop["main"]["best_density_not_in_first_n_iterations"] = 3
     segs = build_schedule(main_loop, [[0.5, 0.5, -1.0, 10]], [False], [0.1],
@@ -266,6 +275,28 @@ def test_simulate_oversampling_max_q(home):
     # midpoint grid: qs = (arange(N)+0.5) * q_max / N
     assert np.isclose(qs[-1], (N - 0.5) * q_expect / N, rtol=1e-6)
     assert np.isfinite(out["cross_correlation"]["I1I1"]).all()
+
+
+def test_simulate_2d_accepts_3d_default_centers():
+    """dimensions: 2 with the shipped 3D default centers [[0,0,0]] (and any
+    spherical (r,θ,φ) center) must take the polar (r,φ) reading instead of
+    crashing on the coordinate-count mismatch; a genuinely wrong center
+    length raises a clear error."""
+    from xframe_tpu.projects.fxs.simulate_ccd import (
+        build_density_from_shapes as _build_density)
+    from xframe_tpu.library.shapes import polar_grid
+    rng = np.random.default_rng(0)
+    grid = polar_grid(np.linspace(1.0, 50.0, 16),
+                      2 * np.pi * np.arange(24) / 24)
+    d3 = _build_density(grid, {"types": ["sphere"], "centers": [[0, 0, 0]],
+                               "sizes": [20], "densities": [1.0]}, rng)
+    d2 = _build_density(grid, {"types": ["sphere"], "centers": [[0, 0]],
+                               "sizes": [20], "densities": [1.0]}, rng)
+    np.testing.assert_array_equal(d3, d2)
+    assert d2.max() > 0
+    with pytest.raises(ValueError, match="coordinates"):
+        _build_density(grid, {"types": ["sphere"], "centers": [[0, 0, 0, 0]],
+                              "sizes": [20], "densities": [1.0]}, rng)
 
 
 def test_considered_projections_mask_selection():

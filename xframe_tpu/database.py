@@ -39,11 +39,18 @@ def _select(project_name: str):
 
     from xframe_tpu import settings
 
+    # fall back to DefaultDB only when the project ships no _database_ module
+    # or no ProjectDB class — NOT on errors raised inside ProjectDB.__init__
+    # (those are real bugs and must surface, not silently degrade paths)
     try:
         mod = importlib.import_module(
             f"xframe_tpu.projects.{project_name}._database_")
-        project = mod.ProjectDB(settings.project)
-    except (ModuleNotFoundError, AttributeError):
+    except ModuleNotFoundError:
+        mod = None
+    cls = getattr(mod, "ProjectDB", None) if mod is not None else None
+    if cls is None:
         from xframe_tpu.io.database import DefaultDB
         project = DefaultDB()
+    else:
+        project = cls(settings.project)
     return project

@@ -379,8 +379,12 @@ class Aligner2D:
         self._batch_psi_shift = _psi_shift
         n = self.n_phi
 
+        def rot_one(r, k):
+            idx = (jnp.arange(n) - k) % n         # f(φ−α), α = 2πk/n
+            return r[..., idx]
+
         @jax.jit
-        def _align(rhos, ref_coeff, psis, ref_rho):
+        def _align(rhos, ref_coeff):
             coeffs = jnp.fft.fft(rhos, axis=-1) / n
 
             def score_one(c):
@@ -390,21 +394,23 @@ class Aligner2D:
                 return Ca[k], k
 
             scores, ks = jax.vmap(score_one)(coeffs)
+            return scores, ks, jax.vmap(rot_one)(rhos, ks)
 
-            def rot_one(r, k):
-                idx = (jnp.arange(n) - k) % n     # f(φ−α), α = 2πk/n
-                return r[..., idx]
+        # psi rotation and the l2-vs-reference column are separate jits so
+        # callers without psis / ref_rho don't pay for dummy rotations and
+        # discarded reductions
+        self._batch_align = _align
+        self._batch_rot = jax.jit(jax.vmap(rot_one))
 
-            rho_rot = jax.vmap(rot_one)(rhos, ks)
-            psi_rot = jax.vmap(rot_one)(psis, ks)
+        @jax.jit
+        def _l2(rho_rot, ref_rho):
             den = jnp.maximum(jnp.sum(self._w_int * jnp.abs(ref_rho) ** 2),
                               1e-30)
-            l2 = jax.vmap(lambda a: jnp.sqrt(
+            return jax.vmap(lambda a: jnp.sqrt(
                 jnp.sum(self._w_int * jnp.abs(a - ref_rho) ** 2) / den)
             )(rho_rot).astype(jnp.float32)
-            return scores, ks, rho_rot, psi_rot, l2
 
-        self._batch_align = _align
+        self._batch_l2 = _l2
 
     def center_batch(self, rhos, psis=None):
         self._build_batch_fns()
@@ -419,15 +425,14 @@ class Aligner2D:
         spectral rotation. → (rho_rot, psi_rot|None, l2|None, infos)."""
         self._build_batch_fns()
         rhos = jnp.asarray(rhos)
-        have_psi = psis is not None
-        psis_in = jnp.asarray(psis) if have_psi else rhos
-        ref_rho_in = jnp.asarray(ref_rho) if ref_rho is not None else rhos[0]
-        scores, ks, rho_rot, psi_rot, l2 = self._batch_align(
-            rhos, jnp.asarray(ref_coeff), psis_in, ref_rho_in)
+        scores, ks, rho_rot = self._batch_align(rhos, jnp.asarray(ref_coeff))
+        psi_rot = None if psis is None \
+            else self._batch_rot(jnp.asarray(psis), ks)
+        l2 = None if ref_rho is None \
+            else np.asarray(to_host(self._batch_l2(rho_rot,
+                                                   jnp.asarray(ref_rho))))
         scores, ks = to_host(scores), to_host(ks)
         infos = [{"angles": (2 * np.pi * int(k) / self.n_phi, 0.0, 0.0),
                   "score": float(s), "inverted": False}
                  for s, k in zip(scores, ks)]
-        return (rho_rot, psi_rot if have_psi else None,
-                np.asarray(to_host(l2)) if ref_rho is not None else None,
-                infos)
+        return rho_rot, psi_rot, l2, infos

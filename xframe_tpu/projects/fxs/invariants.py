@@ -658,9 +658,14 @@ def interpolate_masked_cc(cc, mask, row_chunk=65536, use_native=True):
     Primary path is the native C++ row kernel (one O(n_phi) pass per row,
     threaded — sub-second at n_q=512); fallback is vectorized numpy over
     row chunks. Both replace the reference's per-(q1,q2) Python loop."""
-    cc = np.ascontiguousarray(cc, dtype=np.float64).copy() \
-        if not (isinstance(cc, np.ndarray) and cc.dtype == np.float64
-                and cc.flags.c_contiguous) else cc.copy()
+    # one fresh float64-contiguous buffer: ascontiguousarray already
+    # materializes a copy for non-f64/non-contiguous inputs, so only the
+    # passthrough case needs an explicit .copy()
+    if (isinstance(cc, np.ndarray) and cc.dtype == np.float64
+            and cc.flags.c_contiguous):
+        cc = cc.copy()
+    else:
+        cc = np.ascontiguousarray(cc, dtype=np.float64)
     mask = np.asarray(mask, dtype=bool)
     n_phi = cc.shape[-1]
     flat_c = cc.reshape(-1, n_phi)

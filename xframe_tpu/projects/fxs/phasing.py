@@ -79,10 +79,16 @@ def build_schedule(main_loop_opt, hio_beta_opt, sw_sigmas_opt, sw_thresholds_opt
         sw_step = 0   # counts SW events within this loop (σ/threshold argument)
         # best_density_not_in_first_n_iterations (reference
         # reconstruct.py:945-951): after this loop, continue from the best
-        # state found — unless the best stems from sub-loop iteration ≤ n.
-        # Realized as a SNAPSHOT of best_err after iteration n plus a
-        # RESET_TO_BEST at loop end (strict improvements make
-        # "best found later than n" ⟺ "best_err dropped below the snapshot").
+        # state found — unless the best stems from 1-based sub-loop iteration
+        # ≤ n (the reference loops `for iteration in range(1, max+1)` and
+        # resets when best_iteration > n). Realized as a SNAPSHOT of best_err
+        # BEFORE 0-based iteration n (== after 1-based iteration n; before
+        # any iteration for n == 0) plus a RESET_TO_BEST at loop end (strict
+        # improvements make "best found later than n" ⟺ "best_err dropped
+        # below the snapshot"). Known deviation: the reference compares the
+        # carried best_iteration even when the best stems from a PREVIOUS
+        # sub-loop, comparing iteration indices across different loops; the
+        # snapshot form only resets on improvements within this loop.
         n_first = loop.get('best_density_not_in_first_n_iterations', None) \
             if hasattr(loop, 'get') else None
         if n_first is not None and (n_first is False
@@ -92,6 +98,8 @@ def build_schedule(main_loop_opt, hio_beta_opt, sw_sigmas_opt, sw_thresholds_opt
         if n_first is not None and int(n_first) >= n_iters:
             n_first = None
         for it in range(n_iters):
+            if n_first is not None and it == int(n_first):
+                segments.append(Segment(method='SNAPSHOT'))
             for method in loop['order']:
                 mopt = loop['methods'][method]
                 if hasattr(mopt, 'get'):  # dict or DictNamespace node
@@ -129,8 +137,6 @@ def build_schedule(main_loop_opt, hio_beta_opt, sw_sigmas_opt, sw_thresholds_opt
                     segments.append(Segment(
                         method=base, n=repeats, betas=betas,
                         ft_stab=bool(fts)))
-            if n_first is not None and it == int(n_first):
-                segments.append(Segment(method='SNAPSHOT'))
         if n_first is not None:
             segments.append(Segment(method='RESET_TO_BEST'))
     return segments

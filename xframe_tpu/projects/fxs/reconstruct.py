@@ -462,15 +462,20 @@ class ProjectWorker(ProjectWorkerInterface):
                         .get("threshold", 0.01))
             dense = pad_coeff_dense(proj, N, L)
             np_r = np.float32 if real_dtype == jnp.float32 else np.float64
+            # production-sized FT tables enter as jit ARGUMENTS (same
+            # HTTP-413 payload rule as the runners / _lowres_env below)
+            ft_tables = _auto_guess_tables(ft)
 
             @jax.jit
-            def _autocorr(c_re, c_im):
-                a = ft.inverse(ft.sht.inverse(
-                    (c_re + 1j * c_im).astype(cdtype)))
-                return a.real.astype(real_dtype)
+            def _autocorr(tables, c_re, c_im):
+                with ft.bound_tables(tables):
+                    a = ft.inverse(ft.sht.inverse(
+                        (c_re + 1j * c_im).astype(cdtype)))
+                    return a.real.astype(real_dtype)
 
             from xframe_tpu.library.hostio import to_host
             A = np.asarray(to_host(_autocorr(
+                ft_tables,
                 np.ascontiguousarray(dense.real, dtype=np_r),
                 np.ascontiguousarray(dense.imag, dtype=np_r))))
             initial_support = (A >= thr * A.max()) \
@@ -543,6 +548,12 @@ class ProjectWorker(ProjectWorkerInterface):
             # reconstruct.py:1175-1205): the low-order projection matrices
             # synthesize a low-resolution autocorrelation-like envelope.
             lr = inv.get("data_low_resolution_intensity_coefficients")
+            if lr is None:
+                raise KeyError(
+                    "density_guess.type=low_resolution_autocorrelation needs "
+                    "'data_low_resolution_intensity_coefficients' in the "
+                    "invariants file, but it is absent — re-run the extract "
+                    "worker (it writes the key) or pick another guess type")
             if isinstance(lr, dict):  # per-l matrices (extract lr_max > 0)
                 lr_list = [np.atleast_2d(np.asarray(lr[k]))
                            for k in sorted(lr, key=int)]
@@ -750,6 +761,19 @@ class ProjectWorker(ProjectWorkerInterface):
                     enforce_initial_support_limit=enforce_limit,
                     real_dtype=real_dtype, harmonic=cht,
                     error_config=self._error_config(opt))
+        # cartesian grid tables for SW_center and the shift_to_center output
+        # modifier (the reference's shift operators work in both dims,
+        # fxs_Projections.py:1419-1444); without these the 2D modifier would
+        # silently no-op
+        from xframe_tpu.library.shapes import polar_grid
+
+        def _polar_cart(grid):
+            return np.stack((grid[..., 0] * np.cos(grid[..., 1]),
+                             grid[..., 0] * np.sin(grid[..., 1])), axis=-1)
+
+        phis = 2 * np.pi * np.arange(n_phi) / n_phi
+        mtip.enable_centering(_polar_cart(polar_grid(ft.rs, phis)),
+                              _polar_cart(polar_grid(ft.qs, phis)))
 
         total_intensity = float(np.trapezoid(avg_intensity * ft.qs, ft.qs)
                                 * 2 * np.pi)

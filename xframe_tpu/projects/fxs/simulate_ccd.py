@@ -41,11 +41,23 @@ def build_density_from_shapes(grid, shapes_opt, rng=None):
     from xframe_tpu.library.shapes import spherical_to_cartesian
     cart = spherical_to_cartesian(
         np.asarray(grid, dtype=np.float32)).astype(np.float32)
+    grid_dim = grid.shape[-1]
     for typ, center, size, amp, rnd in zip(types, centers, sizes, amplitudes,
                                            randoms):
         builder = SHAPE_BUILDERS[str(typ)]
+        center = np.asarray(center, dtype=float)
+        if grid_dim == 2 and center.size == 3:
+            # dimensions: 2 with the 3D default/spherical (r, θ, φ) centers
+            # (the shipped default is [0, 0, 0]): take the polar (r, φ)
+            # reading instead of crashing on the shape mismatch
+            center = center[[0, 2]]
+        elif center.size != grid_dim:
+            raise ValueError(
+                f"shape center {center.tolist()} has {center.size} "
+                f"coordinates but the {grid_dim}D grid expects {grid_dim} "
+                f"({'r, phi' if grid_dim == 2 else 'r, theta, phi'})")
         density += builder(grid, float(np.asarray(size).ravel()[0]),
-                           center=np.asarray(center, dtype=float),
+                           center=center,
                            amplitude=float(amp), random_orientation=bool(rnd),
                            rng=rng, cart=cart)
     return density
