@@ -201,6 +201,67 @@ def test_per_cell_calibration_recovers_flat_field(multiseq_run):
     assert np.allclose(chunk["data"][:, 0, 0, 0], expect, atol=1e-6)
 
 
+def test_per_cell_calibration_survives_cellid_sentinel(tmp_path):
+    """Frames carrying the 65535 cellId sentinel reach _calibrate before the
+    bad-frame mask (contiguous-range reads): per-cell constants must flag
+    them bad instead of IndexError-ing on the out-of-range lookup."""
+    n, ss, fs = 4, 8, 4
+    cells = np.asarray([0, 65535, 1, 0], dtype=np.uint16)
+    trains = np.asarray([5, 5, 6, 6], dtype=np.uint64)
+    pulses = np.asarray([0, 1, 0, 1], dtype=np.uint64)
+    data = np.full((n, ss, fs), 7.0, np.float32)
+    _write_module_file(tmp_path / "RAW-R5-AGIPD00-S00000.h5", 0, data,
+                       trains, pulses, cells)
+    n_cells = 2
+    offset = np.zeros((16, n_cells, ss, fs), np.float32)
+    offset[:, 1] = 3.0
+    exp = ExperimentWorker(str(tmp_path), calibration={"offset": offset})
+    chunk = next(exp.get_data(DataSelection(frame_range=(0, 4), modules=(0,),
+                                            batch_size=4,
+                                            good_cells_only=False)))
+    assert np.allclose(chunk["data"][[0, 3], 0, 0, 0], 7.0)
+    assert np.allclose(chunk["data"][2, 0, 0, 0], 4.0)
+    # the sentinel frame is calibrated with the clamped cell-0 constants but
+    # flagged bad
+    assert chunk["good"].tolist() == [True, False, True, True]
+
+    # adaptive path: same sentinel robustness
+    gl = np.zeros((3, n_cells, 16, ss, fs), np.float32)
+    gl[1], gl[2] = 1000.0, 2000.0
+    cal = {"gain_levels": gl,
+           "analog_offset": np.zeros((3, n_cells, 16, ss, fs), np.float32),
+           "relative_gain": np.ones((3, n_cells, 16, ss, fs), np.float32)}
+    raw = np.stack([data, np.full_like(data, 500.0)], axis=1)
+    r6 = tmp_path / "r6"
+    r6.mkdir()
+    _write_module_file(r6 / "RAW-R6-AGIPD00-S00000.h5", 0, raw,
+                       trains, pulses, cells)
+    exp2 = ExperimentWorker(str(r6), calibration=cal)
+    chunks = list(exp2.get_data(DataSelection(frame_range=(0, 4),
+                                              modules=(0,), batch_size=4,
+                                              good_cells_only=False)))
+    assert chunks  # at least the first file's frames stream through
+
+
+def test_adu_filter_bound_conventions():
+    """None and False disable a bound; numpy scalars count as numbers —
+    deviations from the reference's isinstance((float,int)) check, which
+    treats False as the bound 0 and skips np scalars (documented in
+    ADUFilter)."""
+    from xframe_tpu.experiments.SPB.exp_library import ADUFilter
+    data = np.asarray([[-5.0, 2.0, 9.0]])
+    mask = np.ones_like(data, dtype=bool)
+
+    def run(limits):
+        return ADUFilter(limits)({"data": data.copy(), "mask": mask.copy(),
+                                  "good": np.ones(1, bool)})["mask"][0]
+
+    assert run((False, None)).tolist() == [True, True, True]
+    assert run((np.float64(0.0), np.int64(5))).tolist() == [False, True,
+                                                            False]
+    assert run((None, 5)).tolist() == [True, True, False]
+
+
 def test_adaptive_gain_calibration(tmp_path):
     """3-gain-stage calibration: digital plane selects the stage per pixel;
     (analog - offset[stage, cell]) * gain[stage, cell]; bad pixels zeroed

@@ -101,18 +101,31 @@ def _masked_frame_mean(data, mask):
 
 
 class ADUFilter:
-    """Mask pixels outside [low, high] ADU (reference ADUFilter2D :437-458)."""
+    """Mask pixels outside [low, high] ADU (reference ADUFilter2D :437-458).
+
+    A bound applies when it is a real number (python OR numpy scalar); None
+    and False disable it — the framework-wide no-limit convention. Two
+    intentional deviations from the reference: its `isinstance(x,(float,
+    int))` check treats False as the numeric bound 0 and skips numpy
+    scalars, and its upper branch compares against limits[0] (a typo)."""
 
     def __init__(self, limits):
         self.low, self.high = limits
 
+    @staticmethod
+    def _bound(x):
+        return None if x is None or isinstance(x, bool) \
+            or not isinstance(x, (int, float, np.integer, np.floating)) \
+            else float(x)
+
     def __call__(self, chunk):
         data, mask = chunk["data"], chunk["mask"]
         ok = np.ones_like(mask)
-        if isinstance(self.low, (int, float)):
-            ok &= data >= self.low
-        if isinstance(self.high, (int, float)):
-            ok &= data <= self.high
+        low, high = self._bound(self.low), self._bound(self.high)
+        if low is not None:
+            ok &= data >= low
+        if high is not None:
+            ok &= data <= high
         chunk["mask"] = mask & ok
         return chunk
 

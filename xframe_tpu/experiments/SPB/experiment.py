@@ -336,8 +336,16 @@ class ExperimentWorker(ExperimentWorkerInterface):
         if "analog_offset" in cal:
             return self._calibrate_adaptive(batch, mods, cells)
         cells = np.asarray(cells, dtype=int)
+        # frames with the 65535 cellId sentinel reach here (contiguous-range
+        # reads precede the bad-frame mask): clamp their index to 0 for the
+        # per-cell lookups and flag them bad instead of IndexError-ing
+        ok = cells != BAD_ID
+        cells = np.where(ok, cells, 0)
         off = cal.get("offset")
         gain = cal.get("gain")
+        if (off is not None and np.asarray(off).ndim == 4) \
+                or (gain is not None and np.asarray(gain).ndim == 4):
+            good = good & ok
         if off is not None:
             off = np.asarray(off, dtype=np.float32)
             if off.ndim == 4:   # per-cell (16, n_cells, ss, fs)
@@ -362,6 +370,10 @@ class ExperimentWorker(ExperimentWorkerInterface):
         (reference :165-167, :573-580)."""
         cal = self.calibration
         cells = np.asarray(cells, dtype=int)
+        # sentinel cellIds: clamp the constant lookups, flag the frame bad
+        # (`good` below) — the raw index 65535 would IndexError
+        ok = cells != BAD_ID
+        cells = np.where(ok, cells, 0)
         if batch.ndim != 5 or batch.shape[2] != 2:
             raise ValueError(
                 "adaptive calibration expects raw batches shaped "
@@ -393,8 +405,7 @@ class ExperimentWorker(ExperimentWorkerInterface):
             else:
                 below = data < float(thresh) * 45 * g
             data = np.where(below, 0.0, data)
-        good = cells != BAD_ID
-        return data.astype(np.float32), good
+        return data.astype(np.float32), ok
 
     def _good_mask(self, batch):
         flt = self.filters

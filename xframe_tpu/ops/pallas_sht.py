@@ -392,56 +392,8 @@ class FusedSHT:
 
 
 # ------------------------------------------------------- real-field variants
-def _fwd_abs2_kernel(n_theta, n_phi, m_blk,
-                     pre_ref, pim_ref, ere_ref, eim_ref, pw_ref,
-                     cre_ref, cim_ref):
-    """Analysis of |ψ|² computed in VMEM from the ψ planes: the intensity
-    grid array never exists in HBM (one 67 MB write + one read per MTIP
-    iteration eliminated — the iteration is traffic-bound,
-    docs/performance.md)."""
-    q_b = pre_ref.shape[0]
-    pr = pre_ref[:].reshape(q_b * n_theta, n_phi)
-    pi = pim_ref[:].reshape(q_b * n_theta, n_phi)
-    a = pr * pr + pi * pi
-    fm_re = _mmT(a, ere_ref[:])
-    fm_im = _mmT(a, eim_ref[:])
-    fm_re = fm_re.reshape(q_b, n_theta, m_blk).transpose(2, 0, 1)
-    fm_im = fm_im.reshape(q_b, n_theta, m_blk).transpose(2, 0, 1)
-    pw = pw_ref[:]
-    cre_ref[:] = _bmm(fm_re, pw).transpose(1, 0, 2)
-    cim_ref[:] = _bmm(fm_im, pw).transpose(1, 0, 2)
 
-
-def _fwd_real_kernel(n_theta, n_phi, m_blk,
-                     a_ref, ere_ref, eim_ref, pw_ref, cre_ref, cim_ref):
-    """Real-input analysis for the non-negative m rows (hermitian symmetry
-    fills m<0 outside): one real input plane halves the DFT matmuls."""
-    q_b = a_ref.shape[0]
-    a = a_ref[:].reshape(q_b * n_theta, n_phi)
-    fm_re = _mmT(a, ere_ref[:])                     # (q_b·θ, m_blk)
-    fm_im = _mmT(a, eim_ref[:])
-    fm_re = fm_re.reshape(q_b, n_theta, m_blk).transpose(2, 0, 1)
-    fm_im = fm_im.reshape(q_b, n_theta, m_blk).transpose(2, 0, 1)
-    pw = pw_ref[:]
-    cre_ref[:] = _bmm(fm_re, pw).transpose(1, 0, 2)
-    cim_ref[:] = _bmm(fm_im, pw).transpose(1, 0, 2)
-
-
-def _inv_real_kernel(n_theta, n_phi, m_blk,
-                     cre_ref, cim_ref, p_ref, ire_ref, iim_ref, f_ref):
-    """Real part of the synthesis only: halves the output writes and the
-    final DFT matmuls (Re(fm)·Re(I) − Im(fm)·Im(I))."""
-    q_b = cre_ref.shape[0]
-    c_re = cre_ref[:].transpose(1, 0, 2)
-    c_im = cim_ref[:].transpose(1, 0, 2)
-    p = p_ref[:]
-    fm_re = _bmm(c_re, p).transpose(1, 2, 0).reshape(q_b * n_theta, m_blk)
-    fm_im = _bmm(c_im, p).transpose(1, 2, 0).reshape(q_b * n_theta, m_blk)
-    f = _mm(fm_re, ire_ref[:]) - _mm(fm_im, iim_ref[:])
-    f_ref[:] = f.reshape(q_b, n_theta, n_phi)
-
-
-def _add_real_methods():
+    # ------------------------------------------ real-field fast paths
     def forward_real(self, f):
         """Real-field analysis matching sht.forward_real: kernel computes
         m ≥ 0 rows; hermitian symmetry c_{l,-m} = (−1)^m conj(c_{l,m}) fills
@@ -593,9 +545,38 @@ def _add_real_methods():
         return c.astype(self.sht.complex_dtype).reshape(
             lead + (self.n_m, L + 1))
 
-    FusedSHT.forward_real = forward_real
-    FusedSHT.inverse_real = inverse_real
-    FusedSHT.forward_real_abs2 = forward_real_abs2
+def _fwd_abs2_kernel(n_theta, n_phi, m_blk,
+                     pre_ref, pim_ref, ere_ref, eim_ref, pw_ref,
+                     cre_ref, cim_ref):
+    """Analysis of |ψ|² computed in VMEM from the ψ planes: the intensity
+    grid array never exists in HBM (one 67 MB write + one read per MTIP
+    iteration eliminated — the iteration is traffic-bound,
+    docs/performance.md)."""
+    q_b = pre_ref.shape[0]
+    pr = pre_ref[:].reshape(q_b * n_theta, n_phi)
+    pi = pim_ref[:].reshape(q_b * n_theta, n_phi)
+    a = pr * pr + pi * pi
+    fm_re = _mmT(a, ere_ref[:])
+    fm_im = _mmT(a, eim_ref[:])
+    fm_re = fm_re.reshape(q_b, n_theta, m_blk).transpose(2, 0, 1)
+    fm_im = fm_im.reshape(q_b, n_theta, m_blk).transpose(2, 0, 1)
+    pw = pw_ref[:]
+    cre_ref[:] = _bmm(fm_re, pw).transpose(1, 0, 2)
+    cim_ref[:] = _bmm(fm_im, pw).transpose(1, 0, 2)
 
 
-_add_real_methods()
+def _fwd_real_kernel(n_theta, n_phi, m_blk,
+                     a_ref, ere_ref, eim_ref, pw_ref, cre_ref, cim_ref):
+    """Real-input analysis for the non-negative m rows (hermitian symmetry
+    fills m<0 outside): one real input plane halves the DFT matmuls."""
+    q_b = a_ref.shape[0]
+    a = a_ref[:].reshape(q_b * n_theta, n_phi)
+    fm_re = _mmT(a, ere_ref[:])                     # (q_b·θ, m_blk)
+    fm_im = _mmT(a, eim_ref[:])
+    fm_re = fm_re.reshape(q_b, n_theta, m_blk).transpose(2, 0, 1)
+    fm_im = fm_im.reshape(q_b, n_theta, m_blk).transpose(2, 0, 1)
+    pw = pw_ref[:]
+    cre_ref[:] = _bmm(fm_re, pw).transpose(1, 0, 2)
+    cim_ref[:] = _bmm(fm_im, pw).transpose(1, 0, 2)
+
+

@@ -282,7 +282,10 @@ class ProjectWorker(ProjectWorkerInterface):
 
         results = self._collect_results(mtip, ft, aux, states, errors, order,
                                         seed, rho0s=rho0s)
-        n_iter = sum(s.n for s in schedule if s.method != "SW")
+        # phasing iterations only: SW/SW_center events and the
+        # SNAPSHOT/RESET_TO_BEST markers (n=1 each) are not MTIP steps
+        n_iter = sum(s.n for s in schedule
+                     if s.method in ("HIO", "ER", "RAAR"))
         results["timing"] = {"setup_s": t_setup, "phasing_s": t_run,
                              "sec_per_iteration_per_restart":
                                  t_run / max(n_iter * n_restarts, 1)}
@@ -343,6 +346,15 @@ class ProjectWorker(ProjectWorkerInterface):
                      and len(jax.devices()) == 1)
         else:
             fused = bool(fused_cfg)
+        if fused and real_dtype != jnp.float32:
+            # the fused kernels compute in f32 planes (pallas_sht casts every
+            # grid plane); honoring precision: float64 means taking the jnp
+            # path rather than silently degrading the requested accuracy
+            logger.warning(
+                "precision float64 requested: disabling the fused f32 SHT "
+                "kernels (set fourier_transform.fused_sht: true AND "
+                "precision: float32 for the fast path)")
+            fused = False
         if fused and L >= 96 and (L + 1) % 128:
             # at MXU-bound scales the l contraction pads (L+1) up to the next
             # 128-lane multiple — L=127 measured 1.31x faster than L=128 on
