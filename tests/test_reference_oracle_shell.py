@@ -272,6 +272,44 @@ def test_ccf_accumulation_matches_reference(ref):
     assert out["num_images_good"] == frames.shape[0]
 
 
+@pytest.mark.parametrize("pol", ["v", "h"])
+def test_polarization_solid_angle_corrections_match_reference(ref, pol):
+    """Per-pixel polarization factor 1/(cos²2θ + sin²2θ·trig²φ) and flat-
+    detector solid-angle factor 1/cos³2θ (reference correlate.py:563-589,
+    applied multiplicatively at :434-445) against the Correlator's combined
+    correction plane on the same (θ, φ) grid."""
+    import importlib
+    sys.path.insert(0, REF)
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", SyntaxWarning)
+            rcorr = importlib.import_module("xframe.projects.fxs.correlate")
+    finally:
+        sys.path.remove(REF)
+
+    from xframe_tpu.projects.fxs.correlate import Correlator
+    wavelength = 1.23984
+    n_q, n_phi = 9, 32
+    qrange = (0.05, 0.45, (0.45 - 0.05) / n_q)
+    ours = Correlator(image_shape=(64, 64), detector_origin=(32.0, 32.0),
+                      pixel_size_um=200.0, sample_distance_mm=100.0,
+                      wavelength=wavelength, n_phi=n_phi,
+                      qrange=qrange, polarization=pol, solid_angle=True)
+
+    dr = rcorr.DataReader.__new__(rcorr.DataReader)
+    dr.n_q = len(ours.qs)
+    dr.n_phi = n_phi
+    dr.theta = 2.0 * np.arcsin(ours.qs * wavelength / (4 * np.pi))
+    dr.phi = ours.phis
+    dr.xpolarization = (True, pol)
+    dr._determine_polarization_correction()
+    dr._determine_solid_angle_correction()
+    expected = dr.Pfactor * dr.SolAngCorr
+
+    np.testing.assert_allclose(np.asarray(ours._corrections), expected,
+                               rtol=2e-6)
+
+
 def test_symmetrize_cc_matches_reference(ref):
     rng = np.random.default_rng(11)
     n_q, n_phi = 7, 48
