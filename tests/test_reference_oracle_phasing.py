@@ -467,6 +467,60 @@ def test_project_to_modified_intensity_matches_reference(ref):
     np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-6)
 
 
+# ------------------------------------------------------ centering operators
+def test_center_of_mass_and_shift_operator_match_reference(ref):
+    """calc_center (reference misk.py:295-312) and the reciprocal shift
+    operator (generate_shift_by_operator, fxs_Projections.py:1419-1444,
+    'negative_shift' = opposite_direction=True as used by the centering
+    sketches) against the Aligner's center-of-mass + phase ramp.
+
+    Documented deviation: the reference integrates the SIGNED real part
+    (denominator ∫ρ.real can pass through zero mid-phasing); the rebuild
+    weights by |ρ| — identical for the nonnegative densities centering is
+    applied to, which is what this test uses."""
+    import importlib
+    import jax.numpy as jnp
+    sys.path.insert(0, REF)
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", SyntaxWarning)
+            rmisk = importlib.import_module(
+                "xframe.projects.fxs.projectLibrary.misk")
+    finally:
+        sys.path.remove(REF)
+
+    from xframe_tpu.projects.fxs.demo import make_demo_problem
+    from xframe_tpu.projects.fxs.alignment import Aligner
+    p = make_demo_problem(10, 5)
+    rg, qg = p.mtip.ft.grid_pair
+
+    # nonnegative off-center blob (the post-projection centering input)
+    from xframe_tpu.library.shapes import ball_density
+    rho = ball_density(np.asarray(rg), 0.3 * float(p.mtip.ft.rs.max()),
+                       center=np.array([0.25 * float(p.mtip.ft.rs.max()),
+                                        1.2, 0.7]))
+    ref_center_sph = rmisk.generate_calc_center(rg)(rho.astype(complex))
+
+    from xframe_tpu.ops.integrate import SphericalIntegrator
+    integ = SphericalIntegrator(np.asarray(p.mtip.ft.rs),
+                                p.mtip.ft.sht.n_theta, p.mtip.ft.sht.n_phi)
+    aligner = Aligner(p.mtip.ft, np.asarray(integ._w))
+    _, com = aligner.center(jnp.asarray(rho, jnp.complex64))
+    com = np.asarray(com, dtype=float)
+    from xframe_tpu.library.shapes import spherical_to_cartesian
+    np.testing.assert_allclose(com, spherical_to_cartesian(ref_center_sph),
+                               rtol=2e-4, atol=1e-5)
+
+    # phase plane: our exp(+i q·com) == the reference's negative_shift
+    shift = ref.fxsp.generate_shift_by_operator(qg, opposite_direction=True)
+    ones = np.ones(np.asarray(qg).shape[:-1], dtype=complex)
+    expected_phase = shift(ones.copy(), ref_center_sph)
+    q_cart = spherical_to_cartesian(np.asarray(qg))
+    got_phase = np.exp(1j * np.einsum("...c,c->...", q_cart, com))
+    np.testing.assert_allclose(got_phase, expected_phase, rtol=1e-4,
+                               atol=1e-5)
+
+
 # ------------------------------------------- average: V_l over input files
 def test_averaged_projection_matrices_match_reference(ref, tmp_path):
     """Multi-file V̄_l = mean_f V_l^{(f)} / s_f² (reference average.py:90-100
