@@ -39,6 +39,14 @@ def select_project(project, worker, settings_name=None, overrides=None):
     database._select(project)
 
 
+def select_experiment(name, settings_name=None, **kwargs):
+    """Select an experiment (e.g. 'SPB') and load its settings into
+    `settings.experiment` (reference xframe.select_experiment,
+    startup_routines.py:249-258; CLI: `-e <name> -eset <settings>`)."""
+    from xframe_tpu import comm
+    return comm.select_experiment(name, settings_name, **kwargs)
+
+
 def run():
     """Instantiate the selected worker and run it (reference
     startup_routines.py:270-350). Workers resolve from the built-in
@@ -68,7 +76,9 @@ def run():
             f"xframe_tpu_user.{project}.{worker}", path)
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)
-    w = mod.ProjectWorker()
+    worker_cls = settings.general.get("default_project_worker_name",
+                                      "ProjectWorker")
+    w = getattr(mod, worker_cls)()
     return w.run()
 
 

@@ -11,15 +11,30 @@ from __future__ import annotations
 _experiment = None
 
 
-def select_experiment(name_or_worker, **kwargs):
+def select_experiment(name_or_worker, settings_name=None, **kwargs):
     """Bind an experiment: an ExperimentWorker instance, or a name like
-    'SPB' (resolved from xframe_tpu.experiments.<name>.experiment)."""
+    'SPB' (resolved from xframe_tpu.experiments.<name>.experiment).
+
+    For a name, the per-experiment settings tree is loaded first (versioned
+    defaults + the named file through the loader precedence — reference
+    select_experiment, startup_routines.py:249-258; CLI `-eset`) into
+    `settings.experiment`, and the worker binds from it via its
+    `from_settings` hook. Explicit keyword arguments override settings."""
     global _experiment
     if isinstance(name_or_worker, str):
         import importlib
+        from xframe_tpu import settings
+        mod_name = settings.general.get("default_experiment_module_name",
+                                        "experiment")
         mod = importlib.import_module(
-            f"xframe_tpu.experiments.{name_or_worker}.experiment")
-        _experiment = mod.ExperimentWorker(**kwargs)
+            f"xframe_tpu.experiments.{name_or_worker}.{mod_name}")
+        opt = settings.load_experiment_settings(name_or_worker, settings_name)
+        cls = getattr(mod, settings.general.get(
+            "default_experiment_worker_name", "ExperimentWorker"))
+        if hasattr(cls, "from_settings"):
+            _experiment = cls.from_settings(opt, **kwargs)
+        else:
+            _experiment = cls(**kwargs)
     else:
         _experiment = name_or_worker
     return _experiment

@@ -31,6 +31,30 @@ from xframe_tpu.logger import log
 BAD_ID = 65535  # EuXFEL sentinel for missing pulse/cell ids (uint16 max)
 
 
+def _filter_sequence_from_settings(sequence, filters):
+    """Declarative filter pipeline from settings (reference filter_sequence +
+    filters blocks, experiments/SPB/settings/default_0.01.yaml): each name in
+    `sequence` looks up `filters[name]`, whose `class` key names an
+    exp_library filter; the remaining keys are its constructor kwargs."""
+    from xframe_tpu.experiments.SPB import exp_library as xl
+    if not sequence:
+        return None
+    insts = []
+    for name in sequence:
+        spec = filters.get(name) if hasattr(filters, "get") else None
+        if spec is None:
+            raise KeyError(f"filter_sequence entry {name!r} has no "
+                           f"filters.{name} block")
+        spec = spec.dict() if hasattr(spec, "dict") else dict(spec)
+        cls_name = spec.pop("class")
+        cls = getattr(xl, cls_name, None)
+        if cls is None:
+            raise KeyError(f"unknown filter class {cls_name!r} "
+                           f"(see experiments.SPB.exp_library)")
+        insts.append(cls(**spec))
+    return xl.FilterSequence(insts)
+
+
 @dataclass
 class DataSelection:
     """Which frames to stream (reference DataSelection semantics)."""
@@ -71,7 +95,7 @@ class ExperimentWorker(ExperimentWorkerInterface):
                  wavelength=1.23984, data_path_glob="*AGIPD{module:02d}*.h5",
                  image_key="image/data", calibration=None,
                  filters: Filters | None = None, good_cells=None,
-                 filter_sequence=None):
+                 bad_cells=None, filter_sequence=None):
         self.run_folder = run_folder
         self.wavelength = float(wavelength)
         self.detector = AGIPD(geometry_file=geometry_file,
@@ -85,9 +109,37 @@ class ExperimentWorker(ExperimentWorkerInterface):
         self.filter_sequence = filter_sequence
         self.good_cells = None if good_cells is None \
             else np.asarray(good_cells)
+        # reference carries both good_cells and bad_cells
+        # (experiments/SPB/settings/default_0.01.yaml)
+        self.bad_cells = None if bad_cells is None else np.asarray(bad_cells)
         self._module_files = self._discover_files()
         self._key_cache = {}
         self.index = self._build_index()
+
+    @classmethod
+    def from_settings(cls, opt, **overrides):
+        """Build the worker from a settings.experiment tree (populated via
+        `-eset` / xframe_tpu.select_experiment; reference binds experiment
+        settings the same way, startup_routines.py:249-258). Explicit
+        keyword overrides win over settings values."""
+        opt = opt.dict() if hasattr(opt, "dict") else dict(opt)
+        kwargs = {}
+        for key in ("run_folder", "geometry_file", "detector_distance",
+                    "wavelength", "data_path_glob", "image_key",
+                    "calibration", "good_cells", "bad_cells"):
+            if opt.get(key) is not None:
+                kwargs[key] = opt[key]
+        energy = opt.get("x_ray_energy")
+        if energy and "wavelength" not in overrides:
+            from xframe_tpu.library.physics import energy_to_wavelength
+            kwargs["wavelength"] = energy_to_wavelength(float(energy))
+        if opt.get("filters") or opt.get("filter_sequence"):
+            seq = _filter_sequence_from_settings(
+                opt.get("filter_sequence") or [], opt.get("filters") or {})
+            if seq is not None:
+                kwargs["filter_sequence"] = seq
+        kwargs.update(overrides)
+        return cls(**kwargs)
 
     # ----------------------------------------------------------------- files
     def _discover_files(self):
@@ -241,6 +293,8 @@ class ExperimentWorker(ExperimentWorkerInterface):
         apply("cellId_sentinel", cell_ids != np.uint16(BAD_ID))
         if self.good_cells is not None:
             apply("good_cells", np.isin(cell_ids, self.good_cells))
+        if self.bad_cells is not None:
+            apply("bad_cells", ~np.isin(cell_ids, self.bad_cells))
         self.drop_counts = drops
         n_dropped = int((~mask).sum())
         if n_dropped:

@@ -17,9 +17,12 @@ import sys
 
 def discover_projects():
     """{project: [workers]} from xframe_tpu.projects.* modules that define a
-    ProjectWorker, plus user projects under <home>/projects/."""
+    ProjectWorker, plus user projects under <home>/projects/. Honors
+    settings.general.load_projects ('all' or a name list, reference
+    general.py:42)."""
     import xframe_tpu.projects as proj_pkg
     from xframe_tpu.settings import loader as settings_loader
+    from xframe_tpu import settings
     found = {}
     for pkg in (proj_pkg,):
         for mod in pkgutil.iter_modules(pkg.__path__):
@@ -43,7 +46,22 @@ def discover_projects():
                                  if f.endswith(".py") and not f.startswith("_"))
                 if workers:
                     found.setdefault(name, workers)
+    wanted = settings.general.get("load_projects", "all")
+    if wanted != "all" and isinstance(wanted, (list, tuple)):
+        found = {k: v for k, v in found.items() if k in wanted}
     return found
+
+
+def _project_help(project):
+    """(description, {worker: (short, long)}) from the project's optional
+    _argparser_ module (reference projects/fxs/_argparser_.py)."""
+    try:
+        mod = importlib.import_module(
+            f"xframe_tpu.projects.{project}._argparser_")
+    except ModuleNotFoundError:
+        return None, {}
+    return (getattr(mod, "PROJECT_DESCRIPTION", None),
+            getattr(mod, "WORKER_HELP", {}))
 
 
 def setup_home(path=None):
@@ -95,22 +113,29 @@ def main(argv=None):
     vp.add_argument("-n", "--max-results", type=int, default=4)
     projects = discover_projects()
     for project, workers in projects.items():
-        p = sub.add_parser(project)
+        desc, whelp = _project_help(project)
+        p = sub.add_parser(project, help=desc, description=desc)
         ws = p.add_subparsers(dest="worker")
         for w in workers:
-            wp = ws.add_parser(w)
+            short, long_ = whelp.get(w, (None, None))
+            wp = ws.add_parser(w, help=short, description=long_)
             wp.add_argument("settings", nargs="?", default=None,
                             help="settings name (resolved through the "
                                  "settings folder precedence) or a .yaml path")
             wp.add_argument("-e", "--experiment", default=None,
                             help="experiment to bind for comm.get_data "
-                                 "(e.g. SPB); kwargs come from the settings "
-                                 "'experiment' block")
+                                 "(e.g. SPB)")
+            wp.add_argument("-eset", "--experiment_settings", default=None,
+                            metavar="FILE_NAME",
+                            help="experiment settings name, loaded into "
+                                 "settings.experiment through the experiment "
+                                 "settings precedence (requires -e)")
 
     args = parser.parse_args(argv)
-    if getattr(args, "debug", False):
-        from xframe_tpu.logger import setup_logging
-        setup_logging("DEBUG")
+    from xframe_tpu import settings as _settings
+    from xframe_tpu.logger import setup_logging
+    setup_logging("DEBUG" if getattr(args, "debug", False)
+                  else _settings.general.get("loglevel", "WARNING"))
     if getattr(args, "distributed", False):
         import jax
         jax.distributed.initialize()
@@ -140,10 +165,14 @@ def main(argv=None):
                               getattr(args, "settings", None))
     if getattr(args, "experiment", None):
         from xframe_tpu import comm, settings
+        # the project settings' `experiment` block provides per-project
+        # overrides on top of the experiment settings tree (-eset)
         ekw = settings.project.get("experiment", {})
         ekw = ekw.dict() if hasattr(ekw, "dict") else dict(ekw)
         ekw.pop("name", None)
-        comm.select_experiment(args.experiment, **ekw)
+        comm.select_experiment(args.experiment,
+                               getattr(args, "experiment_settings", None),
+                               **ekw)
     xframe_tpu.run()
     return 0
 

@@ -67,6 +67,12 @@ class ProjectDB(DefaultDB):
         raw = getattr(settings, "raw_project", None)
         if raw:
             settings_loader.archive_settings(run_folder, raw)
+        # experiment settings archived alongside when one is selected
+        # (reference archives both trees, settings/__init__.py:41-58)
+        raw_exp = getattr(settings, "raw_experiment", None)
+        if raw_exp:
+            settings_loader.archive_settings(run_folder, raw_exp,
+                                             prefix="experiment_settings")
 
     def _save_archived(self, name, data, run=None):
         path, run = self._resolve(name, run=run, new_run=True)

@@ -98,6 +98,51 @@ def settings_folders(project: str, worker: str) -> list:
     ]
 
 
+def experiment_settings_folders(experiment: str) -> list:
+    """Per-experiment settings precedence (reference loads experiment YAML
+    through the same loader as projects, startup_routines.py:249-258;
+    reference layout xframe/experiments/SPB/settings/{default_0.01,name}.yaml)."""
+    return [
+        os.path.join(home_dir(), "settings", "experiments", experiment),
+        os.path.join(home_dir(), "experiments", experiment, "settings"),
+        os.path.join(install_dir(), "experiments", experiment, "settings"),
+    ]
+
+
+# ------------------------------------------------------------ general settings
+# Survivors of the reference's general settings (reference
+# settings/general.py:20-116). Obsolete-by-design keys are NOT carried:
+# n_control_workers / max_parallel_processes / RAM / cache_aware / L1_cache /
+# L2_cache configured the fork+OpenCL runtime that the jitted compute path
+# replaced (SURVEY.md §2.8).
+_GENERAL_DEFAULTS = {
+    "loglevel": "WARNING",                       # reference general.py:29
+    "default_project_worker_name": "ProjectWorker",      # general.py:34
+    "default_experiment_worker_name": "ExperimentWorker",  # general.py:35
+    "default_experiment_module_name": "experiment",       # general.py:36
+    "load_projects": "all",                      # general.py:42
+    "load_experiments": "all",                   # general.py:43
+}
+
+
+def load_general_settings():
+    """General settings tree: code defaults + `<home>/settings/general.yaml`
+    overrides (the reference sources a `config.py` from its home folder,
+    general.py:12-18; a YAML override file keeps the same capability without
+    executing user code at import). `home`/`install`/`cache_dir` are derived,
+    informational entries."""
+    merged = dict(_GENERAL_DEFAULTS)
+    user_path = os.path.join(home_dir(), "settings", "general.yaml")
+    if os.path.exists(user_path):
+        user = execute_commands(load_yaml(user_path))
+        if isinstance(user, dict):
+            merged.update(user)
+    merged["home"] = home_dir()
+    merged["install"] = install_dir()
+    merged.setdefault("cache_dir", os.path.join(home_dir(), "cache"))
+    return DictNamespace(merged)
+
+
 # --------------------------------------------------------------- file finding
 def find_settings_file(folders, name):
     if name is None:
@@ -242,7 +287,21 @@ def apply_defaults(defaults, settings, out=None, path=None,
 def load_project_settings(project, worker, settings_name=None, overrides=None,
                           direct_path=None):
     """→ (DictNamespace merged settings, raw merged dict for archiving)."""
-    folders = settings_folders(project, worker)
+    return _load_settings_tree(settings_folders(project, worker),
+                               settings_name, overrides, direct_path)
+
+
+def load_experiment_settings(experiment, settings_name=None, overrides=None,
+                             direct_path=None):
+    """Per-experiment settings through the same dialect + precedence
+    (reference select_experiment, startup_routines.py:249-258; CLI `-eset`,
+    main.py:61). `settings_name=None` yields the versioned defaults alone."""
+    return _load_settings_tree(experiment_settings_folders(experiment),
+                               settings_name, overrides, direct_path)
+
+
+def _load_settings_tree(folders, settings_name=None, overrides=None,
+                        direct_path=None):
     if direct_path is not None:
         settings_path = direct_path
     else:
@@ -283,22 +342,25 @@ def load_project_settings(project, worker, settings_name=None, overrides=None,
     return DictNamespace(merged), raw
 
 
-def archive_settings(run_folder, raw):
+def archive_settings(run_folder, raw, prefix="settings"):
     """Write the as-run settings snapshot into a run folder:
 
-    settings.yaml        — source file BYTES verbatim (comments and
+    <prefix>.yaml        — source file BYTES verbatim (comments and
                            _description/_possible_values preserved); runtime
                            overrides appended under `_runtime_overrides`
-    settings_merged.yaml — the fully merged tree actually in effect
+    <prefix>_merged.yaml — the fully merged tree actually in effect
                            (settings + versioned defaults + commands), for
                            reproducibility when defaults later change
+
+    prefix="experiment_settings" archives the experiment tree alongside the
+    project one (the reference archives both, settings/__init__.py:41-58).
     """
     if not raw:
         return
     os.makedirs(run_folder, exist_ok=True)
     text = raw.get("_settings_text")
     overrides = raw.get("_overrides")
-    snap = os.path.join(run_folder, "settings.yaml")
+    snap = os.path.join(run_folder, f"{prefix}.yaml")
     if text is not None:
         out = text
         if overrides:
@@ -312,5 +374,5 @@ def archive_settings(run_folder, raw):
         if overrides:
             body["_runtime_overrides"] = _plain(overrides)
         save_yaml(snap, body)
-    save_yaml(os.path.join(run_folder, "settings_merged.yaml"),
+    save_yaml(os.path.join(run_folder, f"{prefix}_merged.yaml"),
               {k: v for k, v in raw.items() if not str(k).startswith("_")})
