@@ -652,3 +652,78 @@ def test_fused_table_dtype_plumbs_through_ft_and_demo():
     r0 = p.initial_density_batch(0, 1)
     _, errs = jax.jit(lambda r: p.mtip.run_batch(r, sched))(r0)
     assert np.isfinite(np.asarray(errs)).all()
+
+
+# -------------------------- accuracy vs harmonic order (VERDICT r3 #4)
+@pytest.mark.parametrize("L,nt,nph,tol", [
+    # measured errors (scripts/sht_accuracy.py, 2026-08-19, CPU interpret =
+    # identical arithmetic graph/tables to the TPU lowering):
+    #   L=16: fwd 1.42e-7 rt 1.45e-7 | L=64: 2.60e-7/2.71e-7
+    #   L=127: 3.32e-7/3.54e-7       | L=128: 2.61e-7/2.89e-7
+    # pinned at ~3x margin; the growth L=16 -> 128 is only 2.4x — no f32
+    # accuracy cliff up to (and past) the production order
+    (16, 64, 128, 5e-7),
+    (64, 256, 512, 9e-7),
+    (127, 320, 640, 1.1e-6),
+    (128, 320, 640, 1.1e-6),
+])
+def test_fused_sht_accuracy_vs_order(L, nt, nph, tol):
+    """f32 FusedSHT forward/inverse/round-trip error against a float64 host
+    reference on the production θ grids (reference transform contract:
+    shtns_plugin.py:94-135 — SHTns computes in f64; our f32 must stay
+    adequate at production order)."""
+    import sys
+    import os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    from sht_accuracy import HostSHT64, rel
+    from xframe_tpu.ops.pallas_sht import FusedSHT
+
+    ref = HostSHT64(L, nt, nph)
+    rng = np.random.default_rng(1)
+    shape = (3, 2 * L + 1, L + 1)
+    c0 = (rng.standard_normal(shape) + 1j * rng.standard_normal(shape)) \
+        * ref.mask
+    f64 = ref.inverse(c0)
+    assert rel(ref.forward(f64), c0) < 1e-10          # f64 reference sanity
+
+    sht = SphericalHarmonicTransform(L, n_theta=nt, n_phi=nph)
+    fused = FusedSHT(sht)
+    f32 = np.asarray(f64, dtype=np.complex64)
+    c_f = np.asarray(jax.jit(fused.forward)(f32)) * ref.mask
+    f_i = np.asarray(jax.jit(fused.inverse)(c0.astype(np.complex64)))
+    rt = np.asarray(jax.jit(lambda x: fused.forward(fused.inverse(x)))(
+        c0.astype(np.complex64))) * ref.mask
+    assert rel(c_f, c0) < tol
+    assert rel(f_i, f64) < tol
+    assert rel(rt, c0) < tol
+    # the jnp path is tighter still (pairwise-summed einsums)
+    c_j = np.asarray(jax.jit(sht.forward)(f32)) * ref.mask
+    assert rel(c_j, c0) < tol / 2
+
+
+def test_fused_sht_accuracy_bf16_tables_production_order():
+    """bf16-resident tables: ~3e-3 relative per transform INDEPENDENT of L
+    (measured 2.4e-3 rt at L=16, 2.8e-3 at L=127) — adequate for the
+    error-tolerant HIO iterations they are offered for, pinned here."""
+    import sys
+    import os
+    import ml_dtypes
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    from sht_accuracy import HostSHT64, rel
+    from xframe_tpu.ops.pallas_sht import FusedSHT
+
+    L, nt, nph = 127, 320, 640
+    ref = HostSHT64(L, nt, nph)
+    rng = np.random.default_rng(2)
+    shape = (2, 2 * L + 1, L + 1)
+    c0 = (rng.standard_normal(shape) + 1j * rng.standard_normal(shape)) \
+        * ref.mask
+    f64 = ref.inverse(c0)
+    sht = SphericalHarmonicTransform(L, n_theta=nt, n_phi=nph)
+    fused = FusedSHT(sht, table_dtype=ml_dtypes.bfloat16)
+    rt = np.asarray(jax.jit(lambda x: fused.forward(fused.inverse(x)))(
+        c0.astype(np.complex64))) * ref.mask
+    err = rel(rt, c0)
+    assert 1e-4 < err < 1e-2   # bf16 regime: far from f32, far from junk
