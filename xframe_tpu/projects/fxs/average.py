@@ -160,6 +160,7 @@ class ProjectWorker(ProjectWorkerInterface):
         rl = fr.get("r_limit_ids", "all")
         r_ids = None if (isinstance(rl, str) and rl == "all") \
             else np.asarray(rl, dtype=int)
+        mesh = self._make_mesh(len(densities))
         if dim == 3:
             from xframe_tpu.projects.fxs.reconstruct import \
                 load_cached_weights
@@ -173,7 +174,7 @@ class ProjectWorker(ProjectWorkerInterface):
             aligner = Aligner(ft, integ._w, r_limit_ids=r_ids,
                               bandwidth=int(fr.get("so3_n_beta") or 0) or None,
                               l_max_align=None if (isinstance(lma, str))
-                              else int(lma))
+                              else int(lma), mesh=mesh)
             theta_weights = ft.sht.gl_weights
         else:
             from xframe_tpu.ops.fourier import PolarFourierTransform
@@ -183,7 +184,7 @@ class ProjectWorker(ProjectWorkerInterface):
                                        mode=ft_mode,
                                        reciprocity_coefficient=rc)
             integ = PolarIntegrator(rs, len(phis))
-            aligner = Aligner2D(ft, integ._w, r_limit_ids=r_ids)
+            aligner = Aligner2D(ft, integ._w, r_limit_ids=r_ids, mesh=mesh)
             theta_weights = None
 
         have_psi = psis is not None
@@ -432,6 +433,22 @@ class ProjectWorker(ProjectWorkerInterface):
                          else {"alphas": aligner.alphas}),
             "grid": {"rs": rs, "thetas": thetas, "phis": phis, "qs": qs},
         }
+
+    def _make_mesh(self, n_candidates):
+        """Candidate-alignment device mesh (mesh.restarts, same knob as the
+        reconstruct worker): default shards candidates over all devices."""
+        import jax
+        from xframe_tpu.parallel.mesh import make_mesh
+        opt = self.settings.get("mesh", {})
+        devices = jax.devices()
+        if len(devices) <= 1 or n_candidates <= 1:
+            return None
+        r = opt.get("restarts", "all")
+        n_r = len(devices) if (isinstance(r, str) and r == "all") else int(r)
+        n_r = max(1, min(n_r, len(devices)))
+        if n_r <= 1:
+            return None
+        return make_mesh({"restarts": n_r})
 
     @staticmethod
     def _averaged_projection_matrices(proj_per_file, used_meta,
