@@ -345,7 +345,9 @@ class ReciprocalConstraintPolar:
     (reference fxs_Projections.py:723-750 `approximate_unknowns` 2D branch +
     mtip_projection). Operates on rfft-layout coefficients (n_q, M+1)."""
     V: Any               # (M+1, n_q) complex data vectors
-    VD: Any              # (M+1, n_q) = conj(v_m)·q²   (phase estimator)
+    VD: Any              # (M+1, n_q) = conj(v_m)·q   (phase estimator; the
+                         # reference 2D estimate weights by q — NOT q² as the
+                         # 3D Procrustes does; fxs_Projections.py:736)
     use_order: Any       # (M+1,) bool
     radial_mask: Any     # (M+1, n_q) bool
     n_particles: float
@@ -371,14 +373,14 @@ class ReciprocalConstraintPolar:
             V[1::2] = 0
         if use_averaged_intensity and average_intensity is not None:
             V[0] = np.asarray(average_intensity).real
-        D2 = np.asarray(radial_points, dtype=float) ** 2
+        D1 = np.asarray(radial_points, dtype=float)
         use_order = np.zeros(m_max + 1, dtype=bool)
         if used_order_ids is None:
             used_order_ids = np.arange(m_max + 1)
         use_order[np.asarray(used_order_ids, dtype=int)] = True
         if radial_mask is None:
             radial_mask = np.ones((m_max + 1, n_q), dtype=bool)
-        return cls(V=V.astype(np_c), VD=(V.conj() * D2[None, :]).astype(np_c),
+        return cls(V=V.astype(np_c), VD=(V.conj() * D1[None, :]).astype(np_c),
                    use_order=np.asarray(use_order),
                    radial_mask=np.asarray(radial_mask),
                    n_particles=float(n_particles), m_max=m_max,
