@@ -273,8 +273,14 @@ def test_extract_multi_dataset_unitary_and_fqc(ccd, home):
     assert fq.shape == (N_SIM,)
     assert np.isfinite(fq).all() and (fq <= 1.0 + 1e-9).all()
     assert fq[1: N_SIM // 4].min() > 0.99
-    # particle-number estimate present and inside the scan space
-    assert 0.25 <= out["number_of_particles"] <= 6.0
+    # particle-number estimate present and near the scan space: the
+    # inflection interpolation can land one sub-grid step OUTSIDE the
+    # scanned [0.25, 6] range, and on this flat synthetic objective the
+    # chosen grid point shifts under ~1e-7 coefficient perturbations
+    # (e.g. fused vs jnp SHT in simulate_ccd) — only presence and rough
+    # range are load-bearing here
+    step = (6.0 - 0.25) / 95
+    assert 0.25 - step <= out["number_of_particles"] <= 6.0 + step
     # everything survives the HDF5 round-trip
     from xframe_tpu.projects.fxs._database_ import ProjectDB
     from xframe_tpu.settings.tools import DictNamespace

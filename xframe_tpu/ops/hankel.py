@@ -247,6 +247,17 @@ class SphericalHankelTransform:
     def inverse(self, f):
         return self._apply(self._wi, f)
 
+    def inverse_row0(self, f):
+        """Radial row p=0 of inverse(f): (..., k, m, l) → (..., m, l).
+
+        One weight-row contraction instead of a full second inverse — used
+        by the fused ft-stab combine (the per-q linearity identity in
+        phasing._mtip_iteration_fused: d = H⁻¹(c_ψp − cf) needs only row 0
+        of H⁻¹(cf) to restore d[0] = H⁻¹(c_ψp)[0])."""
+        if self.skip_zero:
+            f = f[..., 1:, :, :]
+        return jnp.einsum('kl,...kml->...ml', self._wi[:, 0, :], f)
+
 
 class PolarHankelTransform:
     """2D variant on full-FFT m layout: f (..., n_r, n_m_used) with columns in

@@ -70,17 +70,35 @@ def _synth_complex(cre_ref, cim_ref, p, i_re, i_im, q_b, n_theta, n_phi, m_blk):
 
 
 # ---------------------------------------------------------------- K2 kernel
+def _herm_in_kernel(cre_ref, cim_ref, ha_ref, hb_ref):
+    """In-VMEM hermitianize: full-m coefficient planes → positive-m
+    hermitianized planes as two tiny (m⁺_pad × m_pad) matmuls
+    c_h = (c[m] + (−1)^m conj(c[−m]))/2 — replaces the separate XLA
+    coefficient pass (−13.8 MB + 1 launch per iteration). Output layout
+    (m⁺, q_b, l) — exactly what the downstream _bmm expects. Written as a
+    q-batched _bmm with the tiny table broadcast over q: Mosaic rejects the
+    equivalent unbatched dot_general (its (m, q·l) operand flatten is an
+    unsupported shape cast)."""
+    q_b = cre_ref.shape[0]
+    A = jnp.broadcast_to(ha_ref[:][None], (q_b,) + ha_ref.shape)
+    B = jnp.broadcast_to(hb_ref[:][None], (q_b,) + hb_ref.shape)
+    c_re = _bmm(A, cre_ref[:]).transpose(1, 0, 2)
+    c_im = _bmm(B, cim_ref[:]).transpose(1, 0, 2)
+    return c_re, c_im
+
+
 def _inv_real_project_kernel(n_theta, n_phi, m_blk, eps,
-                             cre_ref, cim_ref, p_ref, ire_ref, iim_ref,
+                             cre_ref, cim_ref, ha_ref, hb_ref,
+                             p_ref, ire_ref, iim_ref,
                              pre_ref, pim_ref, w_ref,
                              ppre_ref, ppim_ref, part_ref):
     """Real intensity synthesis + amplitude projection against the ψ tile +
     per-q-block reciprocal-error partials (Σw|ψ−ψ_p|², Σw|ψ|²; w = the
     reciprocal-grid integration weights, reference fxs_IO_methods.py:97-128,
-    or all-ones for the unweighted sums)."""
+    or all-ones for the unweighted sums). Input coefficients are FULL-m
+    planes; the positive-m hermitianize happens in VMEM."""
     q_b = cre_ref.shape[0]
-    c_re = cre_ref[:].transpose(1, 0, 2)
-    c_im = cim_ref[:].transpose(1, 0, 2)
+    c_re, c_im = _herm_in_kernel(cre_ref, cim_ref, ha_ref, hb_ref)
     p = p_ref[:]
     fm_re = _bmm(c_re, p).transpose(1, 2, 0).reshape(q_b * n_theta, m_blk)
     fm_im = _bmm(c_im, p).transpose(1, 2, 0).reshape(q_b * n_theta, m_blk)
@@ -129,14 +147,14 @@ def _synth_abs2_kernel(n_theta, n_phi, m_blk, mp_blk,
 
 # --------------------------------------------------------------- K2⁺ kernel
 def _inv_real_project_fwd_kernel(n_theta, n_phi, mp_blk, m_blk, eps,
-                                 cre_ref, cim_ref, pp_ref, ipre_ref, ipim_ref,
+                                 cre_ref, cim_ref, ha_ref, hb_ref,
+                                 pp_ref, ipre_ref, ipim_ref,
                                  pre_ref, pim_ref, w_ref, ere_ref, eim_ref,
                                  pw_ref, ocre_ref, ocim_ref, part_ref):
     """K2 + the analysis of ψ_p: the modulus-projected field is analysed to
     coefficients inside the same VMEM pass, so ψ_p never exists in HBM."""
     q_b = cre_ref.shape[0]
-    c_re = cre_ref[:].transpose(1, 0, 2)
-    c_im = cim_ref[:].transpose(1, 0, 2)
+    c_re, c_im = _herm_in_kernel(cre_ref, cim_ref, ha_ref, hb_ref)
     p = pp_ref[:]
     fm_re = _bmm(c_re, p).transpose(1, 2, 0).reshape(q_b * n_theta, mp_blk)
     fm_im = _bmm(c_im, p).transpose(1, 2, 0).reshape(q_b * n_theta, mp_blk)
@@ -210,6 +228,7 @@ def k4_vmem_plan(n_theta, n_phi, p_t_shape, n_m_pad, table_itemsize,
 # ---------------------------------------------------------------- K4 kernel
 def _synth_update_kernel(n_theta, n_phi, m_blk, q_b,
                          method, add_rin, flags, fix_phase, track_best,
+                         w_plane,
                          *refs):
     """Inverse-FT synthesis + MTIP real-side epilogue for one q-block.
 
@@ -217,6 +236,11 @@ def _synth_update_kernel(n_theta, n_phi, m_blk, q_b,
     c_ρ[0] under ft-stab, else plain c_ρ); add_rin: add ρ_in on rows q≠0
     (the ft-stab correction). flags: (apply_support, apply_tlow, apply_thigh,
     apply_limit_imag, apply_assert_real) — static bools baked per-compile.
+
+    The support mask block is int8 (0/1): a quarter of the f32 plane's HBM
+    traffic. w_plane: the reduction weights arrive as a (q_b, n_θ) f32 block
+    (the φ-constant separable form × a radial initial support) instead of a
+    full grid plane — together −100 MB/iteration at tutorial scale.
 
     track_best: the best-iterate tracking rides inside the kernel — ρ_in is
     LAST step's output whose error became known after its partials reduced,
@@ -270,7 +294,8 @@ def _synth_update_kernel(n_theta, n_phi, m_blk, q_b,
     # cons_* gate which violation masks feed the HIO/RAAR region
     # (considered_projections, reference fxs_IO_methods.py:24-64)
     if apply_support:
-        m = sup_ref[:] < 0.5
+        # int8 block → f32 before comparing (v5e Mosaic rejects i8 compares)
+        m = sup_ref[:].astype(jnp.float32) < 0.5
         outr = jnp.where(m, 0.0, outr)
         outi = jnp.where(m, 0.0, outi)
         if cons_support:
@@ -293,7 +318,7 @@ def _synth_update_kernel(n_theta, n_phi, m_blk, q_b,
     if assert_real:
         outi = jnp.zeros_like(outi)
     # real-error partials (fxs_IO_methods.py:97-129)
-    w = w_ref[:]
+    w = w_ref[:][:, :, None] if w_plane else w_ref[:]
     dre = rp_re - outr
     dim_ = rp_im - outi
     num = jnp.sum(w * (dre * dre + dim_ * dim_))
@@ -358,6 +383,20 @@ class FusedIteration:
         self._Pp_t = np.ascontiguousarray(np.pad(
             np.asarray(f._P_t, dtype=np.float32)[L: L + L + 1],
             ((0, pad_p), (0, 0), (0, 0))).astype(tdt))
+        # in-kernel hermitianize matrices (O2, round 4): c_h = Ha·c_re /
+        # Hb·c_im with c_h[m] = (c[L+m] + (−1)^m conj(c[L−m]))/2 for m>0 and
+        # c_h[0] = Re(c[L]) — replaces _herm_pos_planes' XLA pass
+        Ha = np.zeros((f._mp_pad, f.n_m_pad), dtype=np.float32)
+        Hb = np.zeros_like(Ha)
+        Ha[0, L] = 1.0
+        for j in range(1, L + 1):
+            s = (-1.0) ** j
+            Ha[j, L + j] += 0.5
+            Ha[j, L - j] += 0.5 * s
+            Hb[j, L + j] += 0.5
+            Hb[j, L - j] -= 0.5 * s
+        self._Ha = np.ascontiguousarray(Ha)
+        self._Hb = np.ascontiguousarray(Hb)
 
     # -------------------------------------------------------------- helpers
     def _update_q_block(self, track_best):
@@ -418,30 +457,6 @@ class FusedIteration:
             cim = jnp.concatenate([cim, z], axis=-2)
         return cre, cim
 
-    def _herm_pos_planes(self, c, rows):
-        """Re(full synthesis) == positive-m synthesis of the hermitianized
-        coefficients c_h[m] = (c[m] + (−1)^m conj(c[−m]))/2 (exact for any
-        input; the average is an 8.6 MB coefficient-space op). Returns
-        m ≥ 0 f32 planes padded to (rows, _mp_pad, L+1)."""
-        f = self.f
-        L = f.l_max
-        cf_ = c.reshape((rows, f.n_m, L + 1))
-        c_pos = cf_[:, L:, :]
-        c_neg = cf_[:, :L, :][:, ::-1, :]              # rows m = −1..−L
-        signs = jnp.asarray(((-1.0) ** np.arange(1, L + 1))[:, None],
-                            dtype=jnp.float32)
-        cr = jnp.concatenate(
-            [c_pos[:, :1].real.astype(cf_.dtype),
-             0.5 * (c_pos[:, 1:] + signs * jnp.conj(c_neg))], axis=1)
-        pad_m = f._mp_pad - (L + 1)
-        c_re = cr.real.astype(jnp.float32)
-        c_im = cr.imag.astype(jnp.float32)
-        if pad_m:
-            z = jnp.zeros((rows, pad_m, L + 1), jnp.float32)
-            c_re = jnp.concatenate([c_re, z], axis=1)
-            c_im = jnp.concatenate([c_im, z], axis=1)
-        return c_re, c_im
-
     # ------------------------------------------------------------------- K2
     def inverse_real_project(self, c, psi, eps=0.0):
         """(I_lm coefficients, ψ) → (ψ_p, Σ|ψ−ψ_p|², Σ|ψ|²).
@@ -454,7 +469,7 @@ class FusedIteration:
         rows = int(np.prod(lead)) if lead else 1
         qb, nt, nph = self.q_block, f.n_theta, f.n_phi
         mb, L = f._mp_pad, f.l_max
-        c_re, c_im = self._herm_pos_planes(c, rows)
+        c_re, c_im = self._coeff_planes(c.reshape((rows, f.n_m, L + 1)))
         pr = psi.reshape((rows, nt, nph))
         p_re = pr.real.astype(jnp.float32)
         p_im = pr.imag.astype(jnp.float32)
@@ -463,8 +478,10 @@ class FusedIteration:
             (c_re, c_im, p_re, p_im, w_r), qb)
         g = c_re.shape[0] // qb
         kern = partial(_inv_real_project_kernel, nt, nph, mb, float(eps))
-        blk_c = pl.BlockSpec((qb, mb, L + 1), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM)
+        blk_cf = pl.BlockSpec((qb, f.n_m_pad, L + 1), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+        h_spec = pl.BlockSpec((mb, f.n_m_pad), lambda i: (0, 0),
+                              memory_space=pltpu.VMEM)
         p_spec = pl.BlockSpec((mb, L + 1, nt), lambda i: (0, 0, 0),
                               memory_space=pltpu.VMEM)
         i_spec = pl.BlockSpec((mb, nph), lambda i: (0, 0),
@@ -478,15 +495,16 @@ class FusedIteration:
         pp_re, pp_im, parts = pl.pallas_call(
             kern,
             grid=(g,),
-            in_specs=[blk_c, blk_c, p_spec, i_spec, i_spec, blk_g, blk_g,
-                      blk_w],
+            in_specs=[blk_cf, blk_cf, h_spec, h_spec, p_spec, i_spec, i_spec,
+                      blk_g, blk_g, blk_w],
             out_specs=[blk_g, blk_g, part_spec],
             out_shape=[jax.ShapeDtypeStruct((g * qb, nt, nph), jnp.float32),
                        jax.ShapeDtypeStruct((g * qb, nt, nph), jnp.float32),
                        jax.ShapeDtypeStruct((g, 8, 128), jnp.float32)],
             compiler_params=self._params,
             interpret=f._interp(),
-        )(c_re, c_im, jnp.asarray(self._Pp_t),
+        )(c_re, c_im, jnp.asarray(self._Ha), jnp.asarray(self._Hb),
+          jnp.asarray(self._Pp_t),
           jnp.asarray(self._Ip_re), jnp.asarray(self._Ip_im), p_re, p_im,
           w_r)
         psi_p = lax.complex(pp_re[:nrows], pp_im[:nrows]).astype(
@@ -562,7 +580,7 @@ class FusedIteration:
         rows = int(np.prod(lead)) if lead else 1
         qb, nt, nph = self.q_block, f.n_theta, f.n_phi
         mb, mpb, L = f.n_m_pad, f._mp_pad, f.l_max
-        c_re, c_im = self._herm_pos_planes(c, rows)
+        c_re, c_im = self._coeff_planes(c.reshape((rows, f.n_m, L + 1)))
         pr = psi.reshape((rows, nt, nph))
         p_re = pr.real.astype(jnp.float32)
         p_im = pr.imag.astype(jnp.float32)
@@ -572,7 +590,9 @@ class FusedIteration:
         g = c_re.shape[0] // qb
         kern = partial(_inv_real_project_fwd_kernel, nt, nph, mpb, mb,
                        float(eps))
-        blk_cp = pl.BlockSpec((qb, mpb, L + 1), lambda i: (i, 0, 0),
+        blk_cf = pl.BlockSpec((qb, mb, L + 1), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+        h_spec = pl.BlockSpec((mpb, mb), lambda i: (0, 0),
                               memory_space=pltpu.VMEM)
         pp_spec = pl.BlockSpec((mpb, L + 1, nt), lambda i: (0, 0, 0),
                                memory_space=pltpu.VMEM)
@@ -593,15 +613,16 @@ class FusedIteration:
         oc_re, oc_im, parts = pl.pallas_call(
             kern,
             grid=(g,),
-            in_specs=[blk_cp, blk_cp, pp_spec, ip_spec, ip_spec,
-                      blk_g, blk_g, blk_w, e_spec, e_spec, pw_spec],
+            in_specs=[blk_cf, blk_cf, h_spec, h_spec, pp_spec, ip_spec,
+                      ip_spec, blk_g, blk_g, blk_w, e_spec, e_spec, pw_spec],
             out_specs=[blk_oc, blk_oc, part_spec],
             out_shape=[jax.ShapeDtypeStruct((g * qb, mb, L + 1), jnp.float32),
                        jax.ShapeDtypeStruct((g * qb, mb, L + 1), jnp.float32),
                        jax.ShapeDtypeStruct((g, 8, 128), jnp.float32)],
             compiler_params=self._params,
             interpret=f._interp(),
-        )(c_re, c_im, jnp.asarray(self._Pp_t),
+        )(c_re, c_im, jnp.asarray(self._Ha), jnp.asarray(self._Hb),
+          jnp.asarray(self._Pp_t),
           jnp.asarray(self._Ip_re), jnp.asarray(self._Ip_im), p_re, p_im,
           w_r, jnp.asarray(f._E_re), jnp.asarray(f._E_im),
           jnp.asarray(f._PW))
@@ -625,8 +646,11 @@ class FusedIteration:
         d: combined coefficient set — under ft-stab the caller passes
         (c_ρ − c_roundtrip) with row 0 reset to c_ρ[0], exploiting the
         linearity of the per-q synthesis; without ft-stab just c_ρ.
-        support_f32: 0/1 float mask; w: integration weights (real error +
-        anchor).
+        support_f32: 0/1 mask (any numeric/bool dtype — it ships to the
+        kernel as int8, ¼ of the f32 traffic); w: integration weights for
+        the real-error + anchor reductions, EITHER grid-shaped OR the
+        separable (n_q, n_θ) plane (φ-constant weights × radial initial
+        support — the common case; saves the 67 MB grid read).
 
         With best_rho + best_flag (traced 0/1 scalar) given, the kernel also
         emits best' = flag ? ρ_in : best_rho (ρ_in is the previous iterate,
@@ -655,8 +679,13 @@ class FusedIteration:
         rin = rho_in.reshape((rows, nt, nph))
         rin_re = rin.real.astype(jnp.float32)
         rin_im = rin.imag.astype(jnp.float32)
-        sup = support_f32.reshape((rows, nt, nph)).astype(jnp.float32)
-        w_r = w.reshape((rows, nt, nph)).astype(jnp.float32)
+        sup = support_f32.reshape((rows, nt, nph)).astype(jnp.int8)
+        w_plane = int(w.shape[-1]) == nt
+        if w_plane:
+            w_r = jnp.broadcast_to(w.astype(jnp.float32),
+                                   lead + (nt,)).reshape(rows, nt)
+        else:
+            w_r = w.reshape((rows, nt, nph)).astype(jnp.float32)
         pads = [d_re, d_im, rin_re, rin_im, sup, w_r]
         if track_best:
             b = best_rho.reshape((rows, nt, nph))
@@ -678,7 +707,7 @@ class FusedIteration:
         scal = _scatter_scalars(scal_vals)[None]                  # (1, 8, 128)
         kern = partial(_synth_update_kernel, nt, nph, mb, qb,
                        method, bool(ft_stab), flags, bool(fix_phase),
-                       track_best)
+                       track_best, w_plane)
         blk_c = pl.BlockSpec((qb, mb, L + 1), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
         p_spec = pl.BlockSpec((mb, L + 1, nt), lambda i: (0, 0, 0),
@@ -687,12 +716,14 @@ class FusedIteration:
                               memory_space=pltpu.VMEM)
         blk_g = pl.BlockSpec((qb, nt, nph), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
+        blk_w = pl.BlockSpec((qb, nt), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM) if w_plane else blk_g
         scal_spec = pl.BlockSpec((1, 8, 128), lambda i: (0, 0, 0),
                                  memory_space=pltpu.VMEM)
         part_spec = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
                                  memory_space=pltpu.VMEM)
         in_specs = [blk_c, blk_c, p_spec, i_spec, i_spec,
-                    blk_g, blk_g, blk_g, blk_g, scal_spec]
+                    blk_g, blk_g, blk_g, blk_w, scal_spec]
         out_specs = [blk_g, blk_g, part_spec]
         out_shape = [jax.ShapeDtypeStruct((g * qb, nt, nph), jnp.float32),
                      jax.ShapeDtypeStruct((g * qb, nt, nph), jnp.float32),

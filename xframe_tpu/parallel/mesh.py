@@ -209,6 +209,15 @@ class CheckpointingRunner:
                  arg_tables: bool | str | dict = "auto"):
         self.mtip = mtip
         self.chunks = split_schedule_chunks(schedule)
+        # replay-mode best tracking: global schedule tables + per-chunk
+        # iteration offsets (pos0 enters the chunk program as a traced
+        # scalar so identical structures still share one compilation)
+        if getattr(mtip, "best_mode", "eager") == "replay":
+            mtip.set_schedule_tables(schedule)
+        self._chunk_pos = np.cumsum(
+            [0] + [sum(s.n for s in c if s.method not in
+                       ("SW", "SW_center", "SNAPSHOT", "RESET_TO_BEST"))
+                   for c in self.chunks])[:-1]
         self.mesh = mesh
         self.checkpoint_path = checkpoint_path
         self.save_every = max(int(save_every), 1)
@@ -247,16 +256,29 @@ class CheckpointingRunner:
 
     def _step(self, structure):
         if structure not in self._compiled:
-            def fn(state, args, tables):
+            def fn(state, args, tables, pos0):
                 with self.mtip.bound_tables(tables):
                     return jax.vmap(
-                        lambda s: self.mtip.run_chunk(s, structure, args))(
-                        state)
+                        lambda s: self.mtip.run_chunk(s, structure, args,
+                                                      pos0=pos0))(state)
             if self._fused_mesh is not None:
                 fn = _shard_map_restarts(fn, self._fused_mesh,
-                                         P(self._restart_axis), n_in=3)
+                                         P(self._restart_axis), n_in=4)
             self._compiled[structure] = jax.jit(fn, static_argnums=())
         return self._compiled[structure]
+
+    def _materialize(self):
+        """Replay-mode finalization step (fills best_rho/best_mask once per
+        run); compiled lazily, shared across calls."""
+        if "__materialize__" not in self._compiled:
+            def fn(state, tables):
+                with self.mtip.bound_tables(tables):
+                    return jax.vmap(self.mtip.materialize_best)(state)
+            if self._fused_mesh is not None:
+                fn = _shard_map_restarts(fn, self._fused_mesh,
+                                         P(self._restart_axis), n_in=2)
+            self._compiled["__materialize__"] = jax.jit(fn)
+        return self._compiled["__materialize__"]
 
     # --------------------------------------------------------- checkpoint IO
     def _save(self, state, errors_list, chunk_index):
@@ -278,6 +300,16 @@ class CheckpointingRunner:
         }
         if h.err_snapshot is not None:  # mid-loop SNAPSHOT (reset-to-best)
             data["err_snapshot"] = np.asarray(h.err_snapshot)
+        if h.anchor_rho is not None:    # replay-mode best tracking
+            data["anchor_rho_re"] = np.real(h.anchor_rho)
+            data["anchor_rho_im"] = np.imag(h.anchor_rho)
+            data["anchor_sup"] = np.asarray(h.anchor_sup)
+            data["anchor_z_re"] = np.real(h.anchor_z)
+            data["anchor_z_im"] = np.imag(h.anchor_z)
+            data["anchor_z2_re"] = np.real(h.anchor_z2)
+            data["anchor_z2_im"] = np.imag(h.anchor_z2)
+            data["anchor_start"] = np.asarray(h.anchor_start)
+            data["anchor_len"] = np.asarray(h.anchor_len)
         tmp = self.checkpoint_path + ".tmp"
         os.makedirs(os.path.dirname(os.path.abspath(tmp)), exist_ok=True)
         hdf5_io.save(tmp, data)
@@ -304,6 +336,21 @@ class CheckpointingRunner:
             last_err=np.asarray(d["last_err"], dtype=np.float32),
             err_snapshot=np.asarray(d["err_snapshot"], dtype=np.float32)
             if "err_snapshot" in d else None)
+        if "anchor_rho_re" in d:        # replay-mode best tracking
+            f = jax.jit(lambda x: x.astype(jnp.int8))
+            state = state._replace(
+                anchor_rho=to_device_complex(
+                    np.asarray(d["anchor_rho_re"])
+                    + 1j * np.asarray(d["anchor_rho_im"]), self.mtip.cdtype),
+                anchor_sup=f(np.asarray(d["anchor_sup"], dtype=np.float32)),
+                anchor_z=to_device_complex(
+                    np.asarray(d["anchor_z_re"])
+                    + 1j * np.asarray(d["anchor_z_im"]), self.mtip.cdtype),
+                anchor_z2=to_device_complex(
+                    np.asarray(d["anchor_z2_re"])
+                    + 1j * np.asarray(d["anchor_z2_im"]), self.mtip.cdtype),
+                anchor_start=np.asarray(d["anchor_start"], dtype=np.int32),
+                anchor_len=np.asarray(d["anchor_len"], dtype=np.int32))
         prev = np.asarray(d["errors"], dtype=np.float32)
         errors = [prev] if prev.ndim == 3 and prev.shape[1] > 0 else []
         return state, int(d["chunk_index"]), errors
@@ -327,12 +374,17 @@ class CheckpointingRunner:
             else min(start_chunk + int(max_chunks), len(self.chunks))
         for i in range(start_chunk, stop):
             structure, args = _chunk_structure_args(self.chunks[i])
-            state, errs = self._step(structure)(state, args, self._tables)
+            pos0 = jnp.asarray(np.int32(self._chunk_pos[i]))
+            state, errs = self._step(structure)(state, args, self._tables,
+                                                pos0)
             errors.append(errs)
             if self.checkpoint_path and ((i + 1) % self.save_every == 0
                                          or i == stop - 1):
                 jax.block_until_ready(state.rho)
                 self._save(state, errors, i + 1)
+        if stop == len(self.chunks) \
+                and getattr(self.mtip, "best_mode", "eager") == "replay":
+            state = self._materialize()(state, self._tables)
         all_errors = jnp.concatenate(
             [jnp.asarray(e) for e in errors], axis=1) if errors \
             else jnp.zeros((len(rho0_batch), 0, 2))

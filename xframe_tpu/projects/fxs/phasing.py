@@ -27,6 +27,7 @@ from typing import Any, NamedTuple
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from xframe_tpu.library.ramps import ExponentialRamp, LinearRamp
 from xframe_tpu.projects.fxs.projections import (
@@ -154,6 +155,20 @@ class PhasingState(NamedTuple):
     # state was found late enough to continue from (reference
     # best_density_not_in_first_n_iterations, reconstruct.py:945-951)
     err_snapshot: Any = None
+    # replay-mode best tracking (best_mode='replay', round 4): instead of a
+    # per-iteration 400 MB/iter XLA select into best_rho, only an ANCHOR is
+    # kept — the entry state of the segment containing the running best
+    # (or its exit state when the best IS the segment's last iterate,
+    # making the replay length 0 — the common monotone-ER case) — plus the
+    # global schedule position and length needed to replay the few
+    # iterations to the best iterate on demand (RESET_TO_BEST / final
+    # materialize_best). best_rho/best_mask stay as placeholders until then.
+    anchor_rho: Any = None
+    anchor_sup: Any = None       # int8 support of the anchor segment
+    anchor_z: Any = None         # phase-anchor stats at the anchor point
+    anchor_z2: Any = None
+    anchor_start: Any = None     # global iteration index of the anchor
+    anchor_len: Any = None       # iterations to replay (0 = anchor IS best)
 
 
 class MTIP:
@@ -163,7 +178,7 @@ class MTIP:
                  shrink_wrap: ShrinkWrap, integration_weights, initial_support,
                  enforce_initial_support_limit=np.inf, real_dtype=jnp.float32,
                  harmonic=None, fix_global_phase=True, fused_pipeline=None,
-                 pn_estimate_in=None, error_config=None):
+                 pn_estimate_in=None, error_config=None, best_mode="eager"):
         """harmonic: intensity↔coefficient transform for the data projection;
         defaults to ft.sht (3D). Pass projections.RealCircularHarmonics for
         the 2D polar pipeline.
@@ -283,9 +298,44 @@ class MTIP:
             self._fi = FusedIteration(
                 fused, w_rec=None if self._w_rec_host is None
                 else self._w_rec_host[..., 0])
+        # O3 (round 4): when the error weights are the separable φ-constant
+        # form AND the initial support is radial (a ball in r — the default
+        # max_radius support), the K4 reduction weights collapse to an
+        # (n_q, n_θ) plane: with the int8 support mask this removes
+        # ~100 MB/iteration of K4 HBM traffic (docs/performance.md)
+        self._w2d_host = None
+        if (not self._w_err_premasked and self._w_err_host.ndim == 3
+                and self._w_err_host.shape[-1] == 1
+                and self.initial_support.ndim == 3):
+            sup = self.initial_support
+            if bool((sup == sup[:, :1, :1]).all()):
+                self._w2d_host = np.ascontiguousarray(
+                    self._w_err_host[..., 0]
+                    * sup[:, :1, 0].astype(self._w_err_host.dtype))
         import os
         self.lazy_best = os.environ.get("XF_LAZY_BEST", "0").lower() \
             not in ("0", "false", "")
+        # K2⁺ A/B knob: fold ψ_p's analysis into the projection kernel
+        # (round-2 measured it slower in COMBINATION with the K1⁺ merge;
+        # re-measured alone in round 4 — see docs/performance.md)
+        self._k2_fwd = os.environ.get("XF_FUSED_K2FWD", "0").lower() \
+            not in ("0", "false", "")
+        # best-state tracking strategy for the fused pipeline:
+        #   eager  — per-iteration XLA select (round-3 default)
+        #   lazy   — select inside the next K4 kernel (measured parity)
+        #   replay — anchor + on-demand replay (VERDICT r3 #1): no grid-sized
+        #            best state during the scan at all
+        mode = os.environ.get("XF_BEST_MODE", "") or best_mode
+        if self.lazy_best and mode == "eager":
+            mode = "lazy"
+        if mode == "replay" and self._fi is None:
+            mode = "eager"           # replay is a fused-pipeline feature
+        self.best_mode = mode
+        self.lazy_best = mode == "lazy"
+        # global replay parameter tables (set_schedule_tables)
+        self._replay_combos = ()
+        self._replay_betas = np.zeros(1, np.float32)
+        self._replay_cidx = np.zeros(1, np.int32)
 
     # ------------------------------------------- big tables as jit arguments
     def arg_tables(self):
@@ -516,6 +566,13 @@ class MTIP:
         w = jnp.asarray(self._w_err)
         return jnp.sum(w * rho * rho), jnp.sum(w * rho)
 
+    def _k4_weights(self):
+        """Reduction weights for the fused K4 kernel: the (n_q, n_θ) plane
+        when separable (O3), else the full masked grid."""
+        if self._w2d_host is not None:
+            return jnp.asarray(self._w2d_host)
+        return jnp.asarray(self._w_err)
+
     def _mtip_iteration_fused(self, rho_in, support_f32, beta, method: str,
                               ft_stab: bool, z, z2, best_rho=None,
                               best_flag=None):
@@ -539,18 +596,25 @@ class MTIP:
         psi = ft._synthesis(cf)
         Ilm = self.sht.forward_real_abs2(psi)
         Ilm_proj = self.rc(Ilm)
-        psi_p, rnum, rden = self._fi.inverse_real_project(Ilm_proj, psi)
-        c_rho = ft.hankel.inverse(ft._analysis(psi_p))
+        if self._k2_fwd:
+            # K2⁺: ψ_p's forward analysis fused into the projection kernel —
+            # ψ_p never exists in HBM (−268 MB/iter of grid traffic)
+            c_p, rnum, rden = self._fi.inverse_real_project_fwd(Ilm_proj, psi)
+        else:
+            psi_p, rnum, rden = self._fi.inverse_real_project(Ilm_proj, psi)
+            c_p = ft._analysis(psi_p)
         if ft_stab:
             # synthesis is linear and per-q: ρ_p + (ρ_in − rt)·[q≠0]
-            # = synth(c_ρ − c_i)|_{row0←c_ρ[0]} + ρ_in·[q≠0] — one synthesis
-            # instead of two, with the subtraction on the small coefficients
-            ci = ft.hankel.inverse(cf)
-            d = (c_rho - ci).at[0].set(c_rho[0])
+            # = synth(c_ψp − cf under H⁻¹)|_{row0 fixed} + ρ_in·[q≠0].
+            # Hankel is ALSO linear, so H⁻¹(c_ψp) − H⁻¹(cf) = H⁻¹(c_ψp − cf)
+            # — ONE Hankel inverse instead of two; the row-0 reset needs only
+            # H⁻¹(cf)[0], a single weight-row contraction (−27 MB, −1 launch)
+            d = ft.hankel.inverse(c_p - cf)
+            d = d.at[0].add(ft.hankel.inverse_row0(cf))
         else:
-            d = c_rho
+            d = ft.hankel.inverse(c_p)
         outs = self._fi.synthesize_update(
-            d, rho_in, support_f32, jnp.asarray(self._w_err),
+            d, rho_in, support_f32, self._k4_weights(),
             beta, c_phase, method=method, ft_stab=ft_stab,
             real_constraint=self.real, fix_phase=self.fix_global_phase,
             best_rho=best_rho, best_flag=best_flag)
@@ -577,7 +641,8 @@ class MTIP:
         extra resident planes — under the raised 124 MB VMEM cap it keeps
         the full q-block, yet measured no faster than eager (the XLA select
         overlaps other kernels; K4's extra DMA does not)."""
-        sup_f = state.support.astype(self.rdtype)
+        # int8 support once per segment (loop-invariant; K4 reads ¼ the bytes)
+        sup_f = state.support.astype(jnp.int8)
         if self.fix_global_phase:
             z, z2 = self._anchor_stats(state.rho)
         else:
@@ -631,14 +696,156 @@ class MTIP:
                             best_err, pending_err,
                             state.err_snapshot), errs
 
+    # ---------------------------------------------------- replay best (O4)
+    def set_schedule_tables(self, schedule):
+        """Global per-iteration (β, method, ft_stab) tables over the FULL
+        flattened schedule — the replay-mode anchor indexes into these.
+        Call once per run with the complete schedule (runners do)."""
+        betas, cidx, combos = [], [], []
+        for seg in schedule:
+            if seg.method in ("SW", "SW_center", "SNAPSHOT", "RESET_TO_BEST"):
+                continue
+            key = (seg.method, bool(seg.ft_stab))
+            if key not in combos:
+                combos.append(key)
+            k = combos.index(key)
+            betas.extend(np.asarray(seg.betas, dtype=np.float64).tolist())
+            cidx.extend([k] * int(seg.n))
+        self._replay_combos = tuple(combos)
+        self._replay_betas = (np.asarray(betas, np.float32) if betas
+                              else np.zeros(1, np.float32))
+        self._replay_cidx = (np.asarray(cidx, np.int32) if cidx
+                             else np.zeros(1, np.int32))
+
+    def _anchor_fields(self, rho, support, batch_shape=()):
+        """Fresh anchor fields (replay mode) for an initial state."""
+        zero_c = jnp.zeros(batch_shape, dtype=self.cdtype)
+        zero_i = jnp.zeros(batch_shape, dtype=jnp.int32)
+        return dict(anchor_rho=rho, anchor_sup=support.astype(jnp.int8),
+                    anchor_z=zero_c, anchor_z2=zero_c,
+                    anchor_start=zero_i, anchor_len=zero_i)
+
+    def _replay_best(self, state: PhasingState):
+        """Reconstruct the best iterate: replay anchor_len iterations from
+        the anchor through the SAME static per-method kernels as the main
+        scan, with (β, method) gathered from the global schedule tables.
+        anchor_len is 0 whenever the best was a segment's last iterate (the
+        monotone-ER common case), making this a no-op loop."""
+        betas_tab = jnp.asarray(self._replay_betas)
+        cidx_tab = jnp.asarray(self._replay_cidx)
+        sup_i8 = state.anchor_sup
+
+        def make_branch(method, stab):
+            def br(rho, z, z2, beta):
+                rho_n, _, _, z_n, z2_n = self._mtip_iteration_fused(
+                    rho, sup_i8, beta, method, stab, z, z2)
+                return rho_n, z_n, z2_n
+            return br
+
+        branches = [make_branch(m, s) for m, s in self._replay_combos] \
+            or [make_branch("ER", False)]
+
+        def body(i, carry):
+            rho, z, z2 = carry
+            idx = state.anchor_start + i
+            beta = betas_tab[idx]
+            if len(branches) == 1:
+                return branches[0](rho, z, z2, beta)
+            return lax.switch(cidx_tab[idx], branches, rho, z, z2, beta)
+
+        rho, _, _ = lax.fori_loop(
+            0, state.anchor_len, body,
+            (state.anchor_rho, state.anchor_z, state.anchor_z2))
+        return rho
+
+    def materialize_best(self, state: PhasingState):
+        """Replay-mode finalization: fill best_rho/best_mask from the anchor
+        (and re-anchor at the materialized best, so a later call replays 0
+        iterations). No-op in eager/lazy modes."""
+        if self.best_mode != "replay" or state.anchor_rho is None:
+            return state
+        best = self._replay_best(state)
+        return state._replace(best_rho=best,
+                              best_mask=state.anchor_sup > 0,
+                              anchor_rho=best,
+                              anchor_len=jnp.zeros_like(state.anchor_len))
+
+    # anchor granularity: long method segments are scanned in chunks of this
+    # many iterations, each followed by one conditional anchor update — the
+    # replay length is bounded by it (≤2 grid-select passes per chunk vs
+    # the 400 MB/iter eager select; the 100-iteration HIO bench showed an
+    # unbounded per-segment anchor replays ~half the segment)
+    REPLAY_ANCHOR_CHUNK = 16
+
+    def _run_segment_fused_replay(self, state: PhasingState, seg: Segment,
+                                  betas, pos):
+        """Fused segment scan WITHOUT grid-sized best tracking: the carry is
+        (ρ, z, z2) only; one conditional anchor update per ≤CHUNK iterations
+        replaces the per-iteration 400 MB best-state select."""
+        sup_i8 = state.support.astype(jnp.int8)
+        if self.fix_global_phase:
+            z, z2 = self._anchor_stats(state.rho)
+        else:
+            zero = jnp.zeros((), dtype=self.cdtype)
+            z, z2 = zero, zero
+
+        def body(carry, beta):
+            rho, z, z2 = carry
+            rho_new, err, err_rec, z_n, z2_n = self._mtip_iteration_fused(
+                rho, sup_i8, beta, seg.method, seg.ft_stab, z, z2)
+            return (rho_new, z_n, z2_n), jnp.stack([err, err_rec])
+
+        n = int(betas.shape[0])
+        K = self.REPLAY_ANCHOR_CHUNK
+        rho = state.rho
+        err_parts = []
+        anchors = (state.anchor_rho, state.anchor_sup, state.anchor_z,
+                   state.anchor_z2, state.anchor_start, state.anchor_len)
+        best_err = state.best_err
+        for off in range(0, n, K):
+            entry_rho, entry_z, entry_z2 = rho, z, z2
+            sub = betas[off: off + K]
+            (rho, z, z2), errs = jax.lax.scan(body, (rho, z, z2), sub)
+            err_parts.append(errs)
+            em = errs[:, 0]
+            seg_arg = jnp.argmin(em)       # first occurrence = eager's pick
+            seg_min = em[seg_arg]
+            improved = seg_min < best_err
+            at_end = seg_arg == sub.shape[0] - 1
+            a_rho, a_sup, a_z, a_z2, a_start, a_len = anchors
+            pos_t = jnp.asarray(pos + off, dtype=jnp.int32)
+            anchors = (
+                jnp.where(improved, jnp.where(at_end, rho, entry_rho), a_rho),
+                jnp.where(improved, sup_i8, a_sup),
+                jnp.where(improved, jnp.where(at_end, z, entry_z), a_z),
+                jnp.where(improved, jnp.where(at_end, z2, entry_z2), a_z2),
+                jnp.where(improved, pos_t, a_start),
+                jnp.where(improved,
+                          jnp.where(at_end, 0,
+                                    (seg_arg + 1).astype(jnp.int32)),
+                          a_len).astype(jnp.int32),
+            )
+            best_err = jnp.minimum(seg_min, best_err)
+        errs = jnp.concatenate(err_parts) if len(err_parts) > 1 \
+            else err_parts[0]
+        return state._replace(
+            rho=rho, best_err=best_err, last_err=errs[-1, 0],
+            anchor_rho=anchors[0], anchor_sup=anchors[1],
+            anchor_z=anchors[2], anchor_z2=anchors[3],
+            anchor_start=anchors[4], anchor_len=anchors[5]), errs
+
     # -------------------------------------------------------------- segments
-    def _run_segment(self, state: PhasingState, seg: Segment, betas=None):
+    def _run_segment(self, state: PhasingState, seg: Segment, betas=None,
+                     pos=0):
         """betas may be passed as a traced array (checkpointed chunk runner)
         instead of baked in from the Segment — identical chunk structures
-        then share one compilation."""
+        then share one compilation. pos: global schedule position of this
+        segment's first iteration (replay-mode anchor bookkeeping)."""
         if betas is None:
             betas = jnp.asarray(seg.betas, dtype=self.rdtype)
         if self._fi is not None:
+            if self.best_mode == "replay":
+                return self._run_segment_fused_replay(state, seg, betas, pos)
             return self._run_segment_fused(state, seg, betas)
 
         def body(carry, beta):
@@ -680,9 +887,7 @@ class MTIP:
                                           current_support=state.support)
         enforce = state.last_err > self.enforce_limit
         support = jnp.where(enforce, new_support & self.initial_support, new_support)
-        return PhasingState(rho, support, state.best_rho, state.best_mask,
-                            state.best_err, state.last_err,
-                            state.err_snapshot)
+        return state._replace(rho=rho, support=support)
 
     def _snapshot(self, state: PhasingState):
         return state._replace(err_snapshot=state.best_err)
@@ -690,24 +895,29 @@ class MTIP:
     def _reset_to_best(self, state: PhasingState):
         """RESET_TO_BEST marker: continue from the best state iff it improved
         after the SNAPSHOT point (reference reconstruct.py:945-951 — best not
-        stuck in the first n sub-loop iterations). No-op without a snapshot."""
+        stuck in the first n sub-loop iterations). No-op without a snapshot.
+        Replay mode materializes the best here (usually a 0-length replay)."""
         if state.err_snapshot is None:
             return state
+        if getattr(self, "best_mode", "eager") == "replay" \
+                and state.anchor_rho is not None:
+            state = self.materialize_best(state)
         late = state.best_err < state.err_snapshot
         rho = jnp.where(late, state.best_rho, state.rho)
         support = jnp.where(late, state.best_mask, state.support)
-        return PhasingState(rho, support, state.best_rho, state.best_mask,
-                            state.best_err, state.last_err, None)
+        return state._replace(rho=rho, support=support, err_snapshot=None)
 
     # ------------------------------------------------------------------ run
     def initial_state(self, rho0):
         """Fresh PhasingState for ONE restart (vmap outside, like run)."""
         inf = jnp.asarray(np.inf, dtype=self.rdtype)
-        return PhasingState(rho=rho0.astype(self.cdtype),
-                            support=jnp.asarray(self.initial_support),
-                            best_rho=rho0.astype(self.cdtype),
-                            best_mask=jnp.asarray(self.initial_support),
-                            best_err=inf, last_err=inf)
+        sup = jnp.asarray(self.initial_support)
+        rho = rho0.astype(self.cdtype)
+        state = PhasingState(rho=rho, support=sup, best_rho=rho,
+                             best_mask=sup, best_err=inf, last_err=inf)
+        if self.best_mode == "replay":
+            state = state._replace(**self._anchor_fields(rho, sup))
+        return state
 
     def initial_state_batch(self, rho0_batch, support=None):
         """Fresh batched PhasingState (restart axis leading); jit this —
@@ -722,12 +932,20 @@ class MTIP:
         sup = jnp.broadcast_to(support, rho0_batch.shape)
         inf = jnp.full((n,), np.inf, dtype=self.rdtype)
         rho = rho0_batch.astype(self.cdtype)
-        return PhasingState(rho=rho, support=sup, best_rho=rho,
-                            best_mask=sup, best_err=inf, last_err=inf)
+        state = PhasingState(rho=rho, support=sup, best_rho=rho,
+                             best_mask=sup, best_err=inf, last_err=inf)
+        if self.best_mode == "replay":
+            state = state._replace(**self._anchor_fields(rho, sup, (n,)))
+        return state
 
-    def run_from(self, state: PhasingState, schedule):
+    def run_from(self, state: PhasingState, schedule, pos=0,
+                 materialize=True):
         """Continue a phasing run from an existing state (checkpoint resume).
+        pos: global iteration index of `schedule`'s first iteration within
+        the FULL schedule registered by set_schedule_tables (replay mode).
         → (state, errors (n_iter, 2))."""
+        if self.best_mode == "replay" and not len(self._replay_combos):
+            self.set_schedule_tables(schedule)
         err_chunks = []
         for seg in schedule:
             if seg.method in ('SW', 'SW_center'):
@@ -737,22 +955,30 @@ class MTIP:
             elif seg.method == 'RESET_TO_BEST':
                 state = self._reset_to_best(state)
             else:
-                state, errs = self._run_segment(state, seg)
+                state, errs = self._run_segment(state, seg, pos=pos)
+                pos = pos + int(seg.n)
                 err_chunks.append(errs)
+        if materialize:
+            state = self.materialize_best(state)
         errors = jnp.concatenate(err_chunks) if err_chunks \
             else jnp.zeros((0, self._err_cols), dtype=self.rdtype)
         return state, errors
 
-    def run_chunk(self, state: PhasingState, structure, args, tables=None):
+    def run_chunk(self, state: PhasingState, structure, args, tables=None,
+                  pos0=0):
         """Execute one schedule chunk with the ramp values passed as traced
         arrays. structure: static tuple of ('SW',) | (method, n, ft_stab);
         args: matching tuple of (sigma, threshold) | betas-array. Chunks with
         the same structure share one jit compilation. tables: optional
-        arg_tables() dict threaded through the enclosing jit."""
+        arg_tables() dict threaded through the enclosing jit. pos0: global
+        iteration index of the chunk start — may be a TRACED scalar so
+        identical structures at different schedule positions still share one
+        compilation (replay-mode anchor bookkeeping)."""
         if tables:
             with self.bound_tables(tables):
-                return self.run_chunk(state, structure, args)
+                return self.run_chunk(state, structure, args, pos0=pos0)
         err_chunks = []
+        off = 0
         for seg_s, a in zip(structure, args):
             if seg_s[0] in ('SW', 'SW_center'):
                 state = self._shrink_wrap(
@@ -767,7 +993,9 @@ class MTIP:
                 method, n, ft_stab = seg_s
                 seg = Segment(method, n, ft_stab=ft_stab)
                 state, errs = self._run_segment(
-                    state, seg, betas=jnp.asarray(a, dtype=self.rdtype))
+                    state, seg, betas=jnp.asarray(a, dtype=self.rdtype),
+                    pos=pos0 + off)
+                off += int(n)
                 err_chunks.append(errs)
         errors = jnp.concatenate(err_chunks) if err_chunks \
             else jnp.zeros((0, self._err_cols), dtype=self.rdtype)
@@ -775,28 +1003,12 @@ class MTIP:
 
     def run(self, rho0, schedule):
         """Full phasing run for ONE restart; vmap over restarts outside."""
-        inf = jnp.asarray(np.inf, dtype=self.rdtype)
-        state = PhasingState(rho=rho0.astype(self.cdtype),
-                             support=self.initial_support,
-                             best_rho=rho0.astype(self.cdtype),
-                             best_mask=self.initial_support,
-                             best_err=inf, last_err=inf)
-        err_chunks = []
-        for seg in schedule:
-            if seg.method in ('SW', 'SW_center'):
-                state = self._shrink_wrap(state, seg)
-            elif seg.method == 'SNAPSHOT':
-                state = self._snapshot(state)
-            elif seg.method == 'RESET_TO_BEST':
-                state = self._reset_to_best(state)
-            else:
-                state, errs = self._run_segment(state, seg)
-                err_chunks.append(errs)
+        if self.best_mode == "replay":
+            self.set_schedule_tables(schedule)
+        state = self.initial_state(rho0)
         # (n_iterations, 2|3): columns = (real "main" error, reciprocal
         # error[, particle-number estimate when enabled])
-        errors = jnp.concatenate(err_chunks) if err_chunks \
-            else jnp.zeros((0, self._err_cols))
-        return state, errors
+        return self.run_from(state, schedule)
 
     def finalize(self, rho):
         """Recompute the reciprocal-side quantities for an output density:

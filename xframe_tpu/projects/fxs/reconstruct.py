@@ -521,7 +521,9 @@ class ProjectWorker(ProjectWorkerInterface):
                     initial_support,
                     enforce_initial_support_limit=enforce_limit,
                     real_dtype=real_dtype, pn_estimate_in=pn_estimate_in,
-                    error_config=self._error_config(opt))
+                    error_config=self._error_config(opt),
+                    best_mode=str(opt.main_loop.get("best_tracking",
+                                                    "eager")))
         # SW_center support: cartesian grid tables for the c.o.m. shift
         from xframe_tpu.library.shapes import spherical_to_cartesian
         grid_q = spherical_grid(ft.qs, ft.sht.theta, ft.sht.phi)

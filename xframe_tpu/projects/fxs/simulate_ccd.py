@@ -104,6 +104,7 @@ class ProjectWorker(ProjectWorkerInterface):
 
     # ------------------------------------------------------------------- 3D
     def _run_3d(self, opt):
+        from xframe_tpu.logger import Timer, xprint
         N = int(opt.grid.n_radial_points)
         L = int(opt.grid.max_order)
         q_max = self._resolve_max_q(opt, N)
@@ -113,15 +114,22 @@ class ProjectWorker(ProjectWorkerInterface):
 
         # Hankel weights through the shared disk cache (reference
         # fourier_transforms.py:17-35 caches them keyed by N/L/rc/mode;
-        # generation is ~47 s host-side at the tutorial's N=512, L=128)
+        # generation is ~47 s host-side at the tutorial's N=512, L=128).
+        # fused Pallas SHT kernels: at simulation scale the monolithic XLA
+        # SHT program was the COLD-COMPILE hog (VERDICT r3 #6) — the Pallas
+        # kernels compile in seconds and run the same math
         from xframe_tpu.projects.fxs.reconstruct import load_cached_weights
-        ft = SphericalFourierTransform(
-            N, L, q_max=q_max, mode=mode, reciprocity_coefficient=rc,
-            weights_dict=load_cached_weights(L, N, rc, 3, mode),
-            n_theta=int(opt.grid.get("n_theta", 0) or 0) or None,
-            n_phi=int(opt.grid.get("n_phi_internal", 0) or 0) or None)
+        use_fused = bool(opt.fourier_transform.get("fused_sht", True))
+        with Timer("weights+transforms", report=xprint) as _:
+            ft = SphericalFourierTransform(
+                N, L, q_max=q_max, mode=mode, reciprocity_coefficient=rc,
+                weights_dict=load_cached_weights(L, N, rc, 3, mode),
+                n_theta=int(opt.grid.get("n_theta", 0) or 0) or None,
+                n_phi=int(opt.grid.get("n_phi_internal", 0) or 0) or None,
+                fused_sht=use_fused)
         grid = spherical_grid(ft.rs, ft.sht.theta, ft.sht.phi)
-        density = build_density_from_shapes(grid, opt.shapes)
+        with Timer("density from shapes", report=xprint):
+            density = build_density_from_shapes(grid, opt.shapes)
         self._model = (density, (ft.rs, ft.sht.theta, ft.sht.phi))
 
         # one jitted program: density → intensity coefficients. The Hankel
@@ -133,16 +141,21 @@ class ProjectWorker(ProjectWorkerInterface):
 
         (wf_re, wf_im), _ = weight_planes(ft.hankel)
         skip_zero = ft.hankel.skip_zero
+        fused = ft._fused
 
         @jax.jit
         def intensity_coeff(rho_real, w_re, w_im):
-            c = ft.sht.forward(rho_real.astype(jnp.complex64))
+            c = ft._analysis(rho_real.astype(jnp.complex64))
             F = apply_hankel_planes(w_re, w_im, c, skip_zero)
+            if fused is not None:
+                psi = fused.inverse(F)
+                return fused.forward_real_abs2(psi)
             psi = ft.sht.inverse(F)
             return ft.sht.forward_real((psi * psi.conj()).real)
 
-        coeff = to_host(intensity_coeff(
-            np.asarray(density, dtype=np.float32), wf_re, wf_im))
+        with Timer("intensity coefficients (incl. compile)", report=xprint):
+            coeff = to_host(intensity_coeff(
+                np.asarray(density, dtype=np.float32), wf_re, wf_im))
         # B_l = I_l I_l† on device (O(L·n_q²·n_m) — minutes in numpy at
         # production grids, sub-second on the MXU)
         import jax
@@ -152,10 +165,11 @@ class ProjectWorker(ProjectWorkerInterface):
             c = c_re + 1j * c_im
             return jnp.einsum("qml,pml->lqp", c, c.conj()).real
 
-        bl = to_host(bl_from_coeff(
-            np.ascontiguousarray(coeff.real, dtype=np.float32),
-            np.ascontiguousarray(coeff.imag, dtype=np.float32))
-        ).astype(complex)
+        with Timer("B_l from coefficients (incl. compile)", report=xprint):
+            bl = to_host(bl_from_coeff(
+                np.ascontiguousarray(coeff.real, dtype=np.float32),
+                np.ascontiguousarray(coeff.imag, dtype=np.float32))
+            ).astype(complex)
         # Friedel symmetry of |F|² kills odd orders exactly; enforce
         bl[1::2] = 0
         # N dilute identical particles: every B_l scales by N and the
@@ -168,7 +182,8 @@ class ProjectWorker(ProjectWorkerInterface):
         n_phi = int(opt.grid.get("n_phi") or 0)
         if n_phi <= 0:
             n_phi = 2 ** int(np.ceil(np.log2(2 * (L + 1))))
-        cc = self._synthesize_cc_device(bl, wavelength, ft.qs, n_phi)
+        with Timer("CC synthesis (incl. compile)", report=xprint):
+            cc = self._synthesize_cc_device(bl, wavelength, ft.qs, n_phi)
 
         cc = self._apply_noise(cc, opt)
         # angular mean of the intensity: a(q) = I_00(q)·Y_00 = I_00/(2√π);
