@@ -60,6 +60,10 @@ def main():
     import jax.numpy as jnp
     from xframe_tpu.library.compile_cache import enable as enable_cache
     enable_cache()  # single-core container: compiles dominate; persist them
+    # round-4 defaults: replay-mode best tracking (anchors + on-demand
+    # replay, no grid-sized best state in the scan) — measured 4.419 vs
+    # 4.493 ms/iter eager on this window; override with XF_BEST_MODE=eager
+    os.environ.setdefault("XF_BEST_MODE", "replay")
     from xframe_tpu.projects.fxs.demo import make_demo_problem
     from xframe_tpu.projects.fxs.phasing import Segment
 

@@ -315,10 +315,14 @@ class MTIP:
         import os
         self.lazy_best = os.environ.get("XF_LAZY_BEST", "0").lower() \
             not in ("0", "false", "")
-        # K2⁺ A/B knob: fold ψ_p's analysis into the projection kernel
-        # (round-2 measured it slower in COMBINATION with the K1⁺ merge;
-        # re-measured alone in round 4 — see docs/performance.md)
-        self._k2_fwd = os.environ.get("XF_FUSED_K2FWD", "0").lower() \
+        # K2⁺: fold ψ_p's analysis into the projection kernel — round-4
+        # measured it FASTER alone (4.465 vs 4.493 ms/iter; round 2b only
+        # ever measured it combined with the K1⁺ merge, which lost) —
+        # DEFAULT ON; XF_FUSED_K2FWD=0 restores the separate kernels
+        self._k2_fwd = os.environ.get("XF_FUSED_K2FWD", "1").lower() \
+            not in ("0", "false", "")
+        # K1⁺ A/B knob: ψ synthesis + |ψ|² analysis in one kernel
+        self._k1_abs2 = os.environ.get("XF_FUSED_ABS2", "0").lower() \
             not in ("0", "false", "")
         # best-state tracking strategy for the fused pipeline:
         #   eager  — per-iteration XLA select (round-3 default)
@@ -589,12 +593,14 @@ class MTIP:
         ft = self.ft
         c0 = ft._analysis(rho_in)
         cf = ft.hankel.forward(c0)
-        # separate kernels measure FASTER than the merged K1⁺/K2⁺ variants
-        # (0.00575 vs 0.00600 s/iter — the merged kernels' second table set
-        # costs more in scheduling than the saved ψ/ψ_p passes; see
-        # docs/performance.md)
-        psi = ft._synthesis(cf)
-        Ilm = self.sht.forward_real_abs2(psi)
+        # round-2b measured the merged K1⁺/K2⁺ variants slower IN COMBINATION
+        # (0.00600 vs 0.00575); round 4 re-measures each alone on the leaner
+        # pipeline (XF_FUSED_ABS2 / XF_FUSED_K2FWD; see docs/performance.md)
+        if self._k1_abs2:
+            psi, Ilm = self._fi.synthesize_abs2(cf)
+        else:
+            psi = ft._synthesis(cf)
+            Ilm = self.sht.forward_real_abs2(psi)
         Ilm_proj = self.rc(Ilm)
         if self._k2_fwd:
             # K2⁺: ψ_p's forward analysis fused into the projection kernel —

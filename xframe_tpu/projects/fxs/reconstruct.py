@@ -523,7 +523,7 @@ class ProjectWorker(ProjectWorkerInterface):
                     real_dtype=real_dtype, pn_estimate_in=pn_estimate_in,
                     error_config=self._error_config(opt),
                     best_mode=str(opt.main_loop.get("best_tracking",
-                                                    "eager")))
+                                                    "replay")))
         # SW_center support: cartesian grid tables for the c.o.m. shift
         from xframe_tpu.library.shapes import spherical_to_cartesian
         grid_q = spherical_grid(ft.qs, ft.sht.theta, ft.sht.phi)
