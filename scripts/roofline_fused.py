@@ -38,9 +38,21 @@ def main():
     ap.add_argument("--eager-best", action="store_true",
                     help="count the pre-r3 per-iteration XLA best-state "
                          "select instead of the in-K4 lazy tracking")
+    ap.add_argument("--best", choices=["replay", "eager", "lazy"],
+                    default="replay",
+                    help="best-state strategy to count (round-4 default: "
+                         "replay — anchors every --anchor-chunk iterations, "
+                         "no per-iteration select)")
+    ap.add_argument("--anchor-chunk", type=int, default=16)
+    ap.add_argument("--r3", action="store_true",
+                    help="count the ROUND-3 pipeline (separate K2 + psi_p "
+                         "analysis, two Hankel inverses, XLA hermitianize, "
+                         "f32 support/weight grids in K4)")
     ap.add_argument("--restarts", type=int, default=1,
                     help="restart batch the measurement was taken at")
     args = ap.parse_args()
+    if args.eager_best:
+        args.best = "eager"
 
     nq, L, nth, nph = args.nq, args.L, args.ntheta, args.nphi
     nm = 2 * L + 1                       # centered-m coefficient width
@@ -99,28 +111,54 @@ def main():
     add(f"data projection (NS{args.ns_iters} Procrustes + V.W)",
         ns_flops + bd_flops,
         2 * CPm * 3 + nl * nm * nm * 8 * 4)     # coeffs + W/M/V traffic
-    add("hermitianize c (XLA, coeff-space)", 2 * nq * nm * nl,
-        2 * CPm + 2 * CPp)
-    add("K2 synth I_new + amplitude projection",
-        2 * 2 * mpb * nq * nth * nl + 2 * 2 * R * mpb * nph + 10 * R * nph,
-        2 * CPp + T_Pp + T_Ip + 2 * GP + 2 * GP)
-    add("K1 analysis psi_p -> c",     *k1_analysis())
-    add("Hankel inverse c_rho",       *hankel())
-    add("Hankel inverse c_i (ft-stab)", *hankel())
-    add("coeff combine d (XLA)", 2 * nq * nm * nl, 3 * 2 * CPm)
+    herm_flops = 2 * 2 * mpb * mb * nq * nl     # in-kernel Ha/Hb matmuls
+    k2_core_flops = (2 * 2 * mpb * nq * nth * nl
+                     + 2 * 2 * R * mpb * nph + 10 * R * nph)
+    if args.r3:
+        add("hermitianize c (XLA, coeff-space)", 2 * nq * nm * nl,
+            2 * CPm + 2 * CPp)
+        add("K2 synth I_new + amplitude projection", k2_core_flops,
+            2 * CPp + T_Pp + T_Ip + 2 * GP + 2 * GP)
+        add("K1 analysis psi_p -> c",     *k1_analysis())
+        add("Hankel inverse c_rho",       *hankel())
+        add("Hankel inverse c_i (ft-stab)", *hankel())
+        add("coeff combine d (XLA)", 2 * nq * nm * nl, 3 * 2 * CPm)
+    else:
+        # K2+ (round 4): in-kernel hermitianize, I_new synthesis, amplitude
+        # projection, and psi_p's forward analysis in ONE pass — psi_p never
+        # exists in HBM
+        add("K2+ herm + synth + amp-proj + psi_p analysis",
+            herm_flops + k2_core_flops
+            + 4 * 2 * R * nph * mb + 2 * 2 * mb * nq * nth * nl,
+            2 * CPm + T_Pp + T_Ip + 2 * GP + T_E + T_PW + 2 * CPm)
+        add("coeff subtract e = c_p - cf (XLA, ft-stab)",
+            2 * nq * nm * nl, 6 * CPm)
+        hf, hb = hankel()
+        add("Hankel inverse (ONE, on e) + row-0 fix",
+            hf + 8 * nl * nq * nm, hb + 2 * CPm + CPm)
     k4_flops = 2 * 2 * mb * nq * nth * nl + 4 * 2 * R * mb * nph \
         + 20 * R * nph
+    sup_bytes = GP if args.r3 else GP // 4      # int8 mask (O3)
+    w_bytes = GP if args.r3 else nq * nth * 4   # separable plane (O3)
     k4_bytes = (2 * CPm + T_P + T_I + 2 * GP   # d, tables, rho_in
-                + GP + GP                       # support, weights
+                + sup_bytes + w_bytes
                 + 2 * GP)                       # rho_new out
-    if args.eager_best:
+    if args.best == "eager":
         add("K4 synthesis + constraint + HIO update", k4_flops, k4_bytes)
         add("best-state carry update (XLA select)", 0,
             3 * 2 * GP)                    # read rho_new + best, write best
-    else:
+    elif args.best == "lazy":
         # lazy best-state rides inside K4: +2 planes in (best), +2 out
         add("K4 synth + constraint + update + lazy best",
             k4_flops, k4_bytes + 4 * GP)
+    else:
+        add("K4 synthesis + constraint + HIO update", k4_flops, k4_bytes)
+        # replay best: one conditional anchor select (rho + int8 sup) per
+        # anchor chunk, amortized; the on-demand replay (<= chunk length,
+        # usually 0) happens once per run, not per iteration
+        K = args.anchor_chunk
+        add(f"anchor update / {K} iters (amortized)", 0,
+            (3 * 2 * GP + 3 * GP // 4) // K)
 
     tot_f = sum(f for _, f, _ in rows)
     tot_b = sum(b for _, _, b in rows)

@@ -68,7 +68,8 @@ def setup_home(path=None):
     """Create the home folder tree (settings/data/projects/cache)."""
     from xframe_tpu.settings import loader as settings_loader
     home = path or settings_loader.home_dir()
-    for sub in ("settings/projects", "data", "projects", "cache"):
+    for sub in ("settings/projects", "settings/experiments", "data",
+                "projects", "cache"):
         os.makedirs(os.path.join(home, sub), exist_ok=True)
     # copy the bundled tutorial settings as editable starting points
     install = settings_loader.install_dir()
@@ -82,6 +83,17 @@ def setup_home(path=None):
             if os.path.exists(src):
                 dst_dir = os.path.join(home, "settings", "projects", project,
                                        worker)
+                os.makedirs(dst_dir, exist_ok=True)
+                dst = os.path.join(dst_dir, "tutorial.yaml")
+                if not os.path.exists(dst):
+                    shutil.copy(src, dst)
+    # per-experiment tutorial settings (edited copies selected via -eset)
+    exp_root = os.path.join(install, "experiments")
+    if os.path.isdir(exp_root):
+        for exp in os.listdir(exp_root):
+            src = os.path.join(exp_root, exp, "settings", "tutorial.yaml")
+            if os.path.exists(src):
+                dst_dir = os.path.join(home, "settings", "experiments", exp)
                 os.makedirs(dst_dir, exist_ok=True)
                 dst = os.path.join(dst_dir, "tutorial.yaml")
                 if not os.path.exists(dst):

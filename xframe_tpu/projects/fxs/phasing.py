@@ -802,43 +802,64 @@ class MTIP:
             return (rho_new, z_n, z2_n), jnp.stack([err, err_rec])
 
         n = int(betas.shape[0])
-        K = self.REPLAY_ANCHOR_CHUNK
-        rho = state.rho
-        err_parts = []
-        anchors = (state.anchor_rho, state.anchor_sup, state.anchor_z,
-                   state.anchor_z2, state.anchor_start, state.anchor_len)
-        best_err = state.best_err
-        for off in range(0, n, K):
+        K = min(self.REPLAY_ANCHOR_CHUNK, n)
+
+        def chunk_body(carry, xs):
+            """One anchor chunk: K-iteration inner scan + ONE conditional
+            anchor update. An OUTER scan over chunks keeps the compiled
+            program one chunk deep — unrolling the chunks made the full
+            600-iteration tutorial program a 2.95 GB executable proto,
+            over the tunnel's AOT serialize limit."""
+            (rho, z, z2, best_err, a_rho, a_sup, a_z, a_z2, a_start,
+             a_len) = carry
+            betas_k, pos_k = xs
             entry_rho, entry_z, entry_z2 = rho, z, z2
-            sub = betas[off: off + K]
-            (rho, z, z2), errs = jax.lax.scan(body, (rho, z, z2), sub)
-            err_parts.append(errs)
+            (rho, z, z2), errs = jax.lax.scan(body, (rho, z, z2), betas_k)
             em = errs[:, 0]
             seg_arg = jnp.argmin(em)       # first occurrence = eager's pick
             seg_min = em[seg_arg]
             improved = seg_min < best_err
-            at_end = seg_arg == sub.shape[0] - 1
-            a_rho, a_sup, a_z, a_z2, a_start, a_len = anchors
-            pos_t = jnp.asarray(pos + off, dtype=jnp.int32)
-            anchors = (
-                jnp.where(improved, jnp.where(at_end, rho, entry_rho), a_rho),
+            at_end = seg_arg == betas_k.shape[0] - 1
+            carry = (
+                rho, z, z2, jnp.minimum(seg_min, best_err),
+                jnp.where(improved, jnp.where(at_end, rho, entry_rho),
+                          a_rho),
                 jnp.where(improved, sup_i8, a_sup),
                 jnp.where(improved, jnp.where(at_end, z, entry_z), a_z),
                 jnp.where(improved, jnp.where(at_end, z2, entry_z2), a_z2),
-                jnp.where(improved, pos_t, a_start),
+                jnp.where(improved, pos_k, a_start),
                 jnp.where(improved,
                           jnp.where(at_end, 0,
                                     (seg_arg + 1).astype(jnp.int32)),
                           a_len).astype(jnp.int32),
             )
-            best_err = jnp.minimum(seg_min, best_err)
+            return carry, errs
+
+        carry = (state.rho, z, z2, state.best_err, state.anchor_rho,
+                 state.anchor_sup, state.anchor_z, state.anchor_z2,
+                 state.anchor_start, state.anchor_len)
+        n_main = (n // K) * K
+        err_parts = []
+        if n_main:
+            xs = (betas[:n_main].reshape(n_main // K, K),
+                  (jnp.asarray(pos, jnp.int32)
+                   + K * jnp.arange(n_main // K, dtype=jnp.int32)))
+            carry, errs_main = jax.lax.scan(chunk_body, carry, xs)
+            err_parts.append(errs_main.reshape(n_main, -1))
+        if n % K:
+            carry, errs_tail = chunk_body(
+                carry, (betas[n_main:],
+                        jnp.asarray(pos + n_main, jnp.int32)))
+            err_parts.append(errs_tail)
         errs = jnp.concatenate(err_parts) if len(err_parts) > 1 \
             else err_parts[0]
+        (rho, _, _, best_err, a_rho, a_sup, a_z, a_z2, a_start,
+         a_len) = carry
         return state._replace(
             rho=rho, best_err=best_err, last_err=errs[-1, 0],
-            anchor_rho=anchors[0], anchor_sup=anchors[1],
-            anchor_z=anchors[2], anchor_z2=anchors[3],
-            anchor_start=anchors[4], anchor_len=anchors[5]), errs
+            anchor_rho=a_rho, anchor_sup=a_sup,
+            anchor_z=a_z, anchor_z2=a_z2,
+            anchor_start=a_start, anchor_len=a_len), errs
 
     # -------------------------------------------------------------- segments
     def _run_segment(self, state: PhasingState, seg: Segment, betas=None,
