@@ -115,11 +115,14 @@ class ProjectWorker(ProjectWorkerInterface):
         # Hankel weights through the shared disk cache (reference
         # fourier_transforms.py:17-35 caches them keyed by N/L/rc/mode;
         # generation is ~47 s host-side at the tutorial's N=512, L=128).
-        # fused Pallas SHT kernels: at simulation scale the monolithic XLA
-        # SHT program was the COLD-COMPILE hog (VERDICT r3 #6) — the Pallas
-        # kernels compile in seconds and run the same math
+        # fused_sht stays OFF here by default: measured on the chip
+        # (docs/performance.md round-4), the Pallas intensity program costs
+        # ~740-1000 s on EVERY run at N=512/L=128 — the axon AOT path of
+        # Mosaic custom calls is not served by the persistent compilation
+        # cache, while the plain-XLA program is cached across processes
+        # (one-shot compile-dominated workers want the cacheable program)
         from xframe_tpu.projects.fxs.reconstruct import load_cached_weights
-        use_fused = bool(opt.fourier_transform.get("fused_sht", True))
+        use_fused = bool(opt.fourier_transform.get("fused_sht", False))
         with Timer("weights+transforms", report=xprint) as _:
             ft = SphericalFourierTransform(
                 N, L, q_max=q_max, mode=mode, reciprocity_coefficient=rc,
