@@ -105,6 +105,42 @@ class TestFourier3D:
         assert psi.shape == rho.shape and np.isfinite(np.asarray(psi)).all()
 
 
+class TestSphericalBesselAllOrders:
+    def test_matches_scipy_everywhere(self):
+        """spherical_jn_all (shared-recurrence j_l, the cold-start weight
+        builder) vs scipy's per-(l,z) ufunc: absolute agreement at the
+        1e-13·column-max level across the zero/tiny/turning-point/
+        oscillatory regimes both recurrence branches cover."""
+        from scipy.special import spherical_jn
+        from xframe_tpu.ops.hankel import spherical_jn_all
+        rng = np.random.default_rng(7)
+        z = np.concatenate([
+            np.array([0.0, 1e-12, 1e-6, 1e-3, 0.5, np.pi, 2 * np.pi]),
+            rng.uniform(0.0, 140.0, 400),      # Miller downward branch
+            rng.uniform(140.0, 2500.0, 400),   # upward branch
+        ])
+        for L in (0, 1, 5, 64, 128):
+            got = spherical_jn_all(L, z)
+            ref = spherical_jn(np.arange(L + 1)[:, None], z[None, :])
+            colmax = np.maximum(np.abs(ref).max(axis=0), 1e-300)
+            assert np.abs(got - ref).max(axis=0).max() < 1e-13 * colmax.max()
+            assert (np.abs(got - ref).max(axis=0) < 1e-12 * colmax).all()
+
+    def test_weight_tables_unchanged(self):
+        """The assembled midpoint weight tables equal a direct scipy build
+        (regression for the recurrence swap in _spherical_weights)."""
+        from scipy.special import spherical_jn
+        from xframe_tpu.ops.hankel import _spherical_weights
+        N, L, rc = 48, 12, np.pi
+        w, _ = _spherical_weights("midpoint", L, N, rc)
+        ps = np.arange(N) + 0.5
+        ks = np.arange(N) + 0.5
+        arg = ks[None, :] * ps[:, None] * rc / N
+        ref = ps[None, :, None] ** 2 * spherical_jn(
+            np.arange(L + 1)[:, None, None], arg[None])
+        assert np.abs(w - ref).max() < 1e-12 * np.abs(ref).max()
+
+
 class TestFourier2D:
     def test_gaussian_analytic(self):
         N, M = 64, 8

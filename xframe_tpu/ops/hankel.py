@@ -22,11 +22,78 @@ from __future__ import annotations
 
 import numpy as np
 import jax.numpy as jnp
-from scipy.special import spherical_jn, jv, eval_jacobi
+from scipy.special import jv, eval_jacobi
 
 from xframe_tpu.library.legendre import gauss_legendre
 
 HT_MODES = ('trapz', 'Zernike', 'midpoint', 'gauss')
+
+
+def spherical_jn_all(l_max: int, z: np.ndarray) -> np.ndarray:
+    """j_l(z) for every l = 0..l_max at once, vectorized over z (float64).
+
+    scipy's `spherical_jn` ufunc re-runs its internal recurrence for every
+    (l, z) pair — O(l_max²·n_z); at the simulation worker's N=512, L=128
+    weight table that alone is ~80 s of host time (the cold-start hog,
+    docs/performance.md). One recurrence shared by all orders is
+    O(l_max·n_z): upward j_{l+1} = (2l+1)/z·j_l − j_{l-1} where it is
+    stable (z > l for every needed l), Miller's downward recurrence for the
+    remaining small-z points (seed above l_max, recur down, normalize
+    against j_0 = sin z / z — or j_1 near a zero of j_0), rescaling the
+    already-stored tail whenever the unnormalized values approach overflow
+    at tiny z. → shape (l_max+1,) + z.shape."""
+    z = np.asarray(z, dtype=np.float64)
+    zf = z.ravel()
+    out = np.empty((l_max + 1, zf.size), dtype=np.float64)
+    up = zf > l_max + 12
+    dn = ~up
+
+    zu = zf[up]
+    if zu.size:
+        jm1 = np.sin(zu) / zu
+        out[0, up] = jm1
+        if l_max >= 1:
+            jl = jm1 / zu - np.cos(zu) / zu
+            out[1, up] = jl
+            for l in range(1, l_max):
+                jm1, jl = jl, (2 * l + 1) / zu * jl - jm1
+                out[l + 1, up] = jl
+
+    zd = zf[dn]
+    if zd.size:
+        zero = zd == 0.0
+        zs = np.where(zero, 1.0, zd)
+        # start offset: ~c·z^(1/3) covers the turning-point region; z here
+        # is at most l_max+12 so a flat sqrt-based margin is generous
+        l_start = l_max + 16 + int(np.ceil(np.sqrt(40.0 * (l_max + 1))))
+        sub = np.zeros((l_max + 1, zd.size))
+        jp1 = np.zeros(zd.size)
+        jl = np.full(zd.size, 1e-30)
+        for l in range(l_start, 0, -1):
+            if l <= l_max:
+                sub[l] = jl
+            jp1, jl = jl, (2 * l + 1) / zs * jl - jp1
+            big = np.abs(jl) > 1e250
+            if big.any():
+                jl[big] *= 1e-250
+                jp1[big] *= 1e-250
+                sub[:, big] *= 1e-250
+        sub[0] = jl
+        j0 = np.where(zero, 1.0, np.sin(zs) / zs)
+        if l_max >= 1:
+            j1 = j0 / zs - np.cos(zs) / zs
+            pick1 = np.abs(sub[1]) > np.abs(sub[0])
+            denom = np.where(pick1, sub[1], sub[0])
+            numer = np.where(pick1, j1, j0)
+        else:
+            denom, numer = sub[0], j0
+        sub *= numer / np.where(denom == 0.0, 1.0, denom)
+        if zero.any():
+            sub[:, zero] = 0.0
+            sub[0, zero] = 1.0
+        out[:, dn] = sub
+
+    return out.reshape((l_max + 1,) + z.shape)
 
 
 def zernike_radial(l: int, s_values: np.ndarray, x: np.ndarray,
@@ -73,18 +140,17 @@ def radial_grids(mode: str, q_max: float, n_points: int, reciprocity_coefficient
 
 # ------------------------------------------------------------- raw weights (host)
 def _spherical_weights(mode, l_max, N, rc):
-    ls = np.arange(l_max + 1)
     if mode == 'midpoint':
         ps = np.arange(N) + 0.5
         ks = np.arange(N) + 0.5
         arg = ks[None, :] * ps[:, None] * rc / N          # (p,k)
-        j = spherical_jn(ls[:, None, None], arg[None])     # (l,p,k)
+        j = spherical_jn_all(l_max, arg)                   # (l,p,k)
         return ps[None, :, None] ** 2 * j, None
     if mode == 'trapz':
         ps = np.arange(1, N)
         ks = np.arange(N)
         arg = ks[None, :] * ps[:, None] * rc / N
-        j = spherical_jn(ls[:, None, None], arg[None])
+        j = spherical_jn_all(l_max, arg)
         return ps[None, :, None] ** 2 * j, None
     if mode == 'Zernike':
         return _zernike_weights(l_max, N, rc, dimensions=3), None
@@ -92,7 +158,7 @@ def _spherical_weights(mode, l_max, N, rc):
         x, wg = gauss_legendre(N)
         ps = x + 1
         arg = ps[None, :] * ps[:, None] * rc * N / 4
-        j = spherical_jn(ls[:, None, None], arg[None])
+        j = spherical_jn_all(l_max, arg)
         return ps[None, :, None] ** 2 * j * wg[None, :, None], None
     raise ValueError(mode)
 
@@ -113,12 +179,13 @@ def _zernike_weights(max_order, N, rc, dimensions, expansion_limit=None):
     ps = np.arange(1, N)
     ks = np.arange(N)
     out = np.zeros((max_order + 1, N - 1, N))
+    j_all = (spherical_jn_all(expansion_limit + 1, ks[1:] * rc)
+             if dimensions == 3 else None)
     for l in range(max_order + 1):
         s = np.arange(l, expansion_limit + 1, 2)
         if dimensions == 3:
             pref = (-1.0) ** ((s - l) / 2) * (2 * s + 3)
-            B = spherical_jn(np.repeat((s + 1)[:, None], N - 1, axis=1),
-                             ks[1:] * rc)
+            B = j_all[s + 1]
         else:
             pref = (-1.0) ** ((s - l) / 2) * (2 * s + 2)
             B = jv((s + 1)[:, None], ks[1:][None, :] * rc)

@@ -116,9 +116,12 @@ def _inv_real_project_kernel(n_theta, n_phi, m_blk, eps,
     ppim_ref[:] = ppi
     dre = pr - ppr
     dim_ = pi - ppi
-    w = w_ref[:][:, :, None]
-    num = jnp.sum(w * (dre * dre + dim_ * dim_))
-    den = jnp.sum(w * inten)
+    # w ships as (q_b, 1, nθ) — rows out of the sublane dim so the block is
+    # legal for ANY q_b (production VMEM plans pick q_b ∤ 8); reduce φ
+    # (lanes) first, then weight the (q_b, nθ) partial
+    w = w_ref[:][:, 0, :]
+    num = jnp.sum(w * jnp.sum(dre * dre + dim_ * dim_, axis=2))
+    den = jnp.sum(w * jnp.sum(inten, axis=2))
     part_ref[:] = _scatter_scalars([num, den])[None]
 
 
@@ -170,9 +173,9 @@ def _inv_real_project_fwd_kernel(n_theta, n_phi, mp_blk, m_blk, eps,
     ppi = pi * s
     dre = pr - ppr
     dim_ = pi - ppi
-    w = w_ref[:][:, :, None]
-    num = jnp.sum(w * (dre * dre + dim_ * dim_))
-    den = jnp.sum(w * inten)
+    w = w_ref[:][:, 0, :]                 # (q_b, 1, nθ) plane, see K2 kernel
+    num = jnp.sum(w * jnp.sum(dre * dre + dim_ * dim_, axis=2))
+    den = jnp.sum(w * jnp.sum(inten, axis=2))
     part_ref[:] = _scatter_scalars([num, den])[None]
     # forward analysis of ψ_p (full centered-m): φ-DFT + Legendre quadrature
     a_re = ppr.reshape(q_b * n_theta, n_phi)
@@ -317,12 +320,19 @@ def _synth_update_kernel(n_theta, n_phi, m_blk, q_b,
             invalid = invalid | m
     if assert_real:
         outi = jnp.zeros_like(outi)
-    # real-error partials (fxs_IO_methods.py:97-129)
-    w = w_ref[:][:, :, None] if w_plane else w_ref[:]
+    # real-error partials (fxs_IO_methods.py:97-129); the θ-weight plane
+    # ships as (q_b, 1, nθ) so the block is legal for any q_b — reduce φ
+    # (lanes) first, then weight the (q_b, nθ) partial
+    if w_plane:
+        wp = w_ref[:][:, 0, :]
+        wsum = lambda x: jnp.sum(wp * jnp.sum(x, axis=2))
+    else:
+        w3 = w_ref[:]
+        wsum = lambda x: jnp.sum(w3 * x)
     dre = rp_re - outr
     dim_ = rp_im - outi
-    num = jnp.sum(w * (dre * dre + dim_ * dim_))
-    den = jnp.sum(w * (rp_re * rp_re + rp_im * rp_im))
+    num = wsum(dre * dre + dim_ * dim_)
+    den = wsum(rp_re * rp_re + rp_im * rp_im)
     if method == "HIO":
         newr = jnp.where(invalid, rinr - beta * (rp_re - outr), outr)
         newi = jnp.where(invalid, rini - beta * (rp_im - outi), outi)
@@ -336,10 +346,10 @@ def _synth_update_kernel(n_theta, n_phi, m_blk, q_b,
     nre_ref[:] = newr
     nim_ref[:] = newi
     # next iteration's phase-anchor statistics: z = Σwρ², z2 = Σwρ
-    zr = jnp.sum(w * (newr * newr - newi * newi))
-    zi = jnp.sum(w * (2.0 * newr * newi))
-    z2r = jnp.sum(w * newr)
-    z2i = jnp.sum(w * newi)
+    zr = wsum(newr * newr - newi * newi)
+    zi = wsum(2.0 * newr * newi)
+    z2r = wsum(newr)
+    z2i = wsum(newi)
     part_ref[:] = _scatter_scalars([num, den, zr, zi, z2r, z2i])[None]
 
 
@@ -436,14 +446,16 @@ class FusedIteration:
         return arrs, rows
 
     def _w_rec_rows(self, lead, rows, nt):
-        """(rows, n_theta) f32 weight plane for the K2 error partials: the
+        """(rows, 1, n_theta) f32 weight plane for the K2 error partials: the
         reciprocal-grid weights broadcast over any leading batch axes, or
         all-ones when unweighted. Zero row padding (below) keeps padded rows
-        out of the sums."""
+        out of the sums. The unit middle axis keeps the q rows OUT of the
+        Mosaic sublane dim: a (q_b, 1, nθ) block's trailing dims are full,
+        so any q_b (production plans pick q_b ∤ 8) is a legal block."""
         if self._w_rec is None:
-            return jnp.ones((rows, nt), jnp.float32)
+            return jnp.ones((rows, 1, nt), jnp.float32)
         return jnp.broadcast_to(jnp.asarray(self._w_rec),
-                                lead + (nt,)).reshape(rows, nt)
+                                lead + (nt,)).reshape(rows, 1, nt)
 
     def _coeff_planes(self, c):
         """complex (..., n_m, L+1) → zero-padded f32 planes (rows, m_pad, L+1)."""
@@ -488,7 +500,7 @@ class FusedIteration:
                               memory_space=pltpu.VMEM)
         blk_g = pl.BlockSpec((qb, nt, nph), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
-        blk_w = pl.BlockSpec((qb, nt), lambda i: (i, 0),
+        blk_w = pl.BlockSpec((qb, 1, nt), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
         part_spec = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
                                  memory_space=pltpu.VMEM)
@@ -608,7 +620,7 @@ class FusedIteration:
                               memory_space=pltpu.VMEM)
         part_spec = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
                                  memory_space=pltpu.VMEM)
-        blk_w = pl.BlockSpec((qb, nt), lambda i: (i, 0),
+        blk_w = pl.BlockSpec((qb, 1, nt), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
         oc_re, oc_im, parts = pl.pallas_call(
             kern,
@@ -683,7 +695,7 @@ class FusedIteration:
         w_plane = int(w.shape[-1]) == nt
         if w_plane:
             w_r = jnp.broadcast_to(w.astype(jnp.float32),
-                                   lead + (nt,)).reshape(rows, nt)
+                                   lead + (nt,)).reshape(rows, 1, nt)
         else:
             w_r = w.reshape((rows, nt, nph)).astype(jnp.float32)
         pads = [d_re, d_im, rin_re, rin_im, sup, w_r]
@@ -716,7 +728,7 @@ class FusedIteration:
                               memory_space=pltpu.VMEM)
         blk_g = pl.BlockSpec((qb, nt, nph), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
-        blk_w = pl.BlockSpec((qb, nt), lambda i: (i, 0),
+        blk_w = pl.BlockSpec((qb, 1, nt), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM) if w_plane else blk_g
         scal_spec = pl.BlockSpec((1, 8, 128), lambda i: (0, 0, 0),
                                  memory_space=pltpu.VMEM)
