@@ -167,3 +167,67 @@ def test_construct_grid_uniform_dependent():
                         grid_type="uniform_dependent")
     assert g2.shape == (2, 3, 2)
     assert np.allclose(g2[:, :, 1], [[5, 6, 7], [5, 6, 7]])
+
+
+class TestDeviceDensityFromShapes:
+    """Device (broadcast-fused jnp) vs host (numpy grid) shape densities:
+    identical masks for every analytic builder, including seeded random
+    orientations — the rng draw order matches between the two paths."""
+
+    def _opts(self):
+        # sizes avoid landing grid points EXACTLY on a mask boundary
+        # (rs has a point at r=6.0; radius 6.0 would leave the inequality
+        # to f32 rounding order, which legitimately differs between paths)
+        return {"types": ["sphere", "cube", "tetrahedron"],
+                "centers": [[0, 0, 0], [7.0, 1.1, 0.4], [5.0, 2.0, 3.0]],
+                "sizes": [6.2, 5.0, 8.0],
+                "densities": [1.0, 0.5, 0.25],
+                "random_orientation": [False, True, True]}
+
+    def test_3d_parity(self):
+        from xframe_tpu.library.shapes import spherical_grid
+        from xframe_tpu.projects.fxs.simulate_ccd import (
+            build_density_from_shapes, device_density_from_shapes)
+        rs = np.linspace(0, 12, 17)
+        thetas = np.linspace(0.05, np.pi - 0.05, 9)
+        phis = np.linspace(0, 2 * np.pi, 16, endpoint=False)
+        opts = self._opts()
+        host = build_density_from_shapes(
+            spherical_grid(rs, thetas, phis), opts,
+            rng=np.random.default_rng(3))
+        dev = np.asarray(device_density_from_shapes(
+            (rs, thetas, phis), opts, rng=np.random.default_rng(3)))
+        # identical binary masks except within float32 distance of a shape
+        # boundary (host masks cut in float64)
+        disagree = np.abs(host - dev) > 1e-6
+        assert disagree.mean() < 5e-3
+        assert np.abs(host - dev).max() <= 1.0 + 1e-6
+
+    def test_3d_exact_without_rotation(self):
+        from xframe_tpu.library.shapes import spherical_grid
+        from xframe_tpu.projects.fxs.simulate_ccd import (
+            build_density_from_shapes, device_density_from_shapes)
+        rs = np.linspace(0, 12, 15)
+        thetas = np.linspace(0.1, np.pi - 0.1, 8)
+        phis = np.linspace(0, 2 * np.pi, 12, endpoint=False)
+        opts = {"types": ["sphere", "cube"],
+                "centers": [[0, 0, 0], [6.0, 1.0, 0.5]],
+                "sizes": [5.5, 4.0], "densities": [1.0, 0.5]}
+        host = build_density_from_shapes(spherical_grid(rs, thetas, phis),
+                                         opts)
+        dev = np.asarray(device_density_from_shapes((rs, thetas, phis),
+                                                    opts))
+        assert np.abs(host - dev).max() < 1e-6
+
+    def test_2d_parity(self):
+        from xframe_tpu.library.shapes import polar_grid
+        from xframe_tpu.projects.fxs.simulate_ccd import (
+            build_density_from_shapes, device_density_from_shapes)
+        rs = np.linspace(0, 10, 21)
+        phis = np.linspace(0, 2 * np.pi, 24, endpoint=False)
+        opts = {"types": ["sphere", "cube"],
+                "centers": [[0, 0, 0], [4.0, 0, 1.0]],  # 3-coord default OK
+                "sizes": [4.2, 3.1], "densities": [1.0, 2.0]}
+        host = build_density_from_shapes(polar_grid(rs, phis), opts)
+        dev = np.asarray(device_density_from_shapes((rs, phis), opts))
+        assert np.abs(host - dev).max() < 1e-6

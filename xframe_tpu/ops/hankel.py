@@ -248,12 +248,18 @@ def generate_weights(max_order: int, n_radial_points: int,
 
 
 def assemble_weights(weights: np.ndarray, r_max: float,
-                     reciprocity_coefficient: float, dimensions: int, mode: str):
+                     reciprocity_coefficient: float, dimensions: int,
+                     mode: str, dtype=np.complex128):
     """Apply forward/inverse prefactors; reorder to (k_sum, p_out, order).
 
     Matches assemble_weights_* (hankel_transforms.py:349-535): 3D prefactors
     (∓i)^l·c_fwd/inv·√(2/π); 2D extends to negative m via w_{-m}=(-1)^m w_m.
-    """
+    `dtype`: target complex dtype of the tables. Passing complex64 builds
+    the f32 tables directly — at simulation grids the raw weights are a
+    270 MB f64 cube, and the complex128-then-cast route costs ~20 s of
+    host time and >1 GB of transient allocation per transform."""
+    rdtype = np.float32 if np.dtype(dtype) == np.complex64 else np.float64
+    weights = np.asarray(weights, dtype=rdtype)
     n_radial_points = weights.shape[-1]
     q_max = reciprocity_relation(r_max, n_radial_points, reciprocity_coefficient)
     if mode == 'gauss':
@@ -277,8 +283,8 @@ def assemble_weights(weights: np.ndarray, r_max: float,
             (weights, (-1.0) ** pos[:0:-1, None, None] * weights[:0:-1]), axis=0)
 
     w = np.moveaxis(weights, 0, 2)  # (p_sum, k_out, order)
-    return {'forward': w * fwd_pref[None, None, :],
-            'inverse': w * inv_pref[None, None, :],
+    return {'forward': w * fwd_pref[None, None, :].astype(dtype),
+            'inverse': w * inv_pref[None, None, :].astype(dtype),
             'mode': mode}
 
 
@@ -293,9 +299,9 @@ class SphericalHankelTransform:
     def __init__(self, weights_dict: dict, r_max: float,
                  reciprocity_coefficient: float = np.pi, real_dtype=jnp.float32):
         mode = weights_dict['mode']
-        w = assemble_weights(np.asarray(weights_dict['weights']), r_max,
-                             reciprocity_coefficient, 3, mode)
         cdtype = np.complex64 if real_dtype == jnp.float32 else np.complex128
+        w = assemble_weights(np.asarray(weights_dict['weights']), r_max,
+                             reciprocity_coefficient, 3, mode, dtype=cdtype)
         self.mode = mode
         self.skip_zero = mode in ('trapz', 'Zernike')
         # host numpy: embedded as jit constants without device readback
@@ -333,9 +339,9 @@ class PolarHankelTransform:
     def __init__(self, weights_dict: dict, r_max: float,
                  reciprocity_coefficient: float = np.pi, real_dtype=jnp.float32):
         mode = weights_dict['mode']
-        w = assemble_weights(np.asarray(weights_dict['weights']), r_max,
-                             reciprocity_coefficient, 2, mode)
         cdtype = np.complex64 if real_dtype == jnp.float32 else np.complex128
+        w = assemble_weights(np.asarray(weights_dict['weights']), r_max,
+                             reciprocity_coefficient, 2, mode, dtype=cdtype)
         self.mode = mode
         self.skip_zero = mode in ('trapz', 'Zernike')
         self._wf = np.asarray(w['forward'], dtype=cdtype)   # (k_sum, p_out, n_m)

@@ -19,6 +19,96 @@ from xframe_tpu.projects.fxs import invariants as itools
 from xframe_tpu.projects.fxs._database_ import ProjectDB
 
 
+def _shape_specs(shapes_opt, grid_dim, rng=None):
+    """Normalize the shapes settings block to per-shape host constants:
+    (type, cartesian center, size, amplitude, rotation|None). The rotation
+    draws consume the SAME rng stream in the same order as the numpy
+    builders, so host and device paths agree bit-for-bit on seeds."""
+    from scipy.stats import special_ortho_group
+    from xframe_tpu.library.shapes import spherical_to_cartesian
+    types = list(shapes_opt["types"])
+    centers = list(shapes_opt["centers"])
+    sizes = list(shapes_opt["sizes"])
+    amplitudes = list(shapes_opt["densities"])
+    randoms = list(shapes_opt.get("random_orientation", [False] * len(types)))
+    specs = []
+    for typ, center, size, amp, rnd in zip(types, centers, sizes, amplitudes,
+                                           randoms):
+        center = np.asarray(center, dtype=float)
+        if grid_dim == 2 and center.size == 3:
+            center = center[[0, 2]]
+        elif center.size != grid_dim:
+            raise ValueError(
+                f"shape center {center.tolist()} has {center.size} "
+                f"coordinates but the {grid_dim}D grid expects {grid_dim} "
+                f"({'r, phi' if grid_dim == 2 else 'r, theta, phi'})")
+        rot = None
+        if rnd:
+            r = rng or np.random.default_rng()
+            rot = special_ortho_group.rvs(grid_dim, random_state=r)
+        specs.append((str(typ), spherical_to_cartesian(center),
+                      float(np.asarray(size).ravel()[0]), float(amp), rot))
+    return specs
+
+
+def device_density_from_shapes(axes, shapes_opt, rng=None):
+    """Superpose the configured shapes directly ON DEVICE from the 1D grid
+    axes — the cartesian coordinates are broadcast expressions XLA fuses
+    into the mask evaluation, so the 67M-point cartesian grid the host
+    builder materializes (the simulate_ccd wall-clock hog: 200-280 s of
+    single-core numpy trig at the tutorial's 512x258x512 grid) never exists.
+    axes: (rs, thetas, phis) for 3D or (rs, phis) for polar 2D. Returns a
+    float32 device array; shape semantics identical to
+    build_density_from_shapes (reference simulate_ccd.py:92-123 +
+    mathLibrary SampleShapeFunctions:103-320)."""
+    import jax
+    from xframe_tpu.library.shapes import _tetrahedron_planes
+    dim = len(axes)
+    specs = _shape_specs(shapes_opt, dim, rng)
+    axes = tuple(np.asarray(a, dtype=np.float32) for a in axes)
+
+    @jax.jit
+    def build(*ax):
+        if dim == 3:
+            rs, th, ph = ax
+            r = rs[:, None, None]
+            sin_t, cos_t = jnp.sin(th)[None, :, None], jnp.cos(th)[None, :, None]
+            cos_p, sin_p = jnp.cos(ph)[None, None, :], jnp.sin(ph)[None, None, :]
+            coords = (r * sin_t * cos_p, r * sin_t * sin_p,
+                      jnp.broadcast_to(r * cos_t, (rs.size, th.size, ph.size)))
+        else:
+            rs, ph = ax
+            r = rs[:, None]
+            coords = (r * jnp.cos(ph)[None, :], r * jnp.sin(ph)[None, :])
+        shape = coords[0].shape
+        density = jnp.zeros(shape, jnp.float32)
+        for typ, center, size, amp, rot in specs:
+            c = [x - jnp.float32(cc) for x, cc in zip(coords, center)]
+            if rot is not None:
+                # numpy path applies cart @ rot: out_j = sum_i c_i rot[i, j]
+                c = [sum(c[i] * jnp.float32(rot[i, j]) for i in range(dim))
+                     for j in range(dim)]
+            if typ in ("sphere", "ball"):
+                mask = sum(x * x for x in c) < jnp.float32(size * size)
+            elif typ == "cube":
+                half = jnp.float32(size / 2)
+                mask = jnp.ones(shape, bool)
+                for x in c:
+                    mask &= jnp.abs(x) < half
+            elif typ == "tetrahedron":
+                mask = jnp.ones(shape, bool)
+                for base, normal in _tetrahedron_planes(size):
+                    d = jnp.float32(base @ normal) - sum(
+                        x * jnp.float32(n) for x, n in zip(c, normal))
+                    mask &= d >= 0
+            else:
+                raise ValueError(f"unknown shape type {typ!r}")
+            density = density + jnp.where(mask, jnp.float32(amp), 0.0)
+        return density
+
+    return build(*axes)
+
+
 def build_density_from_shapes(grid, shapes_opt, rng=None):
     """Superpose the configured shapes on a (r,θ,φ) or (r,φ) grid; a 'pdb'
     entry smears a deposited structure onto the grid (library.pdb)."""
@@ -83,17 +173,20 @@ class ProjectWorker(ProjectWorkerInterface):
                 import os
                 from xframe_tpu.io import vtk as vtk_io
                 density, (rs, thetas, phis) = self._model
-                density = np.asarray(density)
                 # cap the viz artifact: at the tutorial's 512×256×512 grid a
                 # full-resolution .vts is ~1.4 GB of base64 and minutes of
                 # host time; stride each axis down to ~max_points total
-                # (IO.files.ccd.options.model_vtk_max_points, 0 = full)
+                # (IO.files.ccd.options.model_vtk_max_points, 0 = full).
+                # Stride BEFORE readback — the model may be device-resident
+                # (device_density_from_shapes) and the strided subset is
+                # ~8 MB vs 268 MB over the tunnel.
                 cap = int(self.db._io_option("ccd", "model_vtk_max_points",
                                              2_000_000) or 0)
                 if cap and density.size > cap:
                     s = int(np.ceil((density.size / cap) ** (1 / 3)))
                     density = density[::s, ::s, ::s]
                     rs, thetas, phis = rs[::s], thetas[::s], phis[::s]
+                density = np.asarray(to_host(density))
                 vtk_io.save_spherical(
                     os.path.join(os.path.dirname(path), "model_density.vts"),
                     rs, thetas, phis, {"density": density})
@@ -130,16 +223,29 @@ class ProjectWorker(ProjectWorkerInterface):
                 n_theta=int(opt.grid.get("n_theta", 0) or 0) or None,
                 n_phi=int(opt.grid.get("n_phi_internal", 0) or 0) or None,
                 fused_sht=use_fused)
-        grid = spherical_grid(ft.rs, ft.sht.theta, ft.sht.phi)
+        import jax
         with Timer("density from shapes", report=xprint):
-            density = build_density_from_shapes(grid, opt.shapes)
+            if str(opt.shapes.get("types", [""])[0]) == "pdb":
+                # deposited-structure smearing is host-side (library.pdb);
+                # only this path needs the materialized spherical grid
+                grid = spherical_grid(ft.rs, ft.sht.theta, ft.sht.phi)
+                density = build_density_from_shapes(grid, opt.shapes)
+            else:
+                # analytic shapes evaluate on device from the 1D axes —
+                # the host path's 200-280 s of single-core trig over the
+                # 67M-point grid becomes one fused elementwise program
+                density = device_density_from_shapes(
+                    (ft.rs, ft.sht.theta, ft.sht.phi), opt.shapes)
+                jax.block_until_ready(density)
         self._model = (density, (ft.rs, ft.sht.theta, ft.sht.phi))
 
         # one jitted program: density → intensity coefficients. The Hankel
         # weights enter as ARGUMENTS, not constants — at simulation grids
         # (N=512, L=128 ⇒ 270 MB table) embedded constants exceed the axon
-        # tunnel's compile-payload limit (hankel.weight_planes).
-        import jax
+        # tunnel's compile-payload limit (hankel.weight_planes). The density
+        # is already device-resident; coeff/B_l stay on device too — only the
+        # final CC grid, one intensity column, and the (strided) model come
+        # back over the tunnel.
         from xframe_tpu.ops.hankel import weight_planes, apply_hankel_planes
 
         (wf_re, wf_im), _ = weight_planes(ft.hankel)
@@ -157,30 +263,29 @@ class ProjectWorker(ProjectWorkerInterface):
             return ft.sht.forward_real((psi * psi.conj()).real)
 
         with Timer("intensity coefficients (incl. compile)", report=xprint):
-            coeff = to_host(intensity_coeff(
-                np.asarray(density, dtype=np.float32), wf_re, wf_im))
+            coeff = intensity_coeff(
+                density.astype(jnp.float32) if hasattr(density, "astype")
+                else np.asarray(density, dtype=np.float32), wf_re, wf_im)
+            jax.block_until_ready(coeff)
         # B_l = I_l I_l† on device (O(L·n_q²·n_m) — minutes in numpy at
-        # production grids, sub-second on the MXU)
-        import jax
+        # production grids, sub-second on the MXU), with the Friedel
+        # odd-order kill (symmetry of |F|² makes them exactly 0) and the
+        # N-dilute-particle scaling (every B_l scales by N, the l=0
+        # mean-intensity invariant by N²; reference simulate_ccd.py:208-213
+        # `bl*=N; bl[0]*=N`) folded into the same program
+        n_part = float(opt.get("n_particles", 1) or 1)
 
         @jax.jit
-        def bl_from_coeff(c_re, c_im):
-            c = c_re + 1j * c_im
-            return jnp.einsum("qml,pml->lqp", c, c.conj()).real
+        def bl_from_coeff(c):
+            bl = jnp.einsum("qml,pml->lqp", c, c.conj()).real
+            ls = jnp.arange(bl.shape[0])
+            scale = jnp.where(ls == 0, n_part * n_part,
+                              jnp.where(ls % 2 == 1, 0.0, n_part))
+            return bl * scale[:, None, None].astype(bl.dtype)
 
         with Timer("B_l from coefficients (incl. compile)", report=xprint):
-            bl = to_host(bl_from_coeff(
-                np.ascontiguousarray(coeff.real, dtype=np.float32),
-                np.ascontiguousarray(coeff.imag, dtype=np.float32))
-            ).astype(complex)
-        # Friedel symmetry of |F|² kills odd orders exactly; enforce
-        bl[1::2] = 0
-        # N dilute identical particles: every B_l scales by N and the
-        # l=0 (mean-intensity) invariant by N² (reference
-        # simulate_ccd.py:208-213 `bl*=N; bl[0]*=N`)
-        n_part = float(opt.get("n_particles", 1) or 1)
-        bl *= n_part
-        bl[0] *= n_part
+            bl = bl_from_coeff(coeff)
+            jax.block_until_ready(bl)
 
         n_phi = int(opt.grid.get("n_phi") or 0)
         if n_phi <= 0:
@@ -191,7 +296,8 @@ class ProjectWorker(ProjectWorkerInterface):
         cc = self._apply_noise(cc, opt)
         # angular mean of the intensity: a(q) = I_00(q)·Y_00 = I_00/(2√π);
         # consistent with the scaled invariants: √(diag B_0·N²) = N·a(q)
-        avg_intensity = n_part * coeff[:, L, 0].real / (2 * np.sqrt(np.pi))
+        avg_intensity = n_part * np.asarray(
+            to_host(coeff[:, L, 0])).real / (2 * np.sqrt(np.pi))
         return {
             "dimensions": 3,
             "radial_points": ft.qs,
@@ -218,10 +324,21 @@ class ProjectWorker(ProjectWorkerInterface):
         return 0.5 * (noisy + np.swapaxes(noisy, 0, 1))
 
     def _synthesize_cc_device(self, bl, wavelength, qs, n_phi):
-        """C_n = Σ_l B_l · P̄ⁿ_l(θ1)P̄ⁿ_l(θ2)/(2l+1) as ONE device einsum
-        (the zero padding of the Legendre table for n > l makes the full-n
-        contraction exact), then irfft → CC. Inputs enter as jit arguments —
-        at production grids they exceed the embeddable-constant size."""
+        """C_n = Σ_l B_l · P̄ⁿ_l(θ1)P̄ⁿ_l(θ2)/(2l+1) per-l on device (a
+        three-tensor einsum would materialize a (q,p,n,l) intermediate —
+        terabytes at production grids). The Legendre table enters as a jit
+        ARGUMENT — at production grids it exceeds the embeddable-constant
+        size. `bl` may be a device-resident real f32 array (the chained
+        worker path) or a host complex array.
+
+        Only the q1≤q2 triangle of the C_n HALF-SPECTRUM comes back over
+        the tunnel — C_n inherits B_l's exact (q1,q2) symmetry (Re of a
+        Hermitian Gram matrix) and the Δ axis is an irfft expansion, so the
+        (pairs, n) packed array carries the full information in ~1/8 of the
+        CC grid's bytes (68 vs 537 MB at the tutorial's 512³; the axon
+        readback path has measured as low as 1.4 MB/s, making readback —
+        not compute — the simulate_ccd wall). The unpack + irfft run on
+        host in ~2 s."""
         import jax
         from xframe_tpu.library.physics import ewald_sphere_theta_pi
         from xframe_tpu.library.legendre import sph_legendre_table
@@ -230,14 +347,14 @@ class ProjectWorker(ProjectWorkerInterface):
         thetas = ewald_sphere_theta_pi(wavelength, np.asarray(qs))
         T = sph_legendre_table(L, np.cos(thetas)).astype(np.float32)  # (q,n,l)
         scale = (1.0 / (2 * np.arange(L + 1) + 1)).astype(np.float32)
+        n_q = T.shape[0]
+        iu0, iu1 = (a.astype(np.int32) for a in np.triu_indices(n_q))
 
         @jax.jit
-        def synth(bl_re, bl_im, tab):
-            bls = (bl_re + 1j * bl_im) * scale[:, None, None]
-            n_q, n_n = tab.shape[0], tab.shape[1]
+        def synth(bls, tab, i0, i1):
+            bls = bls * scale[:, None, None].astype(bls.dtype)
+            n_n = tab.shape[1]
 
-            # accumulate per l — a three-tensor einsum would materialize a
-            # (q,p,n,l) intermediate (terabytes at production grids)
             def body(l, cns):
                 col = tab[:, None, :, l] * tab[None, :, :, l]   # (q,p,n)
                 return cns + bls[l][:, :, None] * col
@@ -245,11 +362,16 @@ class ProjectWorker(ProjectWorkerInterface):
             cns = jax.lax.fori_loop(
                 0, bls.shape[0], body,
                 jnp.zeros((n_q, n_q, n_n), dtype=bls.dtype))
-            return jnp.fft.irfft(cns * n_phi, n_phi, axis=-1)
+            return cns[i0, i1, :]                               # (pairs, n)
 
-        return to_host(synth(
-            np.ascontiguousarray(bl.real, dtype=np.float32),
-            np.ascontiguousarray(bl.imag, dtype=np.float32), T)).real
+        if not (isinstance(bl, jnp.ndarray) and bl.dtype == jnp.float32):
+            bl = np.ascontiguousarray(np.asarray(bl).real, dtype=np.float32)
+        packed = np.asarray(to_host(synth(bl, T, iu0, iu1)))
+        cns = np.empty((n_q, n_q, packed.shape[-1]), np.float32)
+        cns[iu0, iu1] = packed
+        cns[iu1, iu0] = packed
+        return np.fft.irfft(
+            cns.astype(np.float64) * n_phi, n_phi, axis=-1).astype(np.float32)
 
     # ------------------------------------------------------------------- 2D
     def _resolve_max_q(self, opt, n_radial):
@@ -287,13 +409,20 @@ class ProjectWorker(ProjectWorkerInterface):
                                    reciprocity_coefficient=rc,
                                    weights_dict=load_cached_weights(
                                        M, N, rc, 2, mode))
-        grid = polar_grid(ft.rs, 2 * np.pi * np.arange(n_phi) / n_phi)
-        density = build_density_from_shapes(grid, opt.shapes)
+        phi_axis = 2 * np.pi * np.arange(n_phi) / n_phi
+        if str(opt.shapes.get("types", [""])[0]) == "pdb":
+            density = build_density_from_shapes(
+                polar_grid(ft.rs, phi_axis), opt.shapes)
+        else:
+            density = device_density_from_shapes((ft.rs, phi_axis),
+                                                 opt.shapes)
         import jax
-        intensity = to_host(jax.jit(
+        dens32 = density.astype(jnp.float32) if hasattr(density, "astype") \
+            else np.asarray(density, dtype=np.float32)
+        intensity = np.asarray(to_host(jax.jit(
             lambda r: (lambda p: (p * p.conj()).real)(
                 ft.forward(r.astype(jnp.complex64))))(
-                np.asarray(density, dtype=np.float32))).astype(np.float64)
+                dens32))).astype(np.float64)
         coeff = np.fft.fft(intensity, axis=-1) / n_phi  # circular harmonics
         coeff_m = coeff[:, : M + 1]
         bm = itools.harmonic_coeff_to_deg2_invariants_2d(coeff_m)
