@@ -137,3 +137,30 @@ def test_scripting_database_facade(home, monkeypatch, tmp_path):
     assert type(xf.database.project).__name__ == "DefaultDB"
     # framework-level DB (reference startup_routines.py:128)
     assert type(xf.database.default).__name__ == "DefaultDB"
+
+
+def test_cli_eset_without_experiment_errors(home):
+    """-eset names experiment settings; without -e there is no experiment
+    to configure — must fail loudly, not silently skip the load."""
+    r = _cli(home, "hello", "greet", "loud", "-eset", "my_beamtime")
+    assert r.returncode != 0
+    assert "-eset" in r.stderr and "--experiment" in r.stderr
+
+
+def test_load_projects_scalar_string(home):
+    """`load_projects: fxs` as a YAML scalar (not a list) filters projects
+    instead of being silently ignored."""
+    import importlib
+    from xframe_tpu import settings
+    from xframe_tpu.main import discover_projects
+    os.environ["XFRAME_TPU_HOME"] = home
+    old = settings.general.get("load_projects", "all")
+    try:
+        settings.general["load_projects"] = "hello"
+        found = discover_projects()
+        assert set(found) == {"hello"}
+        settings.general["load_projects"] = "fxs"
+        found = discover_projects()
+        assert set(found) == {"fxs"}
+    finally:
+        settings.general["load_projects"] = old

@@ -125,3 +125,51 @@ def test_replay_anchor_len_zero_for_monotone_tail(demo):
     if errs[6:].argmin() == len(errs[6:]) - 1:   # ER tail monotone
         assert int(state.anchor_len) == 0
     assert int(state.anchor_len) <= 8
+
+
+def test_resume_eager_checkpoint_under_replay(demo, tmp_path):
+    """A checkpoint written by EAGER bookkeeping (round-3 files have no
+    anchor fields) must resume under the replay default: fresh anchors are
+    synthesized from the checkpointed best state, and the finished run's
+    best is still the global best across both halves."""
+    from xframe_tpu.parallel.mesh import CheckpointingRunner
+    p = demo
+    sched = _schedule(p.mtip.sw.default_sigma)
+    rho0s = p.initial_density_batch(11, 2)
+    ck = str(tmp_path / "eager_ck.h5")
+    eager = _mtip_clone(p, "eager")
+    CheckpointingRunner(eager, sched, checkpoint_path=ck)(
+        rho0s, resume=False, max_chunks=1)
+    replay = _mtip_clone(p, "replay")
+    s_res, errs_res = CheckpointingRunner(replay, sched,
+                                          checkpoint_path=ck)(
+        rho0s, resume=True)
+    errs_res = np.asarray(errs_res)
+    assert np.isfinite(errs_res).all()
+    # global best over the full trajectory, regardless of which half and
+    # which bookkeeping found it
+    np.testing.assert_allclose(np.asarray(s_res.best_err),
+                               errs_res[:, :, 0].min(axis=1), rtol=2e-5)
+    assert np.isfinite(np.asarray(s_res.best_rho)).all()
+
+
+def test_square_angular_grid_fused_weight_grid():
+    """K4's plane-vs-grid weight dispatch keys on ndim, not shape: a square
+    angular grid (n_theta == n_phi, legal whenever n_phi >= 2L+1) with a
+    full-grid weight array must run — shape[-1] == n_theta used to misfire
+    and broadcast-crash."""
+    p = make_demo_problem(12, 6, n_theta=16, n_phi=16, fused_sht=True)
+    sched = [Segment("HIO", 3, betas=np.full(3, 0.5), ft_stab=True)]
+    # non-separable weights: perturb one φ column so the separable-plane
+    # detection cannot reduce them to a (q, θ) plane
+    w = np.asarray(p.mtip._w_err_host, dtype=np.float64)
+    w = np.broadcast_to(w[..., None] if w.ndim == 2 else w,
+                        (12, 16, 16)).copy()
+    w[:, :, 3] *= 1.25
+    m = MTIP(p.ft, p.mtip.rc, p.mtip.real, p.mtip.sw, w,
+             p.mtip.initial_support,
+             enforce_initial_support_limit=p.mtip.enforce_limit,
+             best_mode="replay")
+    rho0 = p.initial_density_batch(0, 1)[0]
+    state, errs = jax.jit(lambda r: m.run(r, sched))(rho0)
+    assert np.isfinite(np.asarray(errs)).all()

@@ -47,6 +47,8 @@ def discover_projects():
                 if workers:
                     found.setdefault(name, workers)
     wanted = settings.general.get("load_projects", "all")
+    if isinstance(wanted, str) and wanted != "all":
+        wanted = [wanted]               # YAML scalar: `load_projects: fxs`
     if wanted != "all" and isinstance(wanted, (list, tuple)):
         found = {k: v for k, v in found.items() if k in wanted}
     return found
@@ -185,6 +187,14 @@ def main(argv=None):
         comm.select_experiment(args.experiment,
                                getattr(args, "experiment_settings", None),
                                **ekw)
+    elif getattr(args, "experiment_settings", None):
+        # -eset names experiment settings but no experiment module was
+        # selected — silently ignoring an explicit request would run the
+        # worker with no experiment bound (reference binds -eset through
+        # the selected experiment, startup_routines.py:249-258)
+        raise SystemExit(
+            f"-eset {args.experiment_settings!r} requires -e/--experiment "
+            "to select the experiment module it configures")
     xframe_tpu.run()
     return 0
 

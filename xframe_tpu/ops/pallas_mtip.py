@@ -692,7 +692,10 @@ class FusedIteration:
         rin_re = rin.real.astype(jnp.float32)
         rin_im = rin.imag.astype(jnp.float32)
         sup = support_f32.reshape((rows, nt, nph)).astype(jnp.int8)
-        w_plane = int(w.shape[-1]) == nt
+        # a separable (n_q, n_theta) plane is always 2D and the full grid
+        # always 3D — keying on shape[-1] == n_theta misfires on square
+        # angular grids (n_phi == n_theta is legal whenever n_phi >= 2L+1)
+        w_plane = w.ndim == 2
         if w_plane:
             w_r = jnp.broadcast_to(w.astype(jnp.float32),
                                    lead + (nt,)).reshape(rows, 1, nt)

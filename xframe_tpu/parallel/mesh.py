@@ -351,6 +351,15 @@ class CheckpointingRunner:
                     + 1j * np.asarray(d["anchor_z2_im"]), self.mtip.cdtype),
                 anchor_start=np.asarray(d["anchor_start"], dtype=np.int32),
                 anchor_len=np.asarray(d["anchor_len"], dtype=np.int32))
+        elif self.mtip.best_mode == "replay":
+            # checkpoint written by eager/lazy bookkeeping (or round-3
+            # code) resumed under replay: synthesize fresh anchors from the
+            # loaded best state — the replayed best is then the best found
+            # AFTER resume, combined with the checkpointed best through the
+            # ordinary best_err comparison
+            state = state._replace(**self.mtip._anchor_fields(
+                state.best_rho, state.best_mask,
+                batch_shape=state.best_err.shape))
         prev = np.asarray(d["errors"], dtype=np.float32)
         errors = [prev] if prev.ndim == 3 and prev.shape[1] > 0 else []
         return state, int(d["chunk_index"]), errors

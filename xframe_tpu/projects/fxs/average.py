@@ -445,7 +445,10 @@ class ProjectWorker(ProjectWorkerInterface):
             return None
         r = opt.get("restarts", "all")
         n_r = len(devices) if (isinstance(r, str) and r == "all") else int(r)
-        n_r = max(1, min(n_r, len(devices)))
+        # clamp to the work-item count (as reconstruct clamps to
+        # n_restarts): a mesh wider than the candidate list would wrap-pad
+        # and re-align duplicate candidates only to trim them afterwards
+        n_r = max(1, min(n_r, n_candidates, len(devices)))
         if n_r <= 1:
             return None
         return make_mesh({"restarts": n_r})

@@ -330,6 +330,10 @@ class MTIP:
         #   replay — anchor + on-demand replay (VERDICT r3 #1): no grid-sized
         #            best state during the scan at all
         mode = os.environ.get("XF_BEST_MODE", "") or best_mode
+        if mode not in ("eager", "lazy", "replay"):
+            raise ValueError(
+                f"best_tracking must be 'eager', 'lazy' or 'replay', got "
+                f"{mode!r}")
         if self.lazy_best and mode == "eager":
             mode = "lazy"
         if mode == "replay" and self._fi is None:
