@@ -439,3 +439,27 @@ def test_reconstruct_arg_tables_guess_path(invariants, home, monkeypatch):
     results = out["reconstruction_results"]
     for res in results.values():
         assert np.isfinite(np.asarray(res["error_dict"]["main"])).all()
+
+
+def test_synthesize_cc_device_matches_host(home):
+    """The worker's packed-triangle device CC synthesis equals the
+    (reference-oracled) host deg2_invariant_to_cc_3d on a dense grid —
+    regression for the information-floor readback path (only the q1<=q2
+    half-spectrum triangle crosses the device boundary)."""
+    from xframe_tpu.projects.fxs import invariants as itools
+    from xframe_tpu.projects.fxs.simulate_ccd import ProjectWorker
+    rng = np.random.default_rng(5)
+    n_q, L, n_phi, lam = 10, 6, 32, 1.23984
+    qs = np.linspace(0.02, 0.5, n_q)
+    # symmetric real B_l with killed odd orders, as the worker produces
+    v = rng.normal(size=(L + 1, n_q, 3))
+    bl = np.einsum("lqa,lpa->lqp", v, v)
+    bl[1::2] = 0
+    w = ProjectWorker.__new__(ProjectWorker)
+    cc_dev = w._synthesize_cc_device(bl.astype(complex), lam, qs, n_phi)
+    cc_host = itools.deg2_invariant_to_cc_3d(bl, lam, qs, n_phi=n_phi).real
+    assert cc_dev.shape == cc_host.shape == (n_q, n_q, n_phi)
+    scale = np.abs(cc_host).max()
+    assert np.abs(cc_dev - cc_host).max() < 2e-5 * scale
+    # exact q1<->q2 symmetry survives the packed round-trip
+    np.testing.assert_array_equal(cc_dev, np.swapaxes(cc_dev, 0, 1))
