@@ -33,8 +33,13 @@ def _device_live():
     import sys
     timeout = float(os.environ.get("XF_BENCH_PROBE_TIMEOUT", "120"))
     attempts = int(os.environ.get("XF_BENCH_PROBE_ATTEMPTS", "8"))
+    # the probe must exercise BOTH directions: the tunnel has been observed
+    # with a healthy compute path while device->host readback stalled for
+    # >5 min even on scalars — a compute-only probe would pass and the
+    # bench would then hang on its first readback
     code = ("import jax, jax.numpy as jnp; jax.devices(); "
-            "x = jnp.ones((8, 8)); (x @ x).block_until_ready()")
+            "x = jnp.ones((8, 8)); y = (x @ x).block_until_ready(); "
+            "assert float(jax.device_get(y[0, 0])) == 8.0")
     for i in range(attempts):
         try:
             r = subprocess.run([sys.executable, "-c", code],
