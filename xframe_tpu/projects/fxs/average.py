@@ -217,36 +217,47 @@ class ProjectWorker(ProjectWorkerInterface):
 
         # normalize: reference scales ρ AND its companion by the same factor
         # and keeps the factors for projection-matrix averaging
-        # (reference average.py:165-186)
+        # (reference average.py:165-186). Device-side: the stacks never
+        # round-trip to the host just to be scaled (2× ~270 MB of tunnel
+        # traffic at tutorial scale; the whole averaging chain below stays
+        # device-resident, and only the artifacts the result file stores
+        # come back).
+        import jax
+        import jax.numpy as jnp
         mode = str(opt.get("normalize_reconstructions", {}).get("mode", "max"))
         use_norm = bool(opt.get("normalize_reconstructions", {}).get("use", True))
-        rho_h = to_host(rho_stack)
-        psi_h = to_host(psi_stack) if have_psi else None
         scaling_factors = np.ones(len(densities))
         if use_norm:
-            mags = np.abs(rho_h)
-            scales = mags.max(axis=tuple(range(1, rho_h.ndim))) if mode == "max" \
-                else np.maximum(mags.mean(axis=tuple(range(1, rho_h.ndim))),
-                                1e-30)
-            scales = np.maximum(scales, 1e-30)
-            scaling_factors = scales
-            rho_h = rho_h / scales.reshape((-1,) + (1,) * (rho_h.ndim - 1))
+            red = tuple(range(1, rho_stack.ndim))
+
+            def _scales(r):
+                m = jnp.abs(r)
+                s = m.max(axis=red) if mode == "max" \
+                    else jnp.maximum(m.mean(axis=red), 1e-30)
+                return jnp.maximum(s, 1e-30)
+
+            scales = jax.jit(_scales)(rho_stack)
+            div = jax.jit(
+                lambda a, s: a / s.reshape((-1,) + (1,) * (a.ndim - 1)))
+            rho_stack = div(rho_stack, scales)
             if have_psi:
-                psi_h = psi_h / scales.reshape((-1,) + (1,) * (psi_h.ndim - 1))
+                psi_stack = div(psi_stack, scales)
+            scaling_factors = np.asarray(to_host(scales), dtype=float)
 
         # reference = lowest error (list already error-sorted); optionally
         # point-inverted so every alignment (and so the average) lands on the
         # opposite handedness (reference average.py:198-204)
-        ref = rho_h[0]
         if bool(opt.get("pointinvert_reference", False)):
-            import jax
-            ref = np.asarray(to_host(jax.jit(
-                lambda r: ft.inverse(ft.forward(r).conj()))(
-                to_device_complex(ref))))
-            rho_h[0] = ref
+            ref_d = jax.jit(lambda r: ft.inverse(ft.forward(r).conj()))(
+                rho_stack[0])
+            rho_stack = jax.jit(lambda st, r: st.at[0].set(r))(rho_stack,
+                                                               ref_d)
             if have_psi:
-                psi_h[0] = np.conj(psi_h[0])
-        ref_d = to_device_complex(ref)
+                psi_stack = jax.jit(
+                    lambda st: st.at[0].set(st[0].conj()))(psi_stack)
+        else:
+            ref_d = rho_stack[0]
+        ref = np.asarray(to_host(ref_d))
         ref_coeff = aligner.coefficients(ref_d)
 
         lim = opt.get("alignment_error_limit", None)
@@ -256,13 +267,15 @@ class ProjectWorker(ProjectWorkerInterface):
                          .get("check_point_inversion", True))
         max_iter = max(int(opt.get("max_iterations", 1)), 1)
         aligned = [ref]
-        aligned_psi = [psi_h[0]] if have_psi else None
         align_info = [{"angles": (0.0, 0.0, 0.0), "score": np.inf,
                        "inverted": False, "l2_to_ref": 0.0}]
         used_meta = [meta[0]]
-        if len(rho_h) > 1:
-            cand = to_device_complex(rho_h[1:])
-            cand_psi = to_device_complex(psi_h[1:]) if have_psi else None
+        n_cand = int(rho_stack.shape[0]) - 1
+        sel = np.zeros(n_cand, dtype=bool)
+        rho_rot = psi_rot = None
+        if n_cand > 0:
+            cand = rho_stack[1:]
+            cand_psi = psi_stack[1:] if have_psi else None
             rho_rot, psi_rot, l2s, infos = aligner.align_batch(
                 cand, ref_coeff, ref_rho=ref_d, psis=cand_psi,
                 check_point_inversion=check_inv)
@@ -271,8 +284,6 @@ class ProjectWorker(ProjectWorkerInterface):
             # composed rotation lands between the discrete SO(3) grid points
             # of a single pass; keep a candidate's refinement only if its
             # l2-to-reference improved.
-            import jax
-            import jax.numpy as jnp
             for _ in range(max_iter - 1):
                 l2s_h = np.asarray(to_host(l2s))
                 if (l2s_h <= l2_limit).all():
@@ -291,33 +302,52 @@ class ProjectWorker(ProjectWorkerInterface):
                 for i, b in enumerate(np.asarray(to_host(better))):
                     infos[i]["refined"] = bool(b) or infos[i].get("refined",
                                                                   False)
+            # the aligned densities are part of the result file — this
+            # readback is the product; per-candidate ψ companions are NOT
+            # stored, so only their device-side means come back (below)
             rho_rot_h = to_host(rho_rot)
-            psi_rot_h = to_host(psi_rot) if have_psi else None
+            l2s_np = np.asarray(to_host(l2s))
             for i, info in enumerate(infos):
-                info["l2_to_ref"] = float(l2s[i])
-                if l2s[i] > l2_limit:
+                info["l2_to_ref"] = float(l2s_np[i])
+                if l2s_np[i] > l2_limit:
                     continue
+                sel[i] = True
                 aligned.append(rho_rot_h[i])
-                if have_psi:
-                    aligned_psi.append(psi_rot_h[i])
                 align_info.append(info)
                 used_meta.append(meta[i + 1])
 
-        avg = np.mean(aligned, axis=0)
-        avg_d = to_device_complex(avg)
+        # device-resident aligned stack: reference + the selected rotated
+        # candidates (selection indices are host-static)
+        sel_idx = np.nonzero(sel)[0]
+        if len(sel_idx):
+            take = jnp.asarray(sel_idx)
+            aligned_d = jax.jit(lambda r, rr: jnp.concatenate(
+                [r[None], rr[take]]))(ref_d, rho_rot)
+        else:
+            aligned_d = jax.jit(lambda r: r[None])(ref_d)
+        avg_d = jax.jit(lambda a: a.mean(axis=0))(aligned_d)
+        avg = np.asarray(to_host(avg_d))
         centered_avg = to_host(aligner.center(avg_d)[0])
         psi_avg = to_host(aligner._ft_fwd(avg_d))      # FT of the average
 
         # reciprocal amplitudes of every aligned density — one vmapped call
-        import jax
-        psis_from_rho = np.stack(to_host(jax.jit(jax.vmap(ft.forward))(
-            to_device_complex(np.stack(aligned)))))
+        # on the device-resident stack (host PRTF/FSC consume them)
+        psis_from_rho = np.stack(to_host(
+            jax.jit(jax.vmap(ft.forward))(aligned_d)))
         # intensity averages (reference average.py:241-242)
         intensity_from_density = np.mean(np.abs(psis_from_rho) ** 2, axis=0)
         if have_psi:
-            avg_ft_density = np.mean(aligned_psi, axis=0)
-            intensity_from_ft_density = np.mean(
-                [np.abs(p) ** 2 for p in aligned_psi], axis=0)
+            if len(sel_idx):
+                take = jnp.asarray(sel_idx)
+                psi_aligned_d = jax.jit(lambda p0, pr: jnp.concatenate(
+                    [p0[None], pr[take]]))(psi_stack[0], psi_rot)
+            else:
+                psi_aligned_d = jax.jit(lambda p: p[None])(psi_stack[0])
+            avg_ft_density = np.asarray(to_host(
+                jax.jit(lambda p: p.mean(axis=0))(psi_aligned_d)))
+            intensity_from_ft_density = np.asarray(to_host(
+                jax.jit(lambda p: (jnp.abs(p) ** 2).mean(axis=0))(
+                    psi_aligned_d)))
 
         metrics = {}
         axes = None if dim == 3 else (-1,)
