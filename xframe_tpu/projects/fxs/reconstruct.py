@@ -987,6 +987,11 @@ class ProjectWorker(ProjectWorkerInterface):
             fix_orient = False
 
         results = {}
+        # hoisted out of the per-restart loop: one tunnel transfer each
+        # instead of one per restart (a scalar readback alone is a full
+        # tunnel round-trip)
+        init_sup_h = to_host(aux["initial_support"])
+        best_err_h = np.atleast_1d(np.asarray(to_host(states.best_err)))
         for rank, i in enumerate(ids):
             i = int(i)
             rho = states.best_rho[i]
@@ -1013,11 +1018,11 @@ class ProjectWorker(ProjectWorkerInterface):
                 "last_support_mask": to_host(states.support[i]),
                 "initial_density": to_host(rho0s[i]) * sqrt_s
                 if rho0s is not None else None,
-                "initial_support": to_host(aux["initial_support"]),
+                "initial_support": init_sup_h,
                 "fxs_unknowns": to_host(W),
                 "error_dict": {"main": errors_h[i][:, 0],
                                "reciprocal": errors_h[i][:, 1],
-                               "final": float(to_host(states.best_err[i])),
+                               "final": float(best_err_h[i]),
                                # configured per-metric curves (main_loop
                                # .error.methods, reference error_dict layout)
                                **{nm: errors_h[i][:, j]
