@@ -271,7 +271,7 @@ class ProjectWorker(ProjectWorkerInterface):
                        "inverted": False, "l2_to_ref": 0.0}]
         used_meta = [meta[0]]
         n_cand = int(rho_stack.shape[0]) - 1
-        sel = np.zeros(n_cand, dtype=bool)
+        sel_idx = []                    # candidate rows that pass l2_limit
         rho_rot = psi_rot = None
         if n_cand > 0:
             cand = rho_stack[1:]
@@ -311,20 +311,21 @@ class ProjectWorker(ProjectWorkerInterface):
                 info["l2_to_ref"] = float(l2s_np[i])
                 if l2s_np[i] > l2_limit:
                     continue
-                sel[i] = True
+                sel_idx.append(i)
                 aligned.append(rho_rot_h[i])
                 align_info.append(info)
                 used_meta.append(meta[i + 1])
 
         # device-resident aligned stack: reference + the selected rotated
         # candidates (selection indices are host-static)
-        sel_idx = np.nonzero(sel)[0]
-        if len(sel_idx):
-            take = jnp.asarray(sel_idx)
-            aligned_d = jax.jit(lambda r, rr: jnp.concatenate(
-                [r[None], rr[take]]))(ref_d, rho_rot)
-        else:
-            aligned_d = jax.jit(lambda r: r[None])(ref_d)
+        def _head_plus_selected(head, rows):
+            if sel_idx:
+                take = jnp.asarray(np.asarray(sel_idx))
+                return jax.jit(lambda h, r: jnp.concatenate(
+                    [h[None], r[take]]))(head, rows)
+            return jax.jit(lambda h: h[None])(head)
+
+        aligned_d = _head_plus_selected(ref_d, rho_rot)
         avg_d = jax.jit(lambda a: a.mean(axis=0))(aligned_d)
         avg = np.asarray(to_host(avg_d))
         centered_avg = to_host(aligner.center(avg_d)[0])
@@ -337,12 +338,7 @@ class ProjectWorker(ProjectWorkerInterface):
         # intensity averages (reference average.py:241-242)
         intensity_from_density = np.mean(np.abs(psis_from_rho) ** 2, axis=0)
         if have_psi:
-            if len(sel_idx):
-                take = jnp.asarray(sel_idx)
-                psi_aligned_d = jax.jit(lambda p0, pr: jnp.concatenate(
-                    [p0[None], pr[take]]))(psi_stack[0], psi_rot)
-            else:
-                psi_aligned_d = jax.jit(lambda p: p[None])(psi_stack[0])
+            psi_aligned_d = _head_plus_selected(psi_stack[0], psi_rot)
             avg_ft_density = np.asarray(to_host(
                 jax.jit(lambda p: p.mean(axis=0))(psi_aligned_d)))
             intensity_from_ft_density = np.asarray(to_host(
