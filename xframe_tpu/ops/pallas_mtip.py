@@ -44,6 +44,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+import os as _os
+
 from xframe_tpu.ops.pallas_sht import _mm, _mmT, _bmm  # shared bf16-table knob
 
 
@@ -67,6 +69,91 @@ def _synth_complex(cre_ref, cim_ref, p, i_re, i_im, q_b, n_theta, n_phi, m_blk):
     f_re = (_mm(fm_re, i_re) - _mm(fm_im, i_im)).reshape(q_b, n_theta, n_phi)
     f_im = (_mm(fm_re, i_im) + _mm(fm_im, i_re)).reshape(q_b, n_theta, n_phi)
     return f_re, f_im
+
+
+# --------------------------------------------------------------- K1h kernel
+def hsyn_vmem_plan(n_theta, n_phi, l_max, n_m_pad, n_q, table_itemsize,
+                   base_limit_bytes):
+    """Pure sizing model for the Hankel-fused synthesis kernel →
+    (q_block, limit_bytes); q_block == 0 means the kernel does not fit
+    (production-scale coefficient arrays are too big to stay resident)
+    and the caller must keep the split Hankel-einsum + synthesis path.
+
+    The binding term is the FULL radial coefficient block (all n_q rows of
+    both planes, double-buffered across the batch grid axis) that must stay
+    resident so each q′-block's Hankel contraction can run in VMEM. Its
+    lane padding is real: l = L+1 rounds up to 128 lanes, so the tutorial
+    (n_q=128, m_pad=136, L=64) block costs 2·2·128·136·128·4 = 35.7 MB —
+    fine under the 124 MiB cap — while production (n_q=256, m_pad=256,
+    L=127) needs 268 MB and is structurally out."""
+    from xframe_tpu.ops.pallas_sht import padded_vmem_bytes
+    lane_l = -(-(l_max + 1) // 128) * 128
+    c_res = 4 * n_q * n_m_pad * lane_l * 4
+    tab = padded_vmem_bytes(n_m_pad, l_max + 1, n_theta,
+                            itemsize=table_itemsize) \
+        + 2 * padded_vmem_bytes(n_m_pad, n_phi, itemsize=table_itemsize)
+    limit = max(int(base_limit_bytes), 124 * 1024 * 1024)
+    # fixed fudge: fm temporaries/relayout scratch measured ≈ 20 MB at
+    # tutorial scale (see docs/performance.md round-4 addendum)
+    budget = int(limit * 0.95) - c_res - tab - 20 * 1024 * 1024
+    lane_phi = -(-n_phi // 128) * 128
+    per_q = (4 * n_q * lane_l * 4            # w block (double-buffered)
+             + 4 * n_theta * lane_phi * 4    # ψ out planes
+             + 4 * n_m_pad * lane_l * 4      # cf out planes
+             + 4 * n_theta * n_m_pad * 4)    # fm temporaries
+    if budget <= 0:
+        return 0, limit
+    qb = min(32, budget // per_q)
+    qb -= qb % 8                             # blocked sublane dim: 8-aligned
+    while qb >= 8 and n_q % qb:
+        qb -= 8                              # must divide n_q exactly
+    return (int(qb) if qb >= 8 else 0), limit
+
+
+def _hankel_synth_kernel(n_theta, n_phi, m_blk,
+                         cre_ref, cim_ref, wre_ref, wim_ref,
+                         p_ref, ire_ref, iim_ref,
+                         fre_ref, fim_ref, cfre_ref, cfim_ref):
+    """One q′-block of ψ = iSHT(H(c)) in a single VMEM pass, also emitting
+    the Hankel coefficients cf = H(c) (the ft-stab combine still needs them,
+    phasing._mtip_iteration_fused). Replaces the separate Hankel-forward
+    XLA einsum launch + its coefficient round-trip: the full radial
+    coefficient array (8.6 MB at tutorial scale) stays resident across the
+    q′ grid axis, each block contracts its n_q×q_b weight slab on the MXU,
+    and the synthesis consumes cf in place.
+
+    Hankel weights are f32 planes always (data precision); only the
+    synthesis tables follow the bf16 table knob."""
+    # c enters (n_q, m, l); the Hankel contraction runs as leading-batch
+    # per-l matmuls (Mosaic's supported dot_general form): w is host-stored
+    # (l, q', k) so only c needs one in-kernel 3-D transpose
+    c_re = cre_ref[0].transpose(2, 0, 1)    # (l, n_q, m)
+    c_im = cim_ref[0].transpose(2, 0, 1)
+    w_re = wre_ref[:]                       # (l, q_b, k)
+    w_im = wim_ref[:]
+    q_b = w_re.shape[1]
+    # cf[l, q', m] = Σ_k w[l, q', k] · c[l, k, m]
+    dims = (((2,), (1,)), ((0,), (0,)))
+
+    def dg(a, b):
+        return lax.dot_general(a, b, dims,
+                               preferred_element_type=jnp.float32)
+
+    cf_re = dg(w_re, c_re) - dg(w_im, c_im)     # (l, q_b, m)
+    cf_im = dg(w_re, c_im) + dg(w_im, c_re)
+    cfre_ref[0] = cf_re.transpose(1, 2, 0)      # (q_b, m, l)
+    cfim_ref[0] = cf_im.transpose(1, 2, 0)
+    cm_re = cf_re.transpose(2, 1, 0)            # (m, q_b, l)
+    cm_im = cf_im.transpose(2, 1, 0)
+    p = p_ref[:]                                # (m, l, θ)
+    fm_re = _bmm(cm_re, p).transpose(1, 2, 0).reshape(q_b * n_theta, m_blk)
+    fm_im = _bmm(cm_im, p).transpose(1, 2, 0).reshape(q_b * n_theta, m_blk)
+    i_re = ire_ref[:]
+    i_im = iim_ref[:]
+    fre_ref[0] = (_mm(fm_re, i_re) - _mm(fm_im, i_im)).reshape(
+        q_b, n_theta, n_phi)
+    fim_ref[0] = (_mm(fm_re, i_im) + _mm(fm_im, i_re)).reshape(
+        q_b, n_theta, n_phi)
 
 
 # ---------------------------------------------------------------- K2 kernel
@@ -359,10 +446,13 @@ class FusedIteration:
     Requires the FusedSHT to run with m_splits == 1 so the full-m tables are
     DMA'd once per launch and no cross-step accumulation is needed."""
 
-    def __init__(self, fused_sht, q_block: int | None = None, w_rec=None):
+    def __init__(self, fused_sht, q_block: int | None = None, w_rec=None,
+                 hankel=None):
         """w_rec: optional (n_q, n_theta) reciprocal-grid integration-weight
         plane for the K2 error partials (reference integrates the reciprocal
-        L2 metric, fxs_IO_methods.py:97-128); None → unweighted sums."""
+        L2 metric, fxs_IO_methods.py:97-128); None → unweighted sums.
+        hankel: optional ops.hankel.SphericalHankelTransform — enables the
+        Hankel-fused synthesis kernel (K1h) when its VMEM plan fits."""
         if fused_sht.m_splits != 1:
             raise ValueError("FusedIteration requires FusedSHT(m_splits=1)")
         self.f = fused_sht
@@ -407,6 +497,31 @@ class FusedIteration:
             Hb[j, L - j] -= 0.5 * s
         self._Ha = np.ascontiguousarray(Ha)
         self._Hb = np.ascontiguousarray(Hb)
+        # K1h (round 4): Hankel-fused ψ synthesis — see hsyn_vmem_plan
+        self._hsyn_qb = 0
+        if hankel is not None:
+            wf = np.asarray(hankel._wf)     # (k_sum, n_q, L+1) complex
+            n_q = wf.shape[1]
+            if hankel.skip_zero:            # trapz/Zernike drop the k=0 row
+                wf = np.concatenate(
+                    [np.zeros((1,) + wf.shape[1:], wf.dtype), wf], axis=0)
+            if wf.shape[0] == n_q and wf.shape[2] == L + 1:
+                qb, limit = hsyn_vmem_plan(
+                    f.n_theta, f.n_phi, L, f.n_m_pad, n_q,
+                    f.table_dtype.itemsize, self._base_limit())
+                if _os.environ.get("XF_HSYN_QB"):
+                    qb = int(_os.environ["XF_HSYN_QB"])
+                if qb:
+                    self._hsyn_qb = int(qb)
+                    self._h_nq = int(n_q)
+                    # stored (l, q', k): the kernel's contraction layout
+                    wt = wf.transpose(2, 1, 0)
+                    self._hw_re = np.ascontiguousarray(
+                        wt.real.astype(np.float32))
+                    self._hw_im = np.ascontiguousarray(
+                        wt.imag.astype(np.float32))
+                    self._hsyn_params = pltpu.CompilerParams(
+                        vmem_limit_bytes=int(limit))
 
     # -------------------------------------------------------------- helpers
     def _update_q_block(self, track_best):
@@ -468,6 +583,56 @@ class FusedIteration:
             cre = jnp.concatenate([cre, z], axis=-2)
             cim = jnp.concatenate([cim, z], axis=-2)
         return cre, cim
+
+    # ------------------------------------------------------------------ K1h
+    def hankel_synthesize(self, c):
+        """(c = analysis coefficients in r) → (ψ = iSHT(H(c)), cf = H(c))
+        in ONE kernel launch: the Hankel-forward einsum launch and its
+        coefficient round-trip disappear; cf is still emitted because the
+        ft-stab combine consumes it (phasing._mtip_iteration_fused).
+        Input c: (..., n_q, 2L+1, L+1) complex."""
+        f = self.f
+        L = f.l_max
+        n_q = self._h_nq
+        qb = self._hsyn_qb
+        lead = c.shape[:-3]
+        B = int(np.prod(lead)) if lead else 1
+        nt, nph, mb = f.n_theta, f.n_phi, f.n_m_pad
+        c_re, c_im = self._coeff_planes(c.reshape((B, n_q, f.n_m, L + 1)))
+        kern = partial(_hankel_synth_kernel, nt, nph, mb)
+        blk_c = pl.BlockSpec((1, n_q, mb, L + 1), lambda b, i: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+        blk_w = pl.BlockSpec((L + 1, qb, n_q), lambda b, i: (0, i, 0),
+                             memory_space=pltpu.VMEM)
+        p_spec = pl.BlockSpec((mb, L + 1, nt), lambda b, i: (0, 0, 0),
+                              memory_space=pltpu.VMEM)
+        i_spec = pl.BlockSpec((mb, nph), lambda b, i: (0, 0),
+                              memory_space=pltpu.VMEM)
+        blk_f = pl.BlockSpec((1, qb, nt, nph), lambda b, i: (b, i, 0, 0),
+                             memory_space=pltpu.VMEM)
+        blk_cf = pl.BlockSpec((1, qb, mb, L + 1), lambda b, i: (b, i, 0, 0),
+                              memory_space=pltpu.VMEM)
+        f_re, f_im, cf_re, cf_im = pl.pallas_call(
+            kern,
+            grid=(B, n_q // qb),
+            in_specs=[blk_c, blk_c, blk_w, blk_w, p_spec, i_spec, i_spec],
+            out_specs=[blk_f, blk_f, blk_cf, blk_cf],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, n_q, nt, nph), jnp.float32),
+                jax.ShapeDtypeStruct((B, n_q, nt, nph), jnp.float32),
+                jax.ShapeDtypeStruct((B, n_q, mb, L + 1), jnp.float32),
+                jax.ShapeDtypeStruct((B, n_q, mb, L + 1), jnp.float32)],
+            compiler_params=self._hsyn_params,
+            interpret=f._interp(),
+        )(c_re, c_im, jnp.asarray(self._hw_re), jnp.asarray(self._hw_im),
+          jnp.asarray(f._P_t), jnp.asarray(f._I_re), jnp.asarray(f._I_im))
+        cdt = f.sht.complex_dtype
+        psi = lax.complex(f_re, f_im).astype(cdt).reshape(
+            lead + (n_q, nt, nph))
+        cf = lax.complex(cf_re[..., : f.n_m, :],
+                         cf_im[..., : f.n_m, :]).astype(cdt).reshape(
+            lead + (n_q, f.n_m, L + 1))
+        return psi, cf
 
     # ------------------------------------------------------------------- K2
     def inverse_real_project(self, c, psi, eps=0.0):

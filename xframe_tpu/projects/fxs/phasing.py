@@ -297,7 +297,7 @@ class MTIP:
             from xframe_tpu.ops.pallas_mtip import FusedIteration
             self._fi = FusedIteration(
                 fused, w_rec=None if self._w_rec_host is None
-                else self._w_rec_host[..., 0])
+                else self._w_rec_host[..., 0], hankel=ft.hankel)
         # O3 (round 4): when the error weights are the separable φ-constant
         # form AND the initial support is radial (a ball in r — the default
         # max_radius support), the K4 reduction weights collapse to an
@@ -324,6 +324,14 @@ class MTIP:
         # K1⁺ A/B knob: ψ synthesis + |ψ|² analysis in one kernel
         self._k1_abs2 = os.environ.get("XF_FUSED_ABS2", "0").lower() \
             not in ("0", "false", "")
+        # K1h (round 4): Hankel forward fused into the ψ-synthesis kernel —
+        # one launch emits (ψ, cf); fits tutorial-scale VMEM only (the plan
+        # in pallas_mtip.hsyn_vmem_plan gates it; production keeps the
+        # einsum). XF_FUSED_HSYN=0 restores the split path for A/Bs.
+        self._hsyn = (os.environ.get("XF_FUSED_HSYN", "1").lower()
+                      not in ("0", "false", "")
+                      and self._fi is not None
+                      and getattr(self._fi, "_hsyn_qb", 0) > 0)
         # best-state tracking strategy for the fused pipeline:
         #   eager  — per-iteration XLA select (round-3 default)
         #   lazy   — select inside the next K4 kernel (measured parity)
@@ -363,6 +371,9 @@ class MTIP:
         if self._fi is not None:
             for name in ("_Ip_re", "_Ip_im", "_Pp_t"):
                 t["fi" + name] = getattr(self._fi, name)
+            if getattr(self._fi, "_hsyn_qb", 0):
+                t["fi_hw_re"] = self._fi._hw_re
+                t["fi_hw_im"] = self._fi._hw_im
         rc = self.rc
         if hasattr(rc, "V_pad"):
             t["rc_V_re"] = np.ascontiguousarray(np.asarray(rc.V_pad).real)
@@ -391,6 +402,9 @@ class MTIP:
                 if self._fi is not None and "fi_Ip_re" in tables:
                     for name in ("_Ip_re", "_Ip_im", "_Pp_t"):
                         swap(self._fi, name, tables["fi" + name])
+                if self._fi is not None and "fi_hw_re" in tables:
+                    swap(self._fi, "_hw_re", tables["fi_hw_re"])
+                    swap(self._fi, "_hw_im", tables["fi_hw_im"])
                 if "rc_V_re" in tables:
                     swap(self.rc, "V_pad",
                          tables["rc_V_re"] + 1j * tables["rc_V_im"])
@@ -596,13 +610,18 @@ class MTIP:
             c_phase = jnp.asarray(1.0 + 0.0j, dtype=self.cdtype)
         ft = self.ft
         c0 = ft._analysis(rho_in)
-        cf = ft.hankel.forward(c0)
         # round-2b measured the merged K1⁺/K2⁺ variants slower IN COMBINATION
         # (0.00600 vs 0.00575); round 4 re-measures each alone on the leaner
         # pipeline (XF_FUSED_ABS2 / XF_FUSED_K2FWD; see docs/performance.md)
-        if self._k1_abs2:
+        if self._hsyn and not self._k1_abs2:
+            # K1h: Hankel forward fused into the synthesis launch
+            psi, cf = self._fi.hankel_synthesize(c0)
+            Ilm = self.sht.forward_real_abs2(psi)
+        elif self._k1_abs2:
+            cf = ft.hankel.forward(c0)
             psi, Ilm = self._fi.synthesize_abs2(cf)
         else:
+            cf = ft.hankel.forward(c0)
             psi = ft._synthesis(cf)
             Ilm = self.sht.forward_real_abs2(psi)
         Ilm_proj = self.rc(Ilm)
