@@ -117,74 +117,107 @@ def main():
             "restarts": n_restarts,
         }
 
-    if os.environ.get("XF_BENCH_FULL"):
+    # Full tutorial schedule — DEFAULT ON since round 5 (VERDICT r4 #4: the
+    # driver-captured artifact must record the schedule throughput, not just
+    # the dispatch-floor micro window). Opt out with XF_BENCH_NO_FULL=1.
+    if os.environ.get("XF_BENCH_FULL") or not os.environ.get("XF_BENCH_NO_FULL"):
         # full tutorial schedule incl. shrink-wrap: 5×(60 HIO + 1 SW + 40 ER)
         # + (1 SW + 100 ER) = 600 iterations (reference tutorial.yaml:1-69);
         # reference headline = 285 restarts/hour on EPYC + 2×A6000
-        full = []
-        for _ in range(5):
-            full += [Segment("HIO", 60, betas=np.full(60, 0.5), ft_stab=True),
-                     Segment("SW", sigma=p.mtip.sw.default_sigma,
+        try:
+            full = []
+            for _ in range(5):
+                full += [Segment("HIO", 60, betas=np.full(60, 0.5),
+                                 ft_stab=True),
+                         Segment("SW", sigma=p.mtip.sw.default_sigma,
+                                 threshold=0.1),
+                         Segment("ER", 40, betas=np.zeros(40), ft_stab=True)]
+            full += [Segment("SW", sigma=p.mtip.sw.default_sigma,
                              threshold=0.1),
-                     Segment("ER", 40, betas=np.zeros(40), ft_stab=True)]
-        full += [Segment("SW", sigma=p.mtip.sw.default_sigma, threshold=0.1),
-                 Segment("ER", 100, betas=np.zeros(100), ft_stab=True)]
-        run_full = jax.jit(lambda r: p.mtip.run_batch(r, full))
-        states_f, errs = run_full(rho0s)    # compile + warmup
-        jax.block_until_ready((states_f.rho, errs))
-        # time on DIFFERENT inputs: the axon tunnel can serve a repeated
-        # (program, inputs) pair from cache without re-executing, which
-        # once yielded a bogus 0.3 ms "measurement" of 600 iterations
-        rho0s_b = p.initial_density_batch(1, n_restarts)
-        jax.block_until_ready(rho0s_b)
-        t0 = time.perf_counter()
-        states_f, errs = run_full(rho0s_b)
-        jax.block_until_ready((states_f.rho, errs))
-        dt_full = time.perf_counter() - t0
-        n_full = sum(s.n for s in full if s.method != "SW")
-        out["full_schedule"] = {
-            "iterations": n_full,
-            "restarts": n_restarts,
-            "seconds": dt_full,
-            "restarts_per_hour": n_restarts * 3600.0 / dt_full,
-            "vs_baseline_restarts_per_hour":
-                (n_restarts * 3600.0 / dt_full) / 285.0,
-        }
+                     Segment("ER", 100, betas=np.zeros(100), ft_stab=True)]
+            run_full = jax.jit(lambda r: p.mtip.run_batch(r, full))
+            states_f, errs = run_full(rho0s)    # compile + warmup
+            jax.block_until_ready((states_f.rho, errs))
+            # time on DIFFERENT inputs: the axon tunnel can serve a repeated
+            # (program, inputs) pair from cache without re-executing, which
+            # once yielded a bogus 0.3 ms "measurement" of 600 iterations
+            rho0s_b = p.initial_density_batch(1, n_restarts)
+            jax.block_until_ready(rho0s_b)
+            t0 = time.perf_counter()
+            states_f, errs = run_full(rho0s_b)
+            jax.block_until_ready((states_f.rho, errs))
+            dt_full = time.perf_counter() - t0
+            n_full = sum(s.n for s in full if s.method != "SW")
+            rph = n_restarts * 3600.0 / dt_full
+            out["full_schedule_restarts_per_hour"] = rph
+            out["full_schedule"] = {
+                "iterations": n_full,
+                "restarts": n_restarts,
+                "seconds": dt_full,
+                "restarts_per_hour": rph,
+                "vs_baseline_restarts_per_hour": rph / 285.0,
+            }
+        except Exception as e:  # keep the primary metric line alive
+            out["full_schedule_error"] = f"{type(e).__name__}: {e}"[:300]
 
-    if os.environ.get("XF_BENCH_PROD"):
-        # production-grid scale proof (N_q=256, L=128): tables enter jit as
-        # ARGUMENTS (embedded constants exceed the tunnel's compile-payload
-        # limit — measured HTTP 413 at ~480 MB of constants). ~8 min of
-        # setup+compile on this container; see scripts/prod_scale.py for the
-        # standalone version with CLI knobs.
-        # L=127 keeps the fused kernels' l contraction exactly on the 128-lane
-        # MXU boundary: measured 1.31x faster than L=128 on the same grid
-        nq_p, L_p = 256, int(os.environ.get("XF_BENCH_PROD_L", "127"))
-        nth, nph = 320, 640  # 2(L+1)/4(L+1) rounded to MXU-friendly sizes
-        pp = make_demo_problem(nq_p, L_p, n_theta=nth, n_phi=nph,
-                               procrustes_method=method, fused_sht=True)
-        tables = jax.device_put(pp.mtip.arg_tables())
-        jax.block_until_ready(tables)
-        sched_p = [Segment("HIO", n_iter, betas=np.full(n_iter, 0.5),
-                           ft_stab=True)]
-        run_p = jax.jit(lambda t, r: pp.mtip.run_batch(r, sched_p, tables=t))
-        r0 = pp.initial_density_batch(0, 1, tables=tables)
-        _, errs_p = run_p(tables, r0)          # compile + warmup
-        jax.block_until_ready(errs_p)
-        r1 = pp.initial_density_batch(1, 1, tables=tables)  # fresh inputs
-        jax.block_until_ready(r1)
-        t0 = time.perf_counter()
-        _, errs_p = run_p(tables, r1)
-        jax.block_until_ready(errs_p)
-        dt_p = time.perf_counter() - t0
-        out["production"] = {
-            "sec_per_iteration": dt_p / n_iter,
-            "unit": f"s/iteration/restart (N_q={nq_p}, L_max={L_p}, "
-                    f"{nth}x{nph} angular grid)",
-            "arg_table_mb": round(sum(
-                int(np.prod(v.shape)) * v.dtype.itemsize
-                for v in tables.values()) / 1e6),
-        }
+    # Production scale (N_q=256, L=127, 320×640) — DEFAULT ON since round 5:
+    # the full tutorial-shaped 600-iteration schedule via the chunked runner
+    # (one mega-jit serializes a >2.5 GB proto — over the tunnel AOT limit).
+    # Tables enter jit as ARGUMENTS (embedded constants exceed the tunnel's
+    # compile-payload limit — measured HTTP 413 at ~480 MB of constants).
+    # Opt out with XF_BENCH_NO_PROD=1. L=127 keeps the fused kernels' l
+    # contraction on the 128-lane MXU boundary (measured 1.31× vs L=128).
+    if os.environ.get("XF_BENCH_PROD") or not os.environ.get("XF_BENCH_NO_PROD"):
+        try:
+            from xframe_tpu.parallel.mesh import CheckpointingRunner
+            from xframe_tpu.library.hostio import to_host
+            nq_p = 256
+            L_p = int(os.environ.get("XF_BENCH_PROD_L", "127"))
+            nth, nph = 320, 640
+            pp = make_demo_problem(nq_p, L_p, n_theta=nth, n_phi=nph,
+                                   procrustes_method=method, fused_sht=True)
+            tables = jax.device_put(pp.mtip.arg_tables())
+            jax.block_until_ready(tables)
+            sched_p = []
+            for _ in range(5):
+                sched_p += [
+                    Segment("HIO", 60, betas=np.full(60, 0.5), ft_stab=True),
+                    Segment("SW", sigma=pp.mtip.sw.default_sigma,
+                            threshold=0.1),
+                    Segment("ER", 40, betas=np.zeros(40), ft_stab=True)]
+            sched_p += [Segment("SW", sigma=pp.mtip.sw.default_sigma,
+                                threshold=0.1),
+                        Segment("ER", 100, betas=np.zeros(100), ft_stab=True)]
+            n_p = sum(s.n for s in sched_p if s.method != "SW")
+            runner = CheckpointingRunner(pp.mtip, sched_p, arg_tables=tables)
+            r0 = pp.initial_density_batch(0, 1, tables=tables)
+            states_p, errs_p = runner(r0, resume=False)   # compile + warmup
+            jax.block_until_ready(errs_p)
+            seen = float(np.atleast_1d(np.asarray(
+                to_host(states_p.best_err)))[0])
+            r1 = pp.initial_density_batch(1, 1, tables=tables)
+            jax.block_until_ready(r1)
+            t0 = time.perf_counter()
+            states_p, errs_p = runner(r1, resume=False)
+            best_p = float(np.atleast_1d(np.asarray(
+                to_host(states_p.best_err)))[0])
+            jax.block_until_ready(errs_p)
+            dt_p = time.perf_counter() - t0
+            out["production_full_schedule_restarts_per_hour"] = 3600.0 / dt_p
+            out["production"] = {
+                "sec_per_iteration": dt_p / n_p,
+                "seconds_per_restart": dt_p,
+                "restarts_per_hour": 3600.0 / dt_p,
+                "unit": f"s/iteration/restart (N_q={nq_p}, L_max={L_p}, "
+                        f"{nth}x{nph} angular grid, full 600-iter schedule)",
+                "best_err": best_p,
+                "execution_witnessed": best_p != seen,
+                "arg_table_mb": round(sum(
+                    int(np.prod(v.shape)) * v.dtype.itemsize
+                    for v in tables.values()) / 1e6),
+            }
+        except Exception as e:
+            out["production_error"] = f"{type(e).__name__}: {e}"[:300]
 
     print(json.dumps(out))
 

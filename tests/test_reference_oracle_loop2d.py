@@ -394,6 +394,92 @@ def test_step_locked_2d_loop_matches_reference(refns, ft_stab):
     np.testing.assert_allclose(errs_rec, rec_ref, rtol=1e-8, atol=1e-12)
 
 
+def test_step_locked_2d_loop_link_ft_stab(refns):
+    """Dynamic ft_stab (link_to_enforce_initial_support, reference
+    reconstruct.py:836-850) step-locked against the reference's own decision
+    rule: maintain the reference's enforce_initial_support_list, pick its
+    HIO/HIO_ft_stab recipe per change_to_ft_stab, and assert our gated run
+    follows the same per-iteration trajectory. The SW support update itself
+    is oracle-tested elsewhere; here both sides consume OUR SW output,
+    mirroring the reference loop's `real_pr.support = support` assignment."""
+    import jax
+    from xframe_tpu.projects.fxs.phasing import Segment
+    p = _problem()
+    ref = _build_reference(refns, p)
+    delay = 1
+    sigma = p.R / 2
+
+    def our_schedule():
+        return [
+            Segment("HIO", 4, betas=np.full(4, 0.5), ft_stab=True,
+                    ft_stab_link_delay=delay),
+            Segment("SW", sigma=sigma, threshold=0.08),
+            Segment("HIO", 4, betas=np.full(4, 0.5), ft_stab=True,
+                    ft_stab_link_delay=delay),
+            Segment("SW", sigma=sigma, threshold=0.08),
+            Segment("ER", 4, betas=np.zeros(4), ft_stab=True,
+                    ft_stab_link_delay=delay),
+        ]
+
+    with jax.enable_x64(True):
+        # probe with limit=inf to place a limit BETWEEN the two pre-SW errors
+        mtip = _build_ours_f64(p, ref.V, ref.avg_int)
+        rho0 = jax.numpy.asarray(p.rho0, dtype=jax.numpy.complex128)
+        _, errs_probe = mtip.run(rho0, our_schedule())
+        errs_probe = np.asarray(errs_probe)
+        pre_sw = sorted([errs_probe[3, 0], errs_probe[7, 0]])
+        limit = float(np.sqrt(pre_sw[0] * pre_sw[1])) \
+            if not np.isclose(pre_sw[0], pre_sw[1], rtol=1e-3) else np.inf
+
+        mtip = _build_ours_f64(p, ref.V, ref.avg_int)
+        mtip.enforce_limit = limit
+        sched = our_schedule()
+        mtip.register_schedule_dynamics(sched)
+        state = mtip._init_enforce_hist(mtip.initial_state(rho0))
+        our_mains, our_supports = [], []
+        for seg in sched:
+            state, errs = mtip.run_from(state, [seg])
+            if seg.method == "SW":
+                our_supports.append(np.asarray(state.support))
+            else:
+                our_mains.extend(np.asarray(errs)[:, 0].tolist())
+        our_rho = np.asarray(state.rho)
+
+    # ---- reference side: its own change_to_ft_stab rule drives recipe choice
+    enforce_list = []
+    supports = iter(our_supports)
+    pair = (ref.ft(p.rho0.copy()), p.rho0.copy())
+    mains = []
+    used_variants = []
+    for seg in our_schedule():
+        if seg.method == "SW":
+            enforce_list.append(bool(mains[-1] > limit))
+            # the reference loop assigns real_pr.enforce_initial_support
+            # BEFORE real_pr.support (reconstruct.py:879-882); its support
+            # SETTER intersects with the initial mask when that flag is set
+            # (fxs_Projections.py:52-58). Our injected support already
+            # carries the intersection when enforcement fired, so the flag
+            # must be False here — leaving the constructor default True
+            # would intersect a non-enforced support too.
+            ref.real_obj.enforce_initial_support = False
+            ref.real_obj.support = next(supports).copy()
+            continue
+        ft_on = len(enforce_list) >= delay \
+            and not any(enforce_list[-delay:])
+        used_variants.append(ft_on)
+        proc = ref.procs[seg.method + ("_ft_stab" if ft_on else "")]
+        for _ in range(seg.n):
+            pair = tuple(np.array(a) for a in proc.run(*pair))
+            mains.append(ref.main_error(ref.error_dict))
+            ref.error_dict["main"].append(mains[-1])
+
+    # the rule must have actually flipped (else the case is vacuous)
+    assert len(set(used_variants)) == 2 or limit == np.inf
+    np.testing.assert_allclose(our_mains, mains, rtol=1e-8, atol=1e-12)
+    d = np.abs(our_rho - pair[1]).max() / np.abs(pair[1]).max()
+    assert d < 1e-8, f"final density diverged by {d}"
+
+
 def test_step_locked_2d_scan_path_matches_manual(refns):
     """The lax.scan-composed run() follows the same trajectory as the manual
     per-iteration loop (same program the step-locked oracle validated)."""

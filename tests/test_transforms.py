@@ -467,6 +467,34 @@ class TestFusedIteration:
         assert abs(float(num2) - num_ref) < 1e-4 * abs(num_ref)
         assert abs(float(den2) - den_ref) < 1e-4 * abs(den_ref)
 
+    @pytest.mark.parametrize('mode', ['midpoint', 'trapz'])
+    def test_hankel_synthesize(self, mode):
+        """K1h direct parity (ADVICE r4): hankel_synthesize(c) must equal
+        (sht.inverse(H(c)), H(c)) for both the all-samples (midpoint) and
+        skip_zero (trapz) weight layouts, including a batched leading axis."""
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+        from xframe_tpu.ops.hankel import (SphericalHankelTransform,
+                                           generate_weights)
+        from xframe_tpu.ops.pallas_mtip import FusedIteration
+        sht, fused, fi0, rng = self._setup()
+        n_q, L = 8, sht.l_max
+        wd = generate_weights(L, n_q, np.pi, 3, mode)
+        ht = SphericalHankelTransform(wd, r_max=1.0)
+        fi = FusedIteration(fused, q_block=4, hankel=ht)
+        assert fi._hsyn_qb, "hsyn plan must fit at toy scale"
+        c = (rng.normal(size=(2, n_q, 2 * L + 1, L + 1))
+             + 1j * rng.normal(size=(2, n_q, 2 * L + 1, L + 1))
+             ).astype(np.complex64)
+        cf_ref = np.asarray(jax.jit(ht.forward)(jnp.asarray(c)))
+        psi_ref = np.asarray(jax.jit(sht.inverse)(jnp.asarray(cf_ref)))
+        psi, cf = jax.jit(fi.hankel_synthesize)(jnp.asarray(c))
+        assert np.abs(np.asarray(cf) - cf_ref).max() \
+            < 1e-4 * np.abs(cf_ref).max()
+        assert np.abs(np.asarray(psi) - psi_ref).max() \
+            < 1e-4 * np.abs(psi_ref).max()
+
     def test_synthesize_update_all_methods(self):
         import numpy as np
         import jax
@@ -736,6 +764,88 @@ def test_fused_sht_accuracy_vs_order(L, nt, nph, tol):
     # the jnp path is tighter still (pairwise-summed einsums)
     c_j = np.asarray(jax.jit(sht.forward)(f32)) * ref.mask
     assert rel(c_j, c0) < tol / 2
+
+
+def test_hankel_f32_weight_assembly_production_dims():
+    """VERDICT r4 #5 (part 1): the directly-f32-assembled Hankel weight
+    tables at PRODUCTION dims (N_q=256, L=127) against f64 host assembly
+    (reference weight contract: hankel_transforms.py:302-535). Covers both
+    the table contents and the applied transform."""
+    import sys
+    import os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    from sht_accuracy import rel
+    from xframe_tpu.ops.hankel import generate_weights, assemble_weights
+    nq, L = 256, 127
+    wd = generate_weights(L, nq, np.pi, 3, 'midpoint')
+    raw = np.asarray(wd['weights'])
+    w64 = assemble_weights(raw, 1.7, np.pi, 3, 'midpoint',
+                           dtype=np.complex128)
+    w32 = assemble_weights(raw, 1.7, np.pi, 3, 'midpoint',
+                           dtype=np.complex64)
+    # measured 2026-08-20: fwd 4.6e-8, inv 3.6e-8 — pinned at ~4x margin
+    assert rel(w32['forward'].astype(np.complex128), w64['forward']) < 2e-7
+    assert rel(w32['inverse'].astype(np.complex128), w64['inverse']) < 2e-7
+    # applied error on band-limited coefficients (reduced m: the Hankel
+    # contraction is independent per m — radial/order dims stay production)
+    rng = np.random.default_rng(4)
+    c0 = (rng.standard_normal((nq, 16, L + 1))
+          + 1j * rng.standard_normal((nq, 16, L + 1)))
+    a64 = np.einsum('kpl,kml->pml', w64['forward'], c0, optimize=True)
+    a32 = np.einsum('kpl,kml->pml', w32['forward'],
+                    c0.astype(np.complex64), optimize=True)
+    # measured 1.9e-7 — pinned at ~3x margin
+    assert rel(a32.astype(np.complex128), a64) < 6e-7
+
+
+def test_composed_ft_accuracy_production_shape():
+    """VERDICT r4 #5 (part 2): the FULL composed FT = iSHT∘Hankel∘SHT at the
+    production shape (N_q=256, L=127, 320×640) — f32 jnp path with
+    f32-assembled weights vs a float64 host composition. Band-limit
+    identities keep the host side affordable (SHT∘iSHT is exact on
+    band-limited coefficients, so the host analysis steps are skipped), and
+    only a radial subset of the per-shell syntheses is materialized in f64
+    (the Hankel still mixes all 256 radial nodes).
+
+    Measured 2026-08-20: fwd 3.2e-7, roundtrip 7.1e-7 vs f64 — no f32
+    accuracy cliff in the COMPOSED transform at production scale (the f64
+    quadrature round-trip defect on white coefficients is 0.41; the f32 one
+    matches it to 7 digits). Pinned at ~3x margin."""
+    import sys
+    import os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    from sht_accuracy import HostSHT64, rel
+    from xframe_tpu.ops.fourier import SphericalFourierTransform
+    from xframe_tpu.ops.hankel import generate_weights, assemble_weights
+    nq, L, nt, nph = 256, 127, 320, 640
+    ft = SphericalFourierTransform(nq, L, n_theta=nt, n_phi=nph,
+                                   mode='midpoint')
+    ref = HostSHT64(L, nt, nph)
+    rng = np.random.default_rng(3)
+    c0 = (rng.standard_normal((nq, 2 * L + 1, L + 1))
+          + 1j * rng.standard_normal((nq, 2 * L + 1, L + 1))) * ref.mask
+    rho64 = ref.inverse(c0)
+    wd = generate_weights(L, nq, np.pi, 3, 'midpoint')
+    w64 = assemble_weights(np.asarray(wd['weights']), ft.r_max, np.pi, 3,
+                           'midpoint', dtype=np.complex128)
+    cf64 = np.einsum('kpl,kml->pml', w64['forward'], c0, optimize=True)
+    cr64 = np.einsum('kpl,kml->pml', w64['inverse'], cf64, optimize=True)
+    sel = np.arange(0, nq, 8)            # 32 of 256 shells in f64
+    psi64 = ref.inverse(cf64[sel])
+    rt64 = ref.inverse(cr64[sel])
+
+    rho32 = jnp.asarray(rho64.astype(np.complex64))
+    psi32, rt32 = jax.jit(ft.forward_and_roundtrip)(rho32)
+    psi32 = np.asarray(psi32)[sel]
+    rt32 = np.asarray(rt32)[sel]
+    assert rel(psi32.astype(np.complex128), psi64) < 1e-6
+    assert rel(rt32.astype(np.complex128), rt64) < 2e-6
+    # f32 tracks the f64 quadrature defect, not adds to it
+    d64 = rel(rt64, rho64[sel])
+    d32 = rel(rt32.astype(np.complex128), rho64[sel])
+    assert abs(d32 - d64) < 1e-5
 
 
 def test_fused_sht_accuracy_bf16_tables_production_order():

@@ -97,7 +97,9 @@ def hsyn_vmem_plan(n_theta, n_phi, l_max, n_m_pad, n_q, table_itemsize,
     # tutorial scale (see docs/performance.md round-4 addendum)
     budget = int(limit * 0.95) - c_res - tab - 20 * 1024 * 1024
     lane_phi = -(-n_phi // 128) * 128
-    per_q = (4 * n_q * lane_l * 4            # w block (double-buffered)
+    lane_q = -(-n_q // 128) * 128
+    per_q = (4 * (l_max + 1) * lane_q * 4    # w block (L+1, qb, n_q):
+                                             #   n_q is the lane axis
              + 4 * n_theta * lane_phi * 4    # ψ out planes
              + 4 * n_m_pad * lane_l * 4      # cf out planes
              + 4 * n_theta * n_m_pad * 4)    # fm temporaries
@@ -364,10 +366,11 @@ def _synth_update_kernel(n_theta, n_phi, m_blk, q_b,
         obim_ref[:] = jnp.where(take, rini, bim_ref[:])
     if add_rin:
         # ρ_p + (ρ_in − rt) on q≠0 rows = synth(d) + ρ_in·[q≠0]
-        # (reconstruct.py:585-595; phasing.mtip_iteration)
+        # (reconstruct.py:585-595; phasing.mtip_iteration). scal[0,7] is the
+        # dynamic link_to_enforce_initial_support gate (1.0 when static)
         row = lax.broadcasted_iota(jnp.int32, (q_b, n_theta, n_phi), 0) \
             + i * q_b
-        keep = (row != 0).astype(jnp.float32)
+        keep = (row != 0).astype(jnp.float32) * scal[0, 7]
         rp_re = rp_re + rinr * keep
         rp_im = rp_im + rini * keep
     if fix_phase:
@@ -511,6 +514,13 @@ class FusedIteration:
                     f.table_dtype.itemsize, self._base_limit())
                 if _os.environ.get("XF_HSYN_QB"):
                     qb = int(_os.environ["XF_HSYN_QB"])
+                    # the override is a tuning knob, not a validity escape:
+                    # a non-divisor truncates grid=(B, n_q // qb) and leaves
+                    # trailing q-rows unwritten (silent garbage)
+                    if qb and (qb % 8 or n_q % qb):
+                        raise ValueError(
+                            f"XF_HSYN_QB={qb} invalid: must be 8-aligned "
+                            f"and divide n_q={n_q}")
                 if qb:
                     self._hsyn_qb = int(qb)
                     self._h_nq = int(n_q)
@@ -814,7 +824,7 @@ class FusedIteration:
     def synthesize_update(self, d, rho_in, support_f32, w,
                           beta, c_phase, *, method: str, ft_stab: bool,
                           real_constraint, fix_phase: bool = True,
-                          best_rho=None, best_flag=None):
+                          best_rho=None, best_flag=None, ft_gate=None):
         """ρ_new = update(real_constraint(iSHT(d) + ft_stab·ρ_in·[q≠0]))
         with the global-phase anchor scalar c_phase folded in; also returns
         (real-error numerator, denominator, z, z2) where z = Σwρ_new²,
@@ -881,9 +891,14 @@ class FusedIteration:
                                  if rc.threshold_low is not None else 0.0),
                      jnp.float32(rc.threshold_high
                                  if rc.threshold_high is not None else 0.0),
-                     jnp.float32(rc.limit_imag)]
-        if track_best:
-            scal_vals.append(jnp.asarray(best_flag, dtype=jnp.float32))
+                     jnp.float32(rc.limit_imag),
+                     # slot 6: best flag (0 when untracked); slot 7: the
+                     # dynamic ft-stab gate scaling the ρ_in·[q≠0] add
+                     # (link_to_enforce_initial_support; 1 = static ft_stab)
+                     jnp.asarray(best_flag if best_flag is not None else 0.0,
+                                 dtype=jnp.float32),
+                     jnp.asarray(ft_gate if ft_gate is not None else 1.0,
+                                 dtype=jnp.float32)]
         scal = _scatter_scalars(scal_vals)[None]                  # (1, 8, 128)
         kern = partial(_synth_update_kernel, nt, nph, mb, qb,
                        method, bool(ft_stab), flags, bool(fix_phase),

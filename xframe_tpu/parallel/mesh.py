@@ -191,7 +191,11 @@ def _chunk_structure_args(chunk):
             structure.append((seg.method,))
             args.append(())
         else:
-            structure.append((seg.method, int(seg.n), bool(seg.ft_stab)))
+            link = int(getattr(seg, "ft_stab_link_delay", 0) or 0)
+            structure.append((seg.method, int(seg.n), bool(seg.ft_stab))
+                             if not link else
+                             (seg.method, int(seg.n), bool(seg.ft_stab),
+                              link))
             args.append(np.asarray(seg.betas, dtype=np.float32))
     return tuple(structure), tuple(args)
 
@@ -214,6 +218,10 @@ class CheckpointingRunner:
         # scalar so identical structures still share one compilation)
         if getattr(mtip, "best_mode", "eager") == "replay":
             mtip.set_schedule_tables(schedule)
+        # dynamic ft_stab: the enforce-history length must come from the FULL
+        # schedule, not per-chunk sub-schedules (history carries across SWs)
+        if hasattr(mtip, "register_schedule_dynamics"):
+            mtip.register_schedule_dynamics(schedule)
         self._chunk_pos = np.cumsum(
             [0] + [sum(s.n for s in c if s.method not in
                        ("SW", "SW_center", "SNAPSHOT", "RESET_TO_BEST"))
@@ -310,6 +318,10 @@ class CheckpointingRunner:
             data["anchor_z2_im"] = np.imag(h.anchor_z2)
             data["anchor_start"] = np.asarray(h.anchor_start)
             data["anchor_len"] = np.asarray(h.anchor_len)
+            if h.anchor_gate is not None:
+                data["anchor_gate"] = np.asarray(h.anchor_gate)
+        if h.enforce_hist is not None:  # dynamic ft_stab shift register
+            data["enforce_hist"] = np.asarray(h.enforce_hist)
         tmp = self.checkpoint_path + ".tmp"
         os.makedirs(os.path.dirname(os.path.abspath(tmp)), exist_ok=True)
         hdf5_io.save(tmp, data)
@@ -350,7 +362,10 @@ class CheckpointingRunner:
                     np.asarray(d["anchor_z2_re"])
                     + 1j * np.asarray(d["anchor_z2_im"]), self.mtip.cdtype),
                 anchor_start=np.asarray(d["anchor_start"], dtype=np.int32),
-                anchor_len=np.asarray(d["anchor_len"], dtype=np.int32))
+                anchor_len=np.asarray(d["anchor_len"], dtype=np.int32),
+                anchor_gate=np.asarray(d["anchor_gate"], dtype=np.float32)
+                if "anchor_gate" in d else
+                np.ones_like(np.asarray(d["best_err"], dtype=np.float32)))
         elif self.mtip.best_mode == "replay":
             # checkpoint written by eager/lazy bookkeeping (or round-3
             # code) resumed under replay: synthesize fresh anchors from the
@@ -360,6 +375,9 @@ class CheckpointingRunner:
             state = state._replace(**self.mtip._anchor_fields(
                 state.best_rho, state.best_mask,
                 batch_shape=state.best_err.shape))
+        if "enforce_hist" in d:          # dynamic ft_stab shift register
+            state = state._replace(
+                enforce_hist=np.asarray(d["enforce_hist"]).astype(bool))
         prev = np.asarray(d["errors"], dtype=np.float32)
         errors = [prev] if prev.ndim == 3 and prev.shape[1] > 0 else []
         return state, int(d["chunk_index"]), errors

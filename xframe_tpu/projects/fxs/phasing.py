@@ -44,6 +44,12 @@ class Segment:
     ft_stab: bool = False
     sigma: float = 0.0          # SW gaussian sigma
     threshold: float = 0.0      # SW relative threshold
+    # dynamic ft_stab (reference 'link_to_enforce_initial_support',
+    # reconstruct.py:836-850): when > 0, ft_stab applies iff at least
+    # `delay` shrink-wrap events have happened AND none of the last `delay`
+    # enforced the initial support. ft_stab must be True (the compiled
+    # structure); the runtime gate multiplies the correction by 0/1.
+    ft_stab_link_delay: int = 0
 
 
 def build_schedule(main_loop_opt, hio_beta_opt, sw_sigmas_opt, sw_thresholds_opt,
@@ -121,23 +127,33 @@ def build_schedule(main_loop_opt, hio_beta_opt, sw_sigmas_opt, sw_thresholds_opt
                     step += repeats
                     # per-method ft_stab (reference methods.<m>.ft_stab,
                     # reconstruct.py:836-850) wins over the rebuild's
-                    # main_loop.ft_stabilization {loop: {method: bool}} map;
-                    # the reference's 'link_to_enforce_initial_support'
-                    # dynamic variant is not supported (static schedules)
+                    # main_loop.ft_stabilization {loop: {method: bool}} map.
                     fts = mopt.get('ft_stab', None) \
                         if hasattr(mopt, 'get') else None
+                    link_delay = 0
                     if isinstance(fts, str):
-                        import logging
-                        logging.getLogger("xframe_tpu").warning(
-                            "ft_stab=%r is not supported (schedules are "
-                            "static); using ft_stab=False for %s", fts, method)
-                        fts = False
+                        if fts != 'link_to_enforce_initial_support':
+                            raise ValueError(
+                                f"unknown ft_stab mode {fts!r} for {method}")
+                        # reference: delay = max(int(opts.link_to_enforce_
+                        # initial_support.delay), 1) (reconstruct.py:844);
+                        # ft_stab applies iff >= delay SW events exist and
+                        # NONE of the last `delay` enforced the initial
+                        # support — realized as a runtime 0/1 gate on the
+                        # compiled ft-stab structure (carried enforce
+                        # history, see PhasingState.enforce_hist)
+                        link = mopt.get('link_to_enforce_initial_support',
+                                        None) if hasattr(mopt, 'get') else None
+                        delay = link.get('delay', 1) \
+                            if link is not None and hasattr(link, 'get') else 1
+                        link_delay = max(int(delay), 1)
+                        fts = True
                     if fts is None:
                         fts = bool(method_ft_stab.get(loop_name, {})
                                    .get(method, False))
                     segments.append(Segment(
                         method=base, n=repeats, betas=betas,
-                        ft_stab=bool(fts)))
+                        ft_stab=bool(fts), ft_stab_link_delay=link_delay))
         if n_first is not None:
             segments.append(Segment(method='RESET_TO_BEST'))
     return segments
@@ -169,6 +185,15 @@ class PhasingState(NamedTuple):
     anchor_z2: Any = None
     anchor_start: Any = None     # global iteration index of the anchor
     anchor_len: Any = None       # iterations to replay (0 = anchor IS best)
+    # dynamic ft_stab (link_to_enforce_initial_support): boolean history of
+    # the last D shrink-wrap enforce flags, newest LAST, initialized all-True
+    # (reference: ft_stab stays off until >= delay real SW events exist —
+    # padding Trues reproduce that, reconstruct.py:844-849). None unless the
+    # schedule contains a linked segment.
+    enforce_hist: Any = None
+    # the ft-stab gate that was live at the replay anchor's segment (replay
+    # best tracking must re-run those iterations with the same gate)
+    anchor_gate: Any = None
 
 
 class MTIP:
@@ -352,6 +377,47 @@ class MTIP:
         self._replay_combos = ()
         self._replay_betas = np.zeros(1, np.float32)
         self._replay_cidx = np.zeros(1, np.int32)
+        # dynamic ft_stab: length of the carried enforce history = max link
+        # delay over the FULL schedule (register_schedule_dynamics; 0 = the
+        # feature is off and PhasingState.enforce_hist stays None)
+        self._link_hist_len = 0
+
+    # -------------------------------------------------- dynamic ft_stab (r5)
+    def register_schedule_dynamics(self, schedule):
+        """Record the max link_to_enforce_initial_support delay of the FULL
+        schedule. Runners call this before chunking — a chunk-local maximum
+        would drop history carried across chunks."""
+        d = max((int(getattr(s, 'ft_stab_link_delay', 0) or 0)
+                 for s in schedule), default=0)
+        self._link_hist_len = max(self._link_hist_len, d)
+        return self._link_hist_len
+
+    def _init_enforce_hist(self, state, schedule=None):
+        """Lazily attach the all-True enforce history when any linked
+        segment exists (see PhasingState.enforce_hist)."""
+        if schedule is not None:
+            self.register_schedule_dynamics(schedule)
+        if self._link_hist_len and state.enforce_hist is None:
+            lead = jnp.shape(state.last_err)
+            state = state._replace(enforce_hist=jnp.ones(
+                lead + (self._link_hist_len,), dtype=bool))
+        return state
+
+    def _ft_gate(self, state, seg):
+        """0/1 runtime gate for a linked segment: 1 iff none of the last
+        `delay` shrink-wrap events enforced the initial support (all-True
+        padding keeps it 0 until `delay` real events exist)."""
+        d = int(getattr(seg, 'ft_stab_link_delay', 0) or 0)
+        if not d:
+            return None
+        hist = state.enforce_hist
+        if hist is None:
+            raise ValueError(
+                "segment has ft_stab_link_delay but the state carries no "
+                "enforce history — call register_schedule_dynamics with the "
+                "full schedule before running chunks")
+        d = min(d, hist.shape[-1])
+        return 1.0 - jnp.any(hist[..., -d:], axis=-1).astype(self.rdtype)
 
     # ------------------------------------------- big tables as jit arguments
     def arg_tables(self):
@@ -516,10 +582,14 @@ class MTIP:
         s = jnp.sign(jnp.sum(self._w_err * rho_g.real))
         return rho_g * jnp.where(s < 0, -1.0, 1.0).astype(rho.dtype)
 
-    def mtip_iteration(self, rho_in, support, beta, method: str, ft_stab: bool):
+    def mtip_iteration(self, rho_in, support, beta, method: str, ft_stab: bool,
+                       ft_gate=None):
         """One HIO/ER/RAAR step (reconstruct.py HIO sketch :576-595).
         → (rho_new, real error, reciprocal error, n̂ particle estimate —
-        0 when estimation is disabled)."""
+        0 when estimation is disabled). ft_gate: optional traced 0/1 scalar
+        multiplying the ft-stab correction (dynamic
+        link_to_enforce_initial_support; gate 0 reproduces ft_stab=False
+        exactly because the correction enters additively)."""
         if self.fix_global_phase:
             rho_in = self._anchor_global_phase(rho_in)
         if ft_stab and hasattr(self.ft, 'forward_and_roundtrip'):
@@ -545,6 +615,8 @@ class MTIP:
             # add back the FT-roundtrip defect of the input (except radial 0)
             rt = roundtrip if roundtrip is not None else self.ft.inverse(psi)
             corr = rho_in - rt
+            if ft_gate is not None:
+                corr = corr * ft_gate.astype(corr.dtype)
             rho_p = rho_p + corr.at[0].set(0)
         rho_proj, invalid = self.real(rho_p, support)
         err_real = self._real_error(rho_p, rho_proj)
@@ -597,7 +669,7 @@ class MTIP:
 
     def _mtip_iteration_fused(self, rho_in, support_f32, beta, method: str,
                               ft_stab: bool, z, z2, best_rho=None,
-                              best_flag=None):
+                              best_flag=None, ft_gate=None):
         """One fused HIO/ER/RAAR step. rho_in is UN-anchored; the anchor
         scalar (from last iteration's z/z2 stats) rides through the linear
         reciprocal chain and is applied inside synthesize_update.
@@ -637,16 +709,22 @@ class MTIP:
             # = synth(c_ψp − cf under H⁻¹)|_{row0 fixed} + ρ_in·[q≠0].
             # Hankel is ALSO linear, so H⁻¹(c_ψp) − H⁻¹(cf) = H⁻¹(c_ψp − cf)
             # — ONE Hankel inverse instead of two; the row-0 reset needs only
-            # H⁻¹(cf)[0], a single weight-row contraction (−27 MB, −1 launch)
-            d = ft.hankel.inverse(c_p - cf)
-            d = d.at[0].add(ft.hankel.inverse_row0(cf))
+            # H⁻¹(cf)[0], a single weight-row contraction (−27 MB, −1 launch).
+            # Dynamic link mode: cf scaled by the 0/1 gate (and the kernel's
+            # ρ_in·[q≠0] add gated by the same scalar) reproduces
+            # ft_stab=False exactly at gate 0 — the whole correction is
+            # linear in cf and ρ_in.
+            cf_eff = cf if ft_gate is None \
+                else cf * ft_gate.astype(cf.dtype)
+            d = ft.hankel.inverse(c_p - cf_eff)
+            d = d.at[0].add(ft.hankel.inverse_row0(cf_eff))
         else:
             d = ft.hankel.inverse(c_p)
         outs = self._fi.synthesize_update(
             d, rho_in, support_f32, self._k4_weights(),
             beta, c_phase, method=method, ft_stab=ft_stab,
             real_constraint=self.real, fix_phase=self.fix_global_phase,
-            best_rho=best_rho, best_flag=best_flag)
+            best_rho=best_rho, best_flag=best_flag, ft_gate=ft_gate)
         if best_rho is not None:
             rho_new, best_new, num, den, z_n, z2_n = outs
         else:
@@ -657,7 +735,8 @@ class MTIP:
             return rho_new, best_new, err, err_rec, z_n, z2_n
         return rho_new, err, err_rec, z_n, z2_n
 
-    def _run_segment_fused(self, state: PhasingState, seg: Segment, betas):
+    def _run_segment_fused(self, state: PhasingState, seg: Segment, betas,
+                           gate=None):
         """Fused-kernel segment scan. Two best-state strategies, final
         results identical (see tests/test_transforms.py lazy-vs-eager):
 
@@ -682,7 +761,8 @@ class MTIP:
             def body(carry, beta):
                 rho, best_rho, best_mask, best_err, _, z, z2 = carry
                 rho_new, err, err_rec, z_n, z2_n = self._mtip_iteration_fused(
-                    rho, sup_f, beta, seg.method, seg.ft_stab, z, z2)
+                    rho, sup_f, beta, seg.method, seg.ft_stab, z, z2,
+                    ft_gate=gate)
                 better = err < best_err
                 best_rho = jnp.where(better, rho_new, best_rho)
                 best_mask = jnp.where(better, state.support, best_mask)
@@ -694,9 +774,9 @@ class MTIP:
                      state.best_err, state.last_err, z, z2)
             carry, errs = jax.lax.scan(body, carry, betas)
             rho, best_rho, best_mask, best_err, last_err = carry[:5]
-            return PhasingState(rho, state.support, best_rho, best_mask,
-                                best_err, last_err,
-                                state.err_snapshot), errs
+            return state._replace(
+                rho=rho, best_rho=best_rho, best_mask=best_mask,
+                best_err=best_err, last_err=last_err), errs
 
         def body(carry, beta):
             rho, best_rho, best_err, pending_err, z, z2 = carry
@@ -704,7 +784,8 @@ class MTIP:
             rho_new, best_new, err, err_rec, z_n, z2_n = \
                 self._mtip_iteration_fused(rho, sup_f, beta, seg.method,
                                            seg.ft_stab, z, z2,
-                                           best_rho=best_rho, best_flag=flag)
+                                           best_rho=best_rho, best_flag=flag,
+                                           ft_gate=gate)
             best_err = jnp.minimum(pending_err, best_err)
             return (rho_new, best_new, best_err, err, z_n, z2_n), \
                 jnp.stack([err, err_rec])
@@ -721,20 +802,22 @@ class MTIP:
         best_err = jnp.minimum(pending_err, best_err)
         improved = best_err < state.best_err
         best_mask = jnp.where(improved, state.support, state.best_mask)
-        return PhasingState(rho, state.support, best_rho, best_mask,
-                            best_err, pending_err,
-                            state.err_snapshot), errs
+        return state._replace(
+            rho=rho, best_rho=best_rho, best_mask=best_mask,
+            best_err=best_err, last_err=pending_err), errs
 
     # ---------------------------------------------------- replay best (O4)
     def set_schedule_tables(self, schedule):
         """Global per-iteration (β, method, ft_stab) tables over the FULL
         flattened schedule — the replay-mode anchor indexes into these.
         Call once per run with the complete schedule (runners do)."""
+        self.register_schedule_dynamics(schedule)
         betas, cidx, combos = [], [], []
         for seg in schedule:
             if seg.method in ("SW", "SW_center", "SNAPSHOT", "RESET_TO_BEST"):
                 continue
-            key = (seg.method, bool(seg.ft_stab))
+            key = (seg.method, bool(seg.ft_stab),
+                   int(getattr(seg, 'ft_stab_link_delay', 0) or 0))
             if key not in combos:
                 combos.append(key)
             k = combos.index(key)
@@ -752,7 +835,8 @@ class MTIP:
         zero_i = jnp.zeros(batch_shape, dtype=jnp.int32)
         return dict(anchor_rho=rho, anchor_sup=support.astype(jnp.int8),
                     anchor_z=zero_c, anchor_z2=zero_c,
-                    anchor_start=zero_i, anchor_len=zero_i)
+                    anchor_start=zero_i, anchor_len=zero_i,
+                    anchor_gate=jnp.ones(batch_shape, dtype=self.rdtype))
 
     def _replay_best(self, state: PhasingState):
         """Reconstruct the best iterate: replay anchor_len iterations from
@@ -764,14 +848,16 @@ class MTIP:
         cidx_tab = jnp.asarray(self._replay_cidx)
         sup_i8 = state.anchor_sup
 
-        def make_branch(method, stab):
+        def make_branch(method, stab, link_delay=0):
+            # linked segments replay with the gate recorded at the anchor
+            gate = state.anchor_gate if link_delay else None
             def br(rho, z, z2, beta):
                 rho_n, _, _, z_n, z2_n = self._mtip_iteration_fused(
-                    rho, sup_i8, beta, method, stab, z, z2)
+                    rho, sup_i8, beta, method, stab, z, z2, ft_gate=gate)
                 return rho_n, z_n, z2_n
             return br
 
-        branches = [make_branch(m, s) for m, s in self._replay_combos] \
+        branches = [make_branch(*key) for key in self._replay_combos] \
             or [make_branch("ER", False)]
 
         def body(i, carry):
@@ -807,7 +893,7 @@ class MTIP:
     REPLAY_ANCHOR_CHUNK = 16
 
     def _run_segment_fused_replay(self, state: PhasingState, seg: Segment,
-                                  betas, pos):
+                                  betas, pos, gate=None):
         """Fused segment scan WITHOUT grid-sized best tracking: the carry is
         (ρ, z, z2) only; one conditional anchor update per ≤CHUNK iterations
         replaces the per-iteration 400 MB best-state select."""
@@ -817,11 +903,16 @@ class MTIP:
         else:
             zero = jnp.zeros((), dtype=self.cdtype)
             z, z2 = zero, zero
+        # gate value recorded with the anchor so _replay_best re-runs the
+        # anchored iterations with the segment's live ft-stab gate
+        gate_val = jnp.asarray(1.0, self.rdtype) if gate is None \
+            else gate.astype(self.rdtype)
 
         def body(carry, beta):
             rho, z, z2 = carry
             rho_new, err, err_rec, z_n, z2_n = self._mtip_iteration_fused(
-                rho, sup_i8, beta, seg.method, seg.ft_stab, z, z2)
+                rho, sup_i8, beta, seg.method, seg.ft_stab, z, z2,
+                ft_gate=gate)
             return (rho_new, z_n, z2_n), jnp.stack([err, err_rec])
 
         n = int(betas.shape[0])
@@ -834,7 +925,7 @@ class MTIP:
             600-iteration tutorial program a 2.95 GB executable proto,
             over the tunnel's AOT serialize limit."""
             (rho, z, z2, best_err, a_rho, a_sup, a_z, a_z2, a_start,
-             a_len) = carry
+             a_len, a_gate) = carry
             betas_k, pos_k = xs
             entry_rho, entry_z, entry_z2 = rho, z, z2
             (rho, z, z2), errs = jax.lax.scan(body, (rho, z, z2), betas_k)
@@ -855,12 +946,15 @@ class MTIP:
                           jnp.where(at_end, 0,
                                     (seg_arg + 1).astype(jnp.int32)),
                           a_len).astype(jnp.int32),
+                jnp.where(improved, gate_val, a_gate),
             )
             return carry, errs
 
+        a_gate0 = state.anchor_gate if state.anchor_gate is not None \
+            else jnp.asarray(1.0, self.rdtype)
         carry = (state.rho, z, z2, state.best_err, state.anchor_rho,
                  state.anchor_sup, state.anchor_z, state.anchor_z2,
-                 state.anchor_start, state.anchor_len)
+                 state.anchor_start, state.anchor_len, a_gate0)
         n_main = (n // K) * K
         err_parts = []
         if n_main:
@@ -877,12 +971,13 @@ class MTIP:
         errs = jnp.concatenate(err_parts) if len(err_parts) > 1 \
             else err_parts[0]
         (rho, _, _, best_err, a_rho, a_sup, a_z, a_z2, a_start,
-         a_len) = carry
+         a_len, a_gate) = carry
         return state._replace(
             rho=rho, best_err=best_err, last_err=errs[-1, 0],
             anchor_rho=a_rho, anchor_sup=a_sup,
             anchor_z=a_z, anchor_z2=a_z2,
-            anchor_start=a_start, anchor_len=a_len), errs
+            anchor_start=a_start, anchor_len=a_len,
+            anchor_gate=a_gate), errs
 
     # -------------------------------------------------------------- segments
     def _run_segment(self, state: PhasingState, seg: Segment, betas=None,
@@ -893,15 +988,18 @@ class MTIP:
         segment's first iteration (replay-mode anchor bookkeeping)."""
         if betas is None:
             betas = jnp.asarray(seg.betas, dtype=self.rdtype)
+        gate = self._ft_gate(state, seg)
         if self._fi is not None:
             if self.best_mode == "replay":
-                return self._run_segment_fused_replay(state, seg, betas, pos)
-            return self._run_segment_fused(state, seg, betas)
+                return self._run_segment_fused_replay(state, seg, betas, pos,
+                                                      gate=gate)
+            return self._run_segment_fused(state, seg, betas, gate=gate)
 
         def body(carry, beta):
             rho, best_rho, best_mask, best_err, _ = carry
             rho_new, err, err_rec, n_hat, extras = self.mtip_iteration(
-                rho, state.support, beta, seg.method, seg.ft_stab)
+                rho, state.support, beta, seg.method, seg.ft_stab,
+                ft_gate=gate)
             better = err < best_err
             best_rho = jnp.where(better, rho_new, best_rho)
             best_mask = jnp.where(better, state.support, best_mask)
@@ -915,8 +1013,9 @@ class MTIP:
                  state.last_err)
         carry, errs = jax.lax.scan(body, carry, betas)
         rho, best_rho, best_mask, best_err, last_err = carry
-        return PhasingState(rho, state.support, best_rho, best_mask,
-                            best_err, last_err, state.err_snapshot), errs
+        return state._replace(
+            rho=rho, best_rho=best_rho, best_mask=best_mask,
+            best_err=best_err, last_err=last_err), errs
 
     def _shrink_wrap(self, state: PhasingState, seg: Segment, sigma=None,
                      threshold=None):
@@ -937,6 +1036,13 @@ class MTIP:
                                           current_support=state.support)
         enforce = state.last_err > self.enforce_limit
         support = jnp.where(enforce, new_support & self.initial_support, new_support)
+        if state.enforce_hist is not None:
+            # shift register, newest last (reference appends one flag per SW
+            # event, reconstruct.py:879-889)
+            hist = jnp.concatenate(
+                [state.enforce_hist[..., 1:],
+                 jnp.asarray(enforce, bool)[..., None]], axis=-1)
+            return state._replace(rho=rho, support=support, enforce_hist=hist)
         return state._replace(rho=rho, support=support)
 
     def _snapshot(self, state: PhasingState):
@@ -967,7 +1073,7 @@ class MTIP:
                              best_mask=sup, best_err=inf, last_err=inf)
         if self.best_mode == "replay":
             state = state._replace(**self._anchor_fields(rho, sup))
-        return state
+        return self._init_enforce_hist(state)
 
     def initial_state_batch(self, rho0_batch, support=None):
         """Fresh batched PhasingState (restart axis leading); jit this —
@@ -986,7 +1092,7 @@ class MTIP:
                              best_mask=sup, best_err=inf, last_err=inf)
         if self.best_mode == "replay":
             state = state._replace(**self._anchor_fields(rho, sup, (n,)))
-        return state
+        return self._init_enforce_hist(state)
 
     def run_from(self, state: PhasingState, schedule, pos=0,
                  materialize=True):
@@ -996,6 +1102,10 @@ class MTIP:
         → (state, errors (n_iter, 2))."""
         if self.best_mode == "replay" and not len(self._replay_combos):
             self.set_schedule_tables(schedule)
+        # dynamic ft_stab: make sure the enforce history exists BEFORE any
+        # SW runs (direct full-schedule callers; runners register the full
+        # schedule themselves so chunk sub-schedules can't shrink it)
+        state = self._init_enforce_hist(state, schedule=schedule)
         err_chunks = []
         for seg in schedule:
             if seg.method in ('SW', 'SW_center'):
@@ -1040,8 +1150,10 @@ class MTIP:
             elif seg_s[0] == 'RESET_TO_BEST':
                 state = self._reset_to_best(state)
             else:
-                method, n, ft_stab = seg_s
-                seg = Segment(method, n, ft_stab=ft_stab)
+                method, n, ft_stab = seg_s[:3]
+                link_delay = seg_s[3] if len(seg_s) > 3 else 0
+                seg = Segment(method, n, ft_stab=ft_stab,
+                              ft_stab_link_delay=link_delay)
                 state, errs = self._run_segment(
                     state, seg, betas=jnp.asarray(a, dtype=self.rdtype),
                     pos=pos0 + off)
@@ -1055,6 +1167,7 @@ class MTIP:
         """Full phasing run for ONE restart; vmap over restarts outside."""
         if self.best_mode == "replay":
             self.set_schedule_tables(schedule)
+        self.register_schedule_dynamics(schedule)
         state = self.initial_state(rho0)
         # (n_iterations, 2|3): columns = (real "main" error, reciprocal
         # error[, particle-number estimate when enabled])
