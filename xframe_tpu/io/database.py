@@ -72,6 +72,14 @@ class DefaultDB:
             from xframe_tpu.library import pdb as pdb_io
             file = str(path)[len("pdb://"):]
             grid = kwargs.get("grid_cartesian")
+            if pdb_io.is_map_file(file):
+                # experimental density (CCP4/MRC map file) with the
+                # reference's crs↔xyz sampling (pdb_plugin.py:74-123)
+                if grid is None:
+                    return pdb_io.read_ccp4(file)
+                return pdb_io.map_density(
+                    file, grid, center=kwargs.get("center", True),
+                    fill_value=kwargs.get("fill_value", 0.0))
             if grid is None:
                 pos, zs, occ = pdb_io.parse_pdb(file)
                 return {"positions": pos, "electrons": zs, "occupancies": occ}

@@ -255,15 +255,18 @@ class ProjectWorker(ProjectWorkerInterface):
         # production scale — the guess jits reuse them instead of embedding
         # the same ~250 MB as compile-payload constants
         guess_tables = getattr(runner, "_tables", None) or None
+        chunk_times = []           # per-chunk walls: first chunk = compile
         if batch and batch < n_restarts and ckpt_path is None:
             n_chunks = -(-n_restarts // batch)
             parts = []
             for ci in range(n_chunks):
+                t_c = time.perf_counter()
                 r0 = aux["initial_density_batch"](int(seed) + ci, batch,
                                                   tables=guess_tables)
                 s, e = runner(r0)
+                jax.block_until_ready(e)
+                chunk_times.append(time.perf_counter() - t_c)
                 parts.append((r0, s, e))
-            jax.block_until_ready(parts[-1][2])
             cat = jax.jit(lambda *xs: jnp.concatenate(xs, axis=0))
             trim = jax.jit(lambda x: x[:n_restarts])
             rho0s = trim(cat(*[p[0] for p in parts]))
@@ -280,21 +283,37 @@ class ProjectWorker(ProjectWorkerInterface):
         if tracing:
             jax.profiler.stop_trace()
 
+        t_col0 = time.perf_counter()
         results = self._collect_results(mtip, ft, aux, states, errors, order,
                                         seed, rho0s=rho0s)
+        t_collect = time.perf_counter() - t_col0
         # phasing iterations only: SW/SW_center events and the
         # SNAPSHOT/RESET_TO_BEST markers (n=1 each) are not MTIP steps
         n_iter = sum(s.n for s in schedule
                      if s.method in ("HIO", "ER", "RAAR"))
         results["timing"] = {"setup_s": t_setup, "phasing_s": t_run,
+                             "collect_s": t_collect,
                              "sec_per_iteration_per_restart":
                                  t_run / max(n_iter * n_restarts, 1)}
+        if chunk_times:
+            # chunk 0 carries the compile; the steady-state rate is the rest
+            results["timing"]["chunk_walls_s"] = chunk_times
+            steady = chunk_times[1:] or chunk_times
+            results["timing"]["steady_sec_per_restart"] = \
+                float(np.mean(steady)) / max(batch, 1)
+        t_save0 = time.perf_counter()
         path, run = self.db.save("reconstructions", results)
+        t_save = time.perf_counter() - t_save0
         if ckpt_path and os.path.exists(ckpt_path):
             os.remove(ckpt_path)  # completed: the archive is the durable copy
         print(f"reconstruct: {n_restarts} restarts, {n_iter} iterations each "
               f"in {t_run:.1f}s (incl. compile), best error "
               f"{best_err[order[0]]:.3e}; saved to {path}")
+        print("reconstruct timing: setup {:.1f}s, phasing {:.1f}s{}, "
+              "collect {:.1f}s, save {:.1f}s".format(
+                  t_setup, t_run,
+                  " (chunks: " + ", ".join(f"{c:.1f}" for c in chunk_times)
+                  + ")" if chunk_times else "", t_collect, t_save))
         return results
 
     # ---------------------------------------------------------------- loading

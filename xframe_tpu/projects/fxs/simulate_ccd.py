@@ -114,11 +114,21 @@ def build_density_from_shapes(grid, shapes_opt, rng=None):
     entry smears a deposited structure onto the grid (library.pdb)."""
     density = np.zeros(grid.shape[:-1])
     if str(shapes_opt.get("types", [""])[0]) == "pdb":
-        from xframe_tpu.library.pdb import pdb_density
+        from xframe_tpu.library import pdb as pdb_io
         from xframe_tpu.library.shapes import spherical_to_cartesian
-        return pdb_density(str(shapes_opt["pdb_file"]),
-                           spherical_to_cartesian(grid),
-                           resolution=float(shapes_opt.get("resolution", 4.0)))
+        src = str(shapes_opt.get("map_file") or shapes_opt["pdb_file"])
+        if pdb_io.is_map_file(src):
+            # experimental density from a local CCP4/MRC map (e.g. a
+            # downloaded 2Fo-Fc map — the reference's pdb_eda input,
+            # pdb_plugin.py:38-46, without the network dependency)
+            cart = spherical_to_cartesian(grid)
+            if cart.shape[-1] == 2:            # 2D polar grid: z = 0 slice
+                cart = np.concatenate(
+                    [cart, np.zeros(cart.shape[:-1] + (1,))], axis=-1)
+            return pdb_io.map_density(src, cart)
+        return pdb_io.pdb_density(
+            src, spherical_to_cartesian(grid),
+            resolution=float(shapes_opt.get("resolution", 4.0)))
     types = list(shapes_opt["types"])
     centers = list(shapes_opt["centers"])
     sizes = list(shapes_opt["sizes"])
