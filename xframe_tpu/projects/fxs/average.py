@@ -40,16 +40,27 @@ class ProjectWorker(ProjectWorkerInterface):
             or getattr(self, "_" + routine, None)
         if loader is None:
             raise AttributeError(f"unknown load_routine {routine!r}")
+        import time
+        t0 = time.perf_counter()
         recs, cfg = loader()
+        t_load = time.perf_counter() - t0
         densities, psis, errors, meta, masks = self._select(recs)
         if len(densities) == 0:
             raise RuntimeError("no reconstructions pass the selection filter")
         proj_per_file = [r.get("projection_matrices") for r in recs]
+        t0 = time.perf_counter()
         result = self.average(densities, psis, errors, cfg, meta,
                               proj_per_file=proj_per_file, masks=masks)
+        t_avg = time.perf_counter() - t0
+        t0 = time.perf_counter()
         path, run = self.db.save("average_results", result)
+        t_save = time.perf_counter() - t0
+        result.setdefault("timing", {}).update(
+            {"load_s": t_load, "average_s": t_avg, "save_s": t_save})
         print(f"average: aligned {len(result['aligned'])} of {len(densities)} "
               f"reconstructions; saved to {path}")
+        print(f"average timing: load {t_load:.1f}s, device+align {t_avg:.1f}s,"
+              f" save {t_save:.1f}s")
         return result
 
     # --------------------------------------------------------------- loading

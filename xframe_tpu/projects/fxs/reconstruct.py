@@ -979,7 +979,6 @@ class ProjectWorker(ProjectWorkerInterface):
         keep = opt.multi_start.get("results_to_keep", "all")
         ids = order if (isinstance(keep, str) and keep == "all") \
             else order[: int(keep)]
-        finalize = jax.jit(mtip.finalize)
         errors_h = to_host(errors)
 
         # undo the setup-time data normalization: I ∝ s ⇒ ψ, ρ ∝ √s
@@ -990,7 +989,6 @@ class ProjectWorker(ProjectWorkerInterface):
         center_out = bool(opt.get("output_density_modifiers", {})
                           .get("shift_to_center", False)) \
             and getattr(mtip, "_r_cart", None) is not None
-        center_fn = jax.jit(mtip._center_density) if center_out else None
         # output_density_modifiers.fix_orientation (2D, reference
         # reconstruct.py:736-751): resolve the residual discrete in-plane
         # rotation ambiguity left by the SO(2) gauge pin via the final
@@ -1011,19 +1009,68 @@ class ProjectWorker(ProjectWorkerInterface):
         # tunnel round-trip)
         init_sup_h = to_host(aux["initial_support"])
         best_err_h = np.atleast_1d(np.asarray(to_host(states.best_err)))
+
+        # Batched, radially-cropped device→host fetch (round 5): the tunnel
+        # readback dominated the e2e reconstruct wall (104 s of 429 s for
+        # 8 restarts when fetched per restart). Three lossless cuts:
+        #   * one transfer per array KIND (stacked over the kept restarts)
+        #     instead of ~7 per restart,
+        #   * radial rows that are exactly zero across the whole batch are
+        #     not shipped (support-projected densities are exact zeros past
+        #     the support radius — 44 of 128 rows live in the tutorial),
+        #   * boolean masks ship bit-packed (to_host widens bool to an f32
+        #     plane on the tunnel — packbits is 32× fewer wire bytes).
+        idx = jnp.asarray(np.asarray(ids, dtype=np.int32))
+        take = jax.jit(lambda a, i: jnp.take(a, i, axis=0))
+
+        def fetch_cropped(a_dev):
+            nz = np.asarray(to_host(jax.jit(
+                lambda x: jnp.any(x != 0, axis=tuple(range(2, x.ndim))))(
+                    a_dev)))
+            rows = np.nonzero(nz.any(axis=0))[0]
+            out = np.zeros(a_dev.shape, dtype=np.dtype(a_dev.dtype))
+            if len(rows):
+                # 16-row granularity keeps the slice-program jit cache (and
+                # the persistent compile cache) stable across runs
+                k = min(int(-(-(int(rows.max()) + 1) // 16) * 16),
+                        a_dev.shape[1])
+                out[:, :k] = to_host(jax.jit(lambda x: x[:, :k])(a_dev))
+            return out
+
+        def fetch_mask(m_dev):
+            if hasattr(jnp, "packbits"):
+                packed = to_host(jax.jit(
+                    lambda x: jnp.packbits(x, axis=-1))(m_dev))
+                return np.unpackbits(np.asarray(packed).astype(np.uint8),
+                                     axis=-1,
+                                     count=m_dev.shape[-1]).astype(bool)
+            return np.asarray(to_host(m_dev)).astype(bool)
+
+        rho_b = take(states.best_rho, idx)
+        last_b = take(states.rho, idx)
+        if center_out:
+            cfn = jax.jit(jax.vmap(mtip._center_density))
+            rho_b = cfn(rho_b)
+            last_b = cfn(last_b)
+        psi_b, W_b = jax.jit(jax.vmap(mtip.finalize))(rho_b)
+        rho_bh = fetch_cropped(rho_b)
+        last_bh = fetch_cropped(last_b)
+        psi_bh = fetch_cropped(psi_b)
+        W_bh = np.asarray(to_host(W_b))
+        init_bh = fetch_cropped(take(rho0s, idx)) if rho0s is not None \
+            else None
+        bm_bh = fetch_mask(take(states.best_mask, idx))
+        sm_bh = fetch_mask(take(states.support, idx))
+
         for rank, i in enumerate(ids):
             i = int(i)
-            rho = states.best_rho[i]
-            if center_out:
-                rho = center_fn(rho)
-            psi_p, W = finalize(rho)
-            rho_h = to_host(rho)
-            last_h = to_host(center_fn(states.rho[i]) if center_out
-                             else states.rho[i])
-            psi_h = to_host(psi_p)
+            rho_h = rho_bh[rank]
+            last_h = last_bh[rank]
+            psi_h = psi_bh[rank]
+            W = W_bh[rank]
             if fix_orient:
                 phi0 = so2_residual_rotation_phase(
-                    to_host(W), aux["proj"], ft.qs,
+                    W, aux["proj"], ft.qs,
                     aux.get("so_radial_high_pass", 0.2))
                 if phi0:
                     rho_h = rotate_polar_density(rho_h, phi0)
@@ -1033,12 +1080,12 @@ class ProjectWorker(ProjectWorkerInterface):
                 "real_density": rho_h * sqrt_s,
                 "last_real_density": last_h * sqrt_s,
                 "reciprocal_density": psi_h * sqrt_s,
-                "support_mask": to_host(states.best_mask[i]),
-                "last_support_mask": to_host(states.support[i]),
-                "initial_density": to_host(rho0s[i]) * sqrt_s
-                if rho0s is not None else None,
+                "support_mask": bm_bh[rank],
+                "last_support_mask": sm_bh[rank],
+                "initial_density": init_bh[rank] * sqrt_s
+                if init_bh is not None else None,
                 "initial_support": init_sup_h,
-                "fxs_unknowns": to_host(W),
+                "fxs_unknowns": W,
                 "error_dict": {"main": errors_h[i][:, 0],
                                "reciprocal": errors_h[i][:, 1],
                                "final": float(best_err_h[i]),
