@@ -81,12 +81,21 @@ def main():
     n_iter = int(os.environ.get("XF_BENCH_ITERS", "100"))
     method = os.environ.get("XF_BENCH_PROCRUSTES", "newton_schulz")
     ns_iters = int(os.environ.get("XF_BENCH_NS_ITERS", "16"))
+    # Newton-Schulz coefficient schedule: 'minimax' (the shipped reconstruct
+    # default since round 5 — ops/polar_schedule.py, 14 interval-optimal
+    # steps vs 16 quintic + 4 cubic fixed) or 'fixed'
+    if os.environ.get("XF_BENCH_NS_SCHED", "minimax") == "minimax":
+        from xframe_tpu.ops.polar_schedule import DEFAULT_SCHEDULE
+        ns_sched = DEFAULT_SCHEDULE
+    else:
+        ns_sched = None
     mxu = jnp.bfloat16 if os.environ.get("XF_BENCH_SHT_BF16") else None
     fused = os.environ.get("XF_BENCH_FUSED_SHT", "1").lower() \
         not in ("0", "false")
     p = make_demo_problem(128, 64, n_theta=256, n_phi=512,
                           procrustes_method=method, ns_iterations=ns_iters,
-                          mxu_dtype=mxu, fused_sht=fused)
+                          ns_schedule=ns_sched, mxu_dtype=mxu,
+                          fused_sht=fused)
     schedule = [Segment("HIO", n_iter, betas=np.full(n_iter, 0.5), ft_stab=True)]
     rho0s = p.initial_density_batch(0, n_restarts)
     run = jax.jit(lambda r: p.mtip.run_batch(r, schedule))
@@ -175,7 +184,8 @@ def main():
             L_p = int(os.environ.get("XF_BENCH_PROD_L", "127"))
             nth, nph = 320, 640
             pp = make_demo_problem(nq_p, L_p, n_theta=nth, n_phi=nph,
-                                   procrustes_method=method, fused_sht=True)
+                                   procrustes_method=method,
+                                   ns_schedule=ns_sched, fused_sht=True)
             tables = jax.device_put(pp.mtip.arg_tables())
             jax.block_until_ready(tables)
             sched_p = []

@@ -758,9 +758,14 @@ def test_per_method_ft_stab_in_schedule():
     by_method = {s.method: s.ft_stab for s in segs}
     assert by_method["HIO"] is True    # per-method key
     assert by_method["ER"] is True     # loop-level map fallback
-    # unsupported dynamic variant degrades to False with a warning
+    # dynamic variant compiles to a gated ft_stab structure: ft_stab True
+    # plus a link delay (>= 1) carried on the segment — the runtime 0/1
+    # gate on the enforce history realizes reconstruct.py:836-850
+    # (full behavior in tests/test_dynamic_ft_stab.py)
     main_loop["main"]["methods"]["HIO"]["ft_stab"] = \
         "link_to_enforce_initial_support"
     segs = build_schedule(main_loop, [[0.5, 0.5, -1.0, 10]], [False], [0.1],
                           {}, 1.0)
-    assert [s.ft_stab for s in segs if s.method == "HIO"] == [False]
+    hio = [s for s in segs if s.method == "HIO"]
+    assert [s.ft_stab for s in hio] == [True]
+    assert [s.ft_stab_link_delay for s in hio] == [1]

@@ -32,7 +32,7 @@ def _mm_ht(a, b):
                            preferred_element_type=jnp.float32)
 
 
-def _polar_kernel(iterations, mre_ref, mim_ref, wre_ref, wim_ref):
+def _polar_kernel(iterations, schedule, mre_ref, mim_ref, wre_ref, wim_ref):
     Xr = mre_ref[0]
     Xi = mim_ref[0]
     mag = jnp.sqrt(Xr * Xr + Xi * Xi)
@@ -65,20 +65,35 @@ def _polar_kernel(iterations, mre_ref, mim_ref, wre_ref, wim_ref):
         yr, yi = cm(xr, xi, ar, ai)
         return (1.5 * xr - 0.5 * yr, 1.5 * xi - 0.5 * yi)
 
-    # fori_loop, not scan: the mosaic lowering only accepts loops whose
-    # carry pattern-matches a fori index
-    Xr, Xi = lax.fori_loop(0, iterations, quintic, (Xr, Xi))
-    Xr, Xi = lax.fori_loop(0, 4, cubic, (Xr, Xi))
+    if schedule is not None:
+        # minimax per-step coefficients (ops.polar_schedule): straight-line
+        # unrolled — ~14 steps, the coefficients are compile-time floats
+        for a, b, c in schedule:
+            ar, ai = chm(Xr, Xi, Xr, Xi)
+            a2r, a2i = cm(ar, ai, ar, ai)
+            br = b * ar + c * a2r
+            bi = b * ai + c * a2i
+            yr, yi = cm(Xr, Xi, br, bi)
+            Xr, Xi = a * Xr + yr, a * Xi + yi
+    else:
+        # fori_loop, not scan: the mosaic lowering only accepts loops whose
+        # carry pattern-matches a fori index
+        Xr, Xi = lax.fori_loop(0, iterations, quintic, (Xr, Xi))
+        Xr, Xi = lax.fori_loop(0, 4, cubic, (Xr, Xi))
     wre_ref[0] = Xr
     wim_ref[0] = Xi
 
 
-def polar_unitary_pallas(m_re, m_im, iterations=16, interpret=False):
+def polar_unitary_pallas(m_re, m_im, iterations=16, schedule=None,
+                         interpret=False):
     """Unitary polar factors of a batch of complex matrices given as float32
     planes (G, n, n) → (W_re, W_im). VMEM-resident Newton–Schulz (quintic +
-    cubic polish), one grid program per matrix."""
+    cubic polish, or a minimax coefficient schedule), one grid program per
+    matrix."""
     g, n, _ = m_re.shape
-    kernel = partial(_polar_kernel, int(iterations))
+    kernel = partial(_polar_kernel, int(iterations),
+                     tuple(map(tuple, schedule)) if schedule is not None
+                     else None)
     spec = pl.BlockSpec((1, n, n), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     out = pl.pallas_call(

@@ -32,7 +32,8 @@ def make_demo_problem(n_radial: int = 32, l_max: int = 16, *, q_max: float = Non
                       reciprocity_coefficient: float = 2.0,
                       real_dtype=jnp.float32,
                       procrustes_method: str = "svd",
-                      ns_iterations: int = 16, mxu_dtype=None,
+                      ns_iterations: int = 16, ns_schedule=None,
+                      mxu_dtype=None,
                       fused_sht: bool = False,
                       fused_table_dtype=None) -> SimpleNamespace:
     """Two-ball density → invariants → MTIP, plus initial-density helpers."""
@@ -78,7 +79,8 @@ def make_demo_problem(n_radial: int = 32, l_max: int = 16, *, q_max: float = Non
                                     odd_orders_to_0=True, schmidt_scaling=False,
                                     real_dtype=real_dtype,
                                     procrustes_method=procrustes_method,
-                                    ns_iterations=ns_iterations)
+                                    ns_iterations=ns_iterations,
+                                    ns_schedule=ns_schedule)
     real = RealConstraint(limit_imag=2.0)
     sw = ShrinkWrap.build(ft.qs, real_dtype=real_dtype)
     # separable (n_r, n_θ, 1) weights: MTIP masks by the support in-trace,

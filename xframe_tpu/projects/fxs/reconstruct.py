@@ -199,6 +199,27 @@ def rotate_polar_density(arr, phi0):
     return np.fft.ifft(c, axis=-1).astype(out_dtype)
 
 
+def _resolve_ns_schedule(ropt):
+    """fxs_unknowns.ns_coefficients setting → per-step quintic coefficient
+    schedule (or None for the fixed 16+4 Newton–Schulz iteration).
+
+    'minimax' (default): the interval-optimal minimax composition from
+    ops.polar_schedule — 14 steps instead of 16 quintic + 4 cubic at the
+    same pinned unitarity (42 vs 56 matmul-units, a 1.33× cut of the
+    Procrustes arithmetic, the largest FLOP block of the production-scale
+    iteration). 'fixed': the fixed-coefficient iteration (round ≤4
+    behavior)."""
+    mode = str(ropt.get("ns_coefficients", "minimax"))
+    if mode == "fixed":
+        return None
+    if mode != "minimax":
+        raise ValueError(f"unknown ns_coefficients mode {mode!r} "
+                         "(expected 'minimax' or 'fixed')")
+    from xframe_tpu.ops.polar_schedule import default_or_computed_schedule
+    return default_or_computed_schedule(
+        float(ropt.get("ns_sigma_min", 1e-7)))
+
+
 class ProjectWorker(ProjectWorkerInterface):
     database_class = ProjectDB
 
@@ -460,6 +481,7 @@ class ProjectWorker(ProjectWorkerInterface):
             procrustes_method=str(ropt.get("procrustes_method",
                                            "newton_schulz")),
             ns_iterations=int(ropt.get("ns_iterations", 16)),
+            ns_schedule=_resolve_ns_schedule(ropt),
             pn_scan_space=pn_scan, pn_project=pn_project)
 
         # real constraint + initial support
