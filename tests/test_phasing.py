@@ -302,6 +302,98 @@ def test_ns_bucketed_polar_matches_svd_multi_bucket():
         np.testing.assert_allclose(out, eye_out, atol=1e-5)
 
 
+def test_pallas_bucketed_polar_multi_bucket():
+    """The VMEM pallas NS path now runs EVERY tile bucket — including the
+    full-width l = L block — through the kernel (round 5: this is what makes
+    it production-capable). At L = 66 (buckets (0..63, h=63), (64..65, h=65),
+    plus l = L = 66 full) it must match the jnp NS path per order, both with
+    the fixed iteration and the minimax schedule."""
+    from dataclasses import replace
+    from xframe_tpu.projects.fxs.projections import ReciprocalConstraint
+    from xframe_tpu.ops.polar_schedule import DEFAULT_SCHEDULE
+    rng = np.random.default_rng(13)
+    L = 66
+    n_q = 2 * L + 3
+    mats = [rng.normal(size=(n_q, min(2 * l + 1, n_q)))
+            + 1j * rng.normal(size=(n_q, min(2 * l + 1, n_q)))
+            for l in range(L + 1)]
+    rc = ReciprocalConstraint.build(
+        mats, radial_points=np.linspace(0.1, 1.0, n_q), l_max=L,
+        odd_orders_to_0=False, use_averaged_intensity=False,
+        schmidt_scaling=False)
+    n_m = 2 * L + 1
+    Ilm = (rng.normal(size=(n_q, n_m, L + 1))
+           + 1j * rng.normal(size=(n_q, n_m, L + 1))).astype(np.complex64)
+    for l in range(L + 1):
+        Ilm[:, :L - l, l] = 0
+        Ilm[:, L + l + 1:, l] = 0
+    for sched in (None, DEFAULT_SCHEDULE):
+        rc_ns = replace(rc, procrustes_method="newton_schulz",
+                        ns_iterations=16, ns_schedule=sched)
+        rc_pl = replace(rc, procrustes_method="newton_schulz_pallas",
+                        ns_iterations=16, ns_schedule=sched)
+        W_ns = np.asarray(jax.jit(rc_ns.approximate_unknowns)(Ilm))
+        W_pl = np.asarray(jax.jit(rc_pl.approximate_unknowns)(Ilm))
+        assert W_pl.shape == W_ns.shape
+        for l in [2, 40, 63, 64, 65, 66]:
+            win = slice(L - l, L + l + 1)
+            d = np.abs(W_pl[l][win, win] - W_ns[l][win, win]).max()
+            assert d < 5e-3, (sched is not None, l, d)
+            # identity on the complement, exactly as the jnp path
+            out = W_pl[l].copy()
+            out[win, win] = 0.0
+            eye_out = np.eye(n_m, dtype=out.dtype)
+            eye_out[win, win] = 0.0
+            np.testing.assert_allclose(out, eye_out, atol=1e-5)
+
+
+def test_fused_projection_matches_split_path():
+    """The K5 fused projection (one pallas launch per bucket: B-assembly +
+    Newton-Schulz + V·W + selection, VMEM-resident) must reproduce the
+    split path — same procrustes iteration, B/W through HBM — including
+    radial masks, unused orders, odd-order kill, the averaged-intensity
+    l=0 column and the 1/sqrt(N) particle scaling."""
+    from dataclasses import replace
+    from xframe_tpu.projects.fxs.projections import ReciprocalConstraint
+    from xframe_tpu.ops.polar_schedule import DEFAULT_SCHEDULE
+    rng = np.random.default_rng(21)
+    L = 66
+    n_q = 2 * L + 3
+    n_m = 2 * L + 1
+    mats = [rng.normal(size=(n_q, min(2 * l + 1, n_q)))
+            + 1j * rng.normal(size=(n_q, min(2 * l + 1, n_q)))
+            for l in range(L + 1)]
+    radial_mask = np.ones((L + 1, n_q), dtype=bool)
+    radial_mask[:, :3] = False          # masked low-q band keeps the iterate
+    used = np.array([l for l in range(L + 1) if l != 5])
+    rc = ReciprocalConstraint.build(
+        mats, radial_points=np.linspace(0.1, 1.0, n_q), l_max=L,
+        used_order_ids=used, odd_orders_to_0=True,
+        use_averaged_intensity=True,
+        average_intensity=np.abs(rng.normal(size=n_q)) + 0.5,
+        radial_mask=radial_mask, n_particles=3.0, schmidt_scaling=True)
+    Ilm = (rng.normal(size=(n_q, n_m, L + 1))
+           + 1j * rng.normal(size=(n_q, n_m, L + 1))).astype(np.complex64)
+    for l in range(L + 1):
+        Ilm[:, :L - l, l] = 0
+        Ilm[:, L + l + 1:, l] = 0
+    for sched in (None, DEFAULT_SCHEDULE):
+        rc_split = replace(rc, procrustes_method="newton_schulz",
+                           ns_iterations=16, ns_schedule=sched)
+        rc_fused = replace(rc, procrustes_method="newton_schulz_pallas",
+                           ns_iterations=16, ns_schedule=sched)
+        ref = np.asarray(jax.jit(lambda x: rc_split(x))(Ilm))
+        got = np.asarray(jax.jit(lambda x: rc_fused(x))(Ilm))
+        assert got.shape == ref.shape
+        scale = np.abs(ref).max()
+        err = np.abs(got - ref).max() / scale
+        assert err < 5e-3, (sched is not None, err)
+        # structural zeros outside each order's window survive exactly on
+        # the kept-coefficient (masked / unused) entries
+        assert np.abs(got[:, :, 0][:, :L]).max() < 1e-5 * scale
+        assert np.abs(got[:, :, 0][:, L + 1:]).max() < 1e-5 * scale
+
+
 def test_checkpointing_runner_resumes(problem, tmp_path):
     """Chunked runner: (a) produces the same trajectory as the monolithic
     run, (b) resumes from a mid-run snapshot, (c) reuses compilations for

@@ -318,7 +318,71 @@ class ReciprocalConstraint:
         out = out.at[0].mul(1.0 / float(np.sqrt(self.n_particles)))
         return jnp.moveaxis(out, 0, 2)                     # (n_q, n_m, L+1)
 
+    def _project_fused(self, Ilm):
+        """Whole data projection as ONE pallas launch per tile bucket (K5):
+        B-assembly, Newton–Schulz polar, V·W and the take-selection all run
+        VMEM-resident per order — B, M and W never exist in HBM, and the
+        split path's 4–5 launches (PD@I, NS scan, V_pad@W, where) collapse
+        to 3 bucket launches + the cheap l=0 row fix. The reference computes
+        the same projection via per-l SVDs on the host pool
+        (fxs_Projections.py:752-872)."""
+        import jax as _jax
+        from xframe_tpu.ops.pallas_kernels import fused_projection_bucket
+        L, n_m = self.l_max, 2 * self.l_max + 1
+        n_q = Ilm.shape[0]
+        nqp = -(-n_q // 128) * 128
+        Ilt = jnp.moveaxis(Ilm, 2, 0)                  # (L+1, n_q, n_m)
+        interp = _jax.default_backend() == "cpu"
+        take = (np.asarray(self.use_order)[:, None]
+                & np.asarray(self.radial_mask)).astype(np.float32)
+        PD = jnp.asarray(self.PD)
+        V = jnp.asarray(self.V_pad)
+
+        def pad3(x, rows, cols):
+            return jnp.pad(x, ((0, 0), (0, rows - x.shape[1]),
+                               (0, cols - x.shape[2])))
+
+        parts = []
+        for (l_lo, l_hi, h) in self._ns_buckets() + [(L, L, L)]:
+            sl = slice(L - h, L + h + 1)
+            c = 2 * h + 1
+            cp = -(-c // 128) * 128
+            g = l_hi - l_lo + 1
+            pd = PD[l_lo:l_hi + 1, sl, :]
+            it = Ilt[l_lo:l_hi + 1, :, sl]
+            v = V[l_lo:l_hi + 1, :, sl]
+            pdr = pad3(jnp.real(pd).astype(jnp.float32), cp, nqp)
+            pdi = pad3(jnp.imag(pd).astype(jnp.float32), cp, nqp)
+            itr = pad3(jnp.real(it).astype(jnp.float32), nqp, cp)
+            iti = pad3(jnp.imag(it).astype(jnp.float32), nqp, cp)
+            vr = pad3(jnp.real(v).astype(jnp.float32), nqp, cp)
+            vi = pad3(jnp.imag(v).astype(jnp.float32), nqp, cp)
+            # selection planes from the SMALL (g, n_q) host mask — padded on
+            # device so only ~64 KB rides the compile payload as a constant
+            tb = jnp.zeros((g, nqp, cp), jnp.float32).at[:, :n_q, :c].set(
+                jnp.asarray(take[l_lo:l_hi + 1])[:, :, None])
+            ob_re, ob_im = fused_projection_bucket(
+                pdr, pdi, itr, iti, vr, vi, tb,
+                l_lo=l_lo, h=h, c=c, n_q=n_q,
+                iterations=self.ns_iterations, schedule=self.ns_schedule,
+                interpret=interp)
+            ob = (ob_re[:, :n_q, :c]
+                  + 1j * ob_im[:, :n_q, :c]).astype(Ilm.dtype)
+            parts.append(jnp.zeros((g, n_q, n_m),
+                                   Ilm.dtype).at[:, :, sl].set(ob))
+        out = jnp.concatenate(parts, axis=0)
+        # l=0: fixed data column, no unknown (zero_id branch) + the 1/√N
+        # particle scaling of the ENTIRE row (fxs_Projections.py:866-870)
+        take0 = jnp.asarray(take[0] > 0)[:, None]
+        row0 = jnp.where(take0, V[0], Ilt[0])
+        out = out.at[0].set(row0 / float(np.sqrt(self.n_particles)))
+        return jnp.moveaxis(out, 0, 2)
+
     def __call__(self, Ilm):
+        if (self.procrustes_method == "newton_schulz_pallas"
+                and 2 * self.l_max + 1 > 128
+                and Ilm.dtype == jnp.complex64):
+            return self._project_fused(Ilm)
         return self.project_coefficients(Ilm, self.approximate_unknowns(Ilm))
 
     @property
