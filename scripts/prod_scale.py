@@ -24,6 +24,10 @@ def main():
                          "(program, inputs) pairs from a result cache "
                          "without re-executing")
     ap.add_argument("--no-fused", action="store_true")
+    ap.add_argument("--procrustes", default="newton_schulz",
+                    choices=["svd", "newton_schulz", "newton_schulz_pallas"],
+                    help="polar-decomposition path; newton_schulz_pallas "
+                         "enables the K5 fused data-projection kernel")
     ap.add_argument("--full", action="store_true",
                     help="run the full 600-iteration tutorial-shaped "
                          "schedule (5x(60 HIO + SW + 40 ER) + SW + 100 ER) "
@@ -45,7 +49,7 @@ def main():
           f"{n_theta}x{n_phi} ...", flush=True)
     t0 = time.perf_counter()
     p = make_demo_problem(args.nq, args.L, n_theta=n_theta, n_phi=n_phi,
-                          procrustes_method="newton_schulz",
+                          procrustes_method=args.procrustes,
                           fused_sht=not args.no_fused)
     fused = getattr(p.ft, "_fused", None)
     print(f"setup {time.perf_counter() - t0:.1f} s "

@@ -394,6 +394,35 @@ def test_fused_projection_matches_split_path():
         assert np.abs(got[:, :, 0][:, L + 1:]).max() < 1e-5 * scale
 
 
+def test_k5_planes_thread_through_arg_tables():
+    """K5 at production payload: MTIP.arg_tables ships the pre-padded f32
+    kernel planes instead of V/PD, bound_tables swaps them in as traced
+    arguments, and the projection reproduces the embedded-constant result
+    BITWISE (same kernel, same data — only the delivery differs)."""
+    from xframe_tpu.projects.fxs.demo import make_demo_problem
+    p = make_demo_problem(24, 65, procrustes_method="newton_schulz_pallas")
+    mtip = p.mtip
+    assert mtip.rc.k5_active
+    tables = mtip.arg_tables()
+    assert "rc_k5_0_pdr" in tables and "rc_k5_1_pdr" in tables
+    assert "rc_k5_row0_re" in tables
+    assert "rc_V_re" not in tables, \
+        "K5 mode must not also ship the unused V/PD tables"
+    L, n_q = 65, 24
+    rng = np.random.default_rng(7)
+    Ilm = (rng.normal(size=(n_q, 2 * L + 1, L + 1))
+           + 1j * rng.normal(size=(n_q, 2 * L + 1, L + 1))
+           ).astype(np.complex64)
+    ref = np.asarray(jax.jit(lambda x: mtip.rc(x))(Ilm))
+
+    def run(t, x):
+        with mtip.bound_tables(t):
+            return mtip.rc(x)
+
+    got = np.asarray(jax.jit(run)(tables, Ilm))
+    np.testing.assert_array_equal(ref, got)
+
+
 def test_checkpointing_runner_resumes(problem, tmp_path):
     """Chunked runner: (a) produces the same trajectory as the monolithic
     run, (b) resumes from a mid-run snapshot, (c) reuses compilations for

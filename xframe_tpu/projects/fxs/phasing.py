@@ -441,7 +441,18 @@ class MTIP:
                 t["fi_hw_re"] = self._fi._hw_re
                 t["fi_hw_im"] = self._fi._hw_im
         rc = self.rc
-        if hasattr(rc, "V_pad"):
+        if getattr(rc, "k5_active", False):
+            # K5 fused projection: ship the pre-padded f32 kernel planes
+            # instead of V/PD (which that path never touches beyond the
+            # small l=0 row) — same information, zero per-iteration
+            # slice/pad glue, and ~100 MB less table traffic
+            buckets, row = rc.k5_planes_host()
+            for i, b in enumerate(buckets):
+                for name, arr in zip(("pdr", "pdi", "vr", "vi", "take"),
+                                     b[3:]):
+                    t[f"rc_k5_{i}_{name}"] = arr
+            t["rc_k5_row0_re"], t["rc_k5_row0_im"] = row[0], row[1]
+        elif hasattr(rc, "V_pad"):
             t["rc_V_re"] = np.ascontiguousarray(np.asarray(rc.V_pad).real)
             t["rc_V_im"] = np.ascontiguousarray(np.asarray(rc.V_pad).imag)
             t["rc_PD_re"] = np.ascontiguousarray(np.asarray(rc.PD).real)
@@ -476,6 +487,16 @@ class MTIP:
                          tables["rc_V_re"] + 1j * tables["rc_V_im"])
                     swap(self.rc, "PD",
                          tables["rc_PD_re"] + 1j * tables["rc_PD_im"])
+                if "rc_k5_0_pdr" in tables:
+                    planes, i = [], 0
+                    while f"rc_k5_{i}_pdr" in tables:
+                        planes.append(tuple(
+                            tables[f"rc_k5_{i}_{n}"]
+                            for n in ("pdr", "pdi", "vr", "vi", "take")))
+                        i += 1
+                    swap(self.rc, "_k5_planes", planes)
+                    swap(self.rc, "_k5_row0",
+                         (tables["rc_k5_row0_re"], tables["rc_k5_row0_im"]))
             yield
         finally:
             for obj, attr, val in reversed(saves):

@@ -113,6 +113,9 @@ class ReciprocalConstraint:
     pn_x: Any = None        # (K,) host: gradient abscissa (√N or N)
     pn_a: Any = None        # (n_q,) host: isotropic intensity I00·Y00 per shell
     pn_project: bool = False
+    # K5 trace-time plane overrides (set by MTIP.bound_tables; not fields)
+    _k5_planes = None
+    _k5_row0 = None
 
     @classmethod
     def build(cls, projection_matrices, radial_points, l_max,
@@ -318,6 +321,58 @@ class ReciprocalConstraint:
         out = out.at[0].mul(1.0 / float(np.sqrt(self.n_particles)))
         return jnp.moveaxis(out, 0, 2)                     # (n_q, n_m, L+1)
 
+    @property
+    def k5_active(self):
+        """True when __call__ dispatches to the K5 fused-projection kernel
+        (pallas polar path at a scale with >1 MXU tile bucket, f32)."""
+        return (self.procrustes_method == "newton_schulz_pallas"
+                and 2 * self.l_max + 1 > 128
+                and np.asarray(self.V_pad).dtype == np.complex64)
+
+    def k5_planes_host(self):
+        """Per-bucket pre-padded f32 kernel-input planes, computed ONCE on
+        the host (cached): [(l_lo, h, c, pdr, pdi, vr, vi, take)] over
+        `_ns_buckets() + [(L,L,L)]`, plus the l=0 row-fix planes
+        (v0r, v0i, take0). Threading these through jit as ARGUMENTS (see
+        phasing.MTIP.arg_tables) removes the per-iteration slice/pad glue
+        the first K5 cut paid on every scan step (~200 MB/iter of
+        loop-carried relayout at production scale)."""
+        cached = getattr(self, "_k5_host_cache", None)
+        if cached is not None:
+            return cached
+        L, n_m = self.l_max, 2 * self.l_max + 1
+        V = np.asarray(self.V_pad)
+        PD = np.asarray(self.PD)
+        n_q = V.shape[1]
+        nqp = -(-n_q // 128) * 128
+        take = (np.asarray(self.use_order)[:, None]
+                & np.asarray(self.radial_mask)).astype(np.float32)
+
+        def pad3(x, rows, cols):
+            return np.ascontiguousarray(np.pad(
+                x, ((0, 0), (0, rows - x.shape[1]), (0, cols - x.shape[2]))
+            ).astype(np.float32))
+
+        buckets = []
+        for (l_lo, l_hi, h) in self._ns_buckets() + [(L, L, L)]:
+            sl = slice(L - h, L + h + 1)
+            c = 2 * h + 1
+            cp = -(-c // 128) * 128
+            g = l_hi - l_lo + 1
+            pd = PD[l_lo:l_hi + 1, sl, :]
+            v = V[l_lo:l_hi + 1, :, sl]
+            tb = np.zeros((g, nqp, cp), np.float32)
+            tb[:, :n_q, :c] = take[l_lo:l_hi + 1][:, :, None]
+            buckets.append((l_lo, h, c,
+                            pad3(pd.real, cp, nqp), pad3(pd.imag, cp, nqp),
+                            pad3(v.real, nqp, cp), pad3(v.imag, nqp, cp),
+                            tb))
+        row = (np.ascontiguousarray(V[0].real.astype(np.float32)),
+               np.ascontiguousarray(V[0].imag.astype(np.float32)),
+               take[0] > 0)
+        self._k5_host_cache = (buckets, row)
+        return self._k5_host_cache
+
     def _project_fused(self, Ilm):
         """Whole data projection as ONE pallas launch per tile bucket (K5):
         B-assembly, Newton–Schulz polar, V·W and the take-selection all run
@@ -325,7 +380,10 @@ class ReciprocalConstraint:
         split path's 4–5 launches (PD@I, NS scan, V_pad@W, where) collapse
         to 3 bucket launches + the cheap l=0 row fix. The reference computes
         the same projection via per-l SVDs on the host pool
-        (fxs_Projections.py:752-872)."""
+        (fxs_Projections.py:752-872). The PD/V/take kernel inputs are
+        pre-padded host planes (k5_planes_host), optionally swapped for
+        traced jit arguments by MTIP.bound_tables — only the Ilm-dependent
+        planes are formed per call."""
         import jax as _jax
         from xframe_tpu.ops.pallas_kernels import fused_projection_bucket
         L, n_m = self.l_max, 2 * self.l_max + 1
@@ -333,34 +391,27 @@ class ReciprocalConstraint:
         nqp = -(-n_q // 128) * 128
         Ilt = jnp.moveaxis(Ilm, 2, 0)                  # (L+1, n_q, n_m)
         interp = _jax.default_backend() == "cpu"
-        take = (np.asarray(self.use_order)[:, None]
-                & np.asarray(self.radial_mask)).astype(np.float32)
-        PD = jnp.asarray(self.PD)
-        V = jnp.asarray(self.V_pad)
-
-        def pad3(x, rows, cols):
-            return jnp.pad(x, ((0, 0), (0, rows - x.shape[1]),
-                               (0, cols - x.shape[2])))
+        planes = getattr(self, "_k5_planes", None)
+        row0_planes = getattr(self, "_k5_row0", None)
+        if planes is None:
+            buckets, row = self.k5_planes_host()
+            planes = [tuple(jnp.asarray(p) for p in b[3:]) for b in buckets]
+            row0_planes = (jnp.asarray(row[0]), jnp.asarray(row[1]))
+            meta = [b[:3] for b in buckets]
+        else:
+            meta = [b[:3] for b in self.k5_planes_host()[0]]
+        take0 = jnp.asarray(self.k5_planes_host()[1][2])[:, None]
 
         parts = []
-        for (l_lo, l_hi, h) in self._ns_buckets() + [(L, L, L)]:
+        for (l_lo, h, c), (pdr, pdi, vr, vi, tb) in zip(meta, planes):
             sl = slice(L - h, L + h + 1)
-            c = 2 * h + 1
-            cp = -(-c // 128) * 128
-            g = l_hi - l_lo + 1
-            pd = PD[l_lo:l_hi + 1, sl, :]
-            it = Ilt[l_lo:l_hi + 1, :, sl]
-            v = V[l_lo:l_hi + 1, :, sl]
-            pdr = pad3(jnp.real(pd).astype(jnp.float32), cp, nqp)
-            pdi = pad3(jnp.imag(pd).astype(jnp.float32), cp, nqp)
-            itr = pad3(jnp.real(it).astype(jnp.float32), nqp, cp)
-            iti = pad3(jnp.imag(it).astype(jnp.float32), nqp, cp)
-            vr = pad3(jnp.real(v).astype(jnp.float32), nqp, cp)
-            vi = pad3(jnp.imag(v).astype(jnp.float32), nqp, cp)
-            # selection planes from the SMALL (g, n_q) host mask — padded on
-            # device so only ~64 KB rides the compile payload as a constant
-            tb = jnp.zeros((g, nqp, cp), jnp.float32).at[:, :n_q, :c].set(
-                jnp.asarray(take[l_lo:l_hi + 1])[:, :, None])
+            cp = pdr.shape[1]
+            g = pdr.shape[0]
+            it = Ilt[l_lo:l_lo + g, :, sl]
+            itr = jnp.pad(jnp.real(it), ((0, 0), (0, nqp - n_q),
+                                         (0, cp - c)))
+            iti = jnp.pad(jnp.imag(it), ((0, 0), (0, nqp - n_q),
+                                         (0, cp - c)))
             ob_re, ob_im = fused_projection_bucket(
                 pdr, pdi, itr, iti, vr, vi, tb,
                 l_lo=l_lo, h=h, c=c, n_q=n_q,
@@ -373,15 +424,13 @@ class ReciprocalConstraint:
         out = jnp.concatenate(parts, axis=0)
         # l=0: fixed data column, no unknown (zero_id branch) + the 1/√N
         # particle scaling of the ENTIRE row (fxs_Projections.py:866-870)
-        take0 = jnp.asarray(take[0] > 0)[:, None]
-        row0 = jnp.where(take0, V[0], Ilt[0])
+        v0 = (row0_planes[0] + 1j * row0_planes[1]).astype(Ilm.dtype)
+        row0 = jnp.where(take0, v0, Ilt[0])
         out = out.at[0].set(row0 / float(np.sqrt(self.n_particles)))
         return jnp.moveaxis(out, 0, 2)
 
     def __call__(self, Ilm):
-        if (self.procrustes_method == "newton_schulz_pallas"
-                and 2 * self.l_max + 1 > 128
-                and Ilm.dtype == jnp.complex64):
+        if self.k5_active and Ilm.dtype == jnp.complex64:
             return self._project_fused(Ilm)
         return self.project_coefficients(Ilm, self.approximate_unknowns(Ilm))
 
