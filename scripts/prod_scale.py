@@ -28,6 +28,10 @@ def main():
                     choices=["svd", "newton_schulz", "newton_schulz_pallas"],
                     help="polar-decomposition path; newton_schulz_pallas "
                          "enables the K5 fused data-projection kernel")
+    ap.add_argument("--ns", default="minimax",
+                    choices=["minimax", "fixed"],
+                    help="Newton-Schulz coefficient schedule (minimax is "
+                         "the shipped worker default: 14 steps vs 16+4)")
     ap.add_argument("--full", action="store_true",
                     help="run the full 600-iteration tutorial-shaped "
                          "schedule (5x(60 HIO + SW + 40 ER) + SW + 100 ER) "
@@ -48,9 +52,14 @@ def main():
     print(f"building problem nq={args.nq} L={args.L} grid "
           f"{n_theta}x{n_phi} ...", flush=True)
     t0 = time.perf_counter()
+    ns_sched = None
+    if args.ns == "minimax":
+        from xframe_tpu.ops.polar_schedule import DEFAULT_SCHEDULE
+        ns_sched = DEFAULT_SCHEDULE
     p = make_demo_problem(args.nq, args.L, n_theta=n_theta, n_phi=n_phi,
                           procrustes_method=args.procrustes,
-                          fused_sht=not args.no_fused)
+                          ns_schedule=ns_sched,
+                          fused_sht=not args.no_fused, cache_weights=True)
     fused = getattr(p.ft, "_fused", None)
     print(f"setup {time.perf_counter() - t0:.1f} s "
           f"(fused q_block={getattr(fused, 'q_block', None)})", flush=True)

@@ -286,18 +286,21 @@ def test_runner_arg_tables_sharded_matches_embedded(schedule):
 
 
 def test_runner_arg_tables_auto_threshold(monkeypatch):
-    """'auto' (the production default used by the reconstruct worker) must
-    stay in embedded-constant mode below the payload threshold and switch to
-    argument tables above it — with identical results either way."""
+    """'auto' (the default used by the reconstruct worker) must use argument
+    tables at every scale — embedded V/PD constants change with every
+    extract output and defeat the persistent compile cache — while
+    XF_ARG_TABLES=0 forces embedded-constant mode, with identical results
+    either way."""
     p = make_demo_problem(16, 8, fused_sht=True)
     sched = [Segment("HIO", 3, betas=np.full(3, 0.5), ft_stab=True)]
     rho0s = p.initial_density_batch(11, 2)
+    monkeypatch.setenv("XF_ARG_TABLES", "0")
     run_small = MultiStartRunner(p.mtip, sched, mesh=None)
     assert run_small._tables == {}, \
-        "tutorial-size tables are below the auto threshold"
-    monkeypatch.setattr(MultiStartRunner, "ARG_TABLES_AUTO_BYTES", 0)
+        "XF_ARG_TABLES=0 must force embedded-constant mode"
+    monkeypatch.delenv("XF_ARG_TABLES")
     run_big = MultiStartRunner(p.mtip, sched, mesh=None)
-    assert run_big._tables, "auto must switch above the payload threshold"
+    assert run_big._tables, "auto must default to argument tables"
     ref = run_small(rho0s)
     out = run_big(rho0s)
     np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(out[1]))

@@ -467,14 +467,12 @@ def test_extract_datasets_to_process_missing(home, ccd):
 
 
 def test_reconstruct_arg_tables_guess_path(invariants, home, monkeypatch):
-    """Production-payload mode end-to-end: with the auto threshold forced to
-    0, the worker's initial-guess jits and the runner all take the FT/MTIP
-    tables as ARGUMENTS (never embedded constants) and the run completes with
-    finite errors — the path the real production scale (N_q>=256, L=128)
-    exercises against the tunnel's compile-payload limit."""
-    from xframe_tpu.parallel import mesh as mesh_mod
-    monkeypatch.setattr(mesh_mod.MultiStartRunner,
-                        "ARG_TABLES_AUTO_BYTES", 0)
+    """Production-payload mode end-to-end: the worker's initial-guess jits
+    and the runner all take the FT/MTIP tables as ARGUMENTS (never embedded
+    constants, the default since round 5) and the run completes with finite
+    errors — the path the real production scale (N_q>=256, L=128) exercises
+    against the tunnel's compile-payload limit."""
+    monkeypatch.delenv("XF_ARG_TABLES", raising=False)
     xf.select_project("fxs", "reconstruct", overrides={
         "structure_name": "pytest",
         "dimensions": 3,

@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from functools import partial
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -73,18 +75,16 @@ class MultiStartRunner:
     PhasingStates keep the restart sharding; error curves are gathered host-side.
     """
 
-    # embedded-constant payloads beyond this are at risk on the axon tunnel
-    # (measured HTTP 413 between ~150 and 432 MB of constants); 'auto' mode
-    # switches to argument tables above it
-    ARG_TABLES_AUTO_BYTES = 120 * 1024 * 1024
-
     def __init__(self, mtip, schedule, mesh: Mesh | None = None,
                  restart_axis: str = "restarts", theta_axis: str | None = "theta",
                  arg_tables: bool | str | dict = "auto"):
         """arg_tables: thread the big numeric tables (Hankel, fused SHT,
         projection matrices — mtip.arg_tables) into jit as ARGUMENTS instead
-        of embedded constants. 'auto' enables it when the tables exceed
-        ~120 MB (production scale); bitwise-identical either way."""
+        of embedded constants. 'auto' (default) always uses argument mode:
+        it avoids the tunnel's compile-payload limit (measured HTTP 413
+        between ~150 and 432 MB of embedded constants) AND keeps the
+        program data-independent so the persistent compile cache hits
+        across datasets; bitwise-identical either way."""
         self.mtip = mtip
         self.schedule = schedule
         self.mesh = mesh
@@ -130,13 +130,20 @@ class MultiStartRunner:
         ~½ GB set is not resident twice."""
         if isinstance(arg_tables, dict):
             return arg_tables
+        if arg_tables == "auto":
+            # Argument mode is the default whenever tables exist: besides
+            # the payload rule (HTTP 413 above ~150-400 MB of embedded
+            # constants), embedded V/PD/fi tables change with every extract
+            # output, so each dataset recompiled the whole phasing program —
+            # argument mode keeps the jaxpr data-independent and the
+            # persistent compile cache hit across runs (measured: tutorial
+            # reconstruct chunk-0 218.7 s embedded vs 19.4 s args+cache).
+            # XF_ARG_TABLES=0/1 overrides for A/Bs.
+            env = os.environ.get("XF_ARG_TABLES")
+            arg_tables = env.lower() not in ("0", "false") if env else True
         if not arg_tables or not hasattr(mtip, "arg_tables"):
             return {}
         t = mtip.arg_tables()
-        total = sum(v.size * v.dtype.itemsize for v in t.values())
-        if arg_tables == "auto" \
-                and total < MultiStartRunner.ARG_TABLES_AUTO_BYTES:
-            return {}
         if mesh is not None:
             repl = NamedSharding(mesh, P())
             t = {k: jax.device_put(v, repl) for k, v in t.items()}

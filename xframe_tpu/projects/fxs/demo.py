@@ -35,14 +35,26 @@ def make_demo_problem(n_radial: int = 32, l_max: int = 16, *, q_max: float = Non
                       ns_iterations: int = 16, ns_schedule=None,
                       mxu_dtype=None,
                       fused_sht: bool = False,
-                      fused_table_dtype=None) -> SimpleNamespace:
-    """Two-ball density → invariants → MTIP, plus initial-density helpers."""
+                      fused_table_dtype=None,
+                      cache_weights: bool = False) -> SimpleNamespace:
+    """Two-ball density → invariants → MTIP, plus initial-density helpers.
+
+    cache_weights=True routes the Hankel weight assembly through the same
+    disk cache the reconstruct worker uses (keyed by N/L/rc/mode under
+    <home>/cache) — at production scale the host assembly takes minutes,
+    so repeated bench/A-B invocations should not redo it."""
     if q_max is None:
         q_max = 0.4 * n_radial / 32.0
+    weights_dict = None
+    if cache_weights:
+        from xframe_tpu.projects.fxs.reconstruct import load_cached_weights
+        weights_dict = load_cached_weights(
+            l_max, n_radial, reciprocity_coefficient, 3, mode)
     ft = SphericalFourierTransform(n_radial, l_max, q_max=q_max, mode=mode,
                                    reciprocity_coefficient=reciprocity_coefficient,
                                    n_theta=n_theta, n_phi=n_phi,
                                    real_dtype=real_dtype, mxu_dtype=mxu_dtype,
+                                   weights_dict=weights_dict,
                                    fused_sht=fused_sht,
                                    fused_table_dtype=fused_table_dtype)
     cdtype = jnp.complex64 if real_dtype == jnp.float32 else jnp.complex128

@@ -70,16 +70,18 @@ def load_cached_weights(l_max, n_radial_points, reciprocity_coefficient,
 
 
 def _auto_guess_tables(ft):
-    """ft.arg_tables() (host arrays — they upload as jit arguments) when the
-    tables are production-sized, else {} (embedded constants at tutorial
-    scale). Same auto threshold as MultiStartRunner: the initial-guess jits
-    reference the Hankel + fused-SHT tables too and would otherwise embed
-    them in the compile payload (HTTP-413 risk on the axon tunnel)."""
+    """ft.arg_tables() (host arrays — they upload as jit arguments), {}
+    only when disabled via XF_ARG_TABLES=0. Argument mode is the default at
+    every scale, same rationale as MultiStartRunner._resolve_tables: payload
+    (HTTP-413 risk on the axon tunnel at production size) plus persistent
+    compile-cache stability — the initial-guess jits reference the Hankel +
+    fused-SHT tables too."""
     if not hasattr(ft, "arg_tables"):
         return {}
-    t = ft.arg_tables()
-    total = sum(v.size * v.dtype.itemsize for v in t.values())
-    return t if total >= MultiStartRunner.ARG_TABLES_AUTO_BYTES else {}
+    env = os.environ.get("XF_ARG_TABLES")
+    if env and env.lower() in ("0", "false"):
+        return {}
+    return ft.arg_tables()
 
 
 def _interp_radial(y, qs_data, qs_new, interpolation="linear"):
@@ -306,7 +308,8 @@ class ProjectWorker(ProjectWorkerInterface):
 
         t_col0 = time.perf_counter()
         results = self._collect_results(mtip, ft, aux, states, errors, order,
-                                        seed, rho0s=rho0s)
+                                        seed, rho0s=rho0s,
+                                        tables=guess_tables)
         t_collect = time.perf_counter() - t_col0
         # phasing iterations only: SW/SW_center events and the
         # SNAPSHOT/RESET_TO_BEST markers (n=1 each) are not MTIP steps
@@ -996,7 +999,7 @@ class ProjectWorker(ProjectWorkerInterface):
 
     # ------------------------------------------------------------ result save
     def _collect_results(self, mtip, ft, aux, states, errors, order, seed,
-                         rho0s=None):
+                         rho0s=None, tables=None):
         opt = self.settings
         keep = opt.multi_start.get("results_to_keep", "all")
         ids = order if (isinstance(keep, str) and keep == "all") \
@@ -1074,7 +1077,15 @@ class ProjectWorker(ProjectWorkerInterface):
             cfn = jax.jit(jax.vmap(mtip._center_density))
             rho_b = cfn(rho_b)
             last_b = cfn(last_b)
-        psi_b, W_b = jax.jit(jax.vmap(mtip.finalize))(rho_b)
+
+        # bind the runner's argument tables (if any) so the finalize program
+        # is data-independent — embedded V/PD constants change with every
+        # extract output and defeat the persistent compile cache across runs
+        def _finalize(t, r):
+            with mtip.bound_tables(t):
+                return jax.vmap(mtip.finalize)(r)
+
+        psi_b, W_b = jax.jit(_finalize)(tables or {}, rho_b)
         rho_bh = fetch_cropped(rho_b)
         last_bh = fetch_cropped(last_b)
         psi_bh = fetch_cropped(psi_b)
