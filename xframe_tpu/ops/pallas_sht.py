@@ -47,6 +47,21 @@ import os as _os
 _MXU_BF16 = _os.environ.get("XF_FUSED_MXU_BF16", "0").lower() \
     not in ("0", "false", "")
 
+# Round-5 in-kernel experiments (production scale is VMEM/DMA-shaped, not
+# launch-bound — docs/performance.md round-5 section). Both default-off until
+# the chip A/B decides:
+#   XF_FUSED_MCHUNK=<mc>: loop the analysis/synthesis Legendre stage over
+#     m-chunks of mc rows inside the kernel — shrinks the live fm
+#     intermediates from full-m to chunk-m so the VMEM plan can lift q_block
+#     (larger q_block = more MXU rows per per-m Legendre matmul).
+#   XF_STACK_REIM=1: stack the re/im planes along the q axis for the
+#     Legendre batched matmul — ONE bmm at M=2·q_b instead of two at q_b
+#     (the per-m matmuls run at M=q_block≈6 of the MXU's 128 rows at
+#     production scale; doubling M costs only a VMEM concat).
+_MCHUNK = int(_os.environ.get("XF_FUSED_MCHUNK", "0") or 0)
+_STACK_REIM = _os.environ.get("XF_STACK_REIM", "0").lower() \
+    not in ("0", "false", "")
+
 
 def padded_vmem_bytes(*shape, itemsize=4):
     """VMEM bytes of an array window incl. Mosaic tile padding: the minor
@@ -146,6 +161,26 @@ def _bmm(a, b):
 
 
 # ------------------------------------------------------------------- analysis
+def _legendre_fwd(fm_re, fm_im, pw, q_b, n_theta, mc):
+    """Legendre quadrature for one m-chunk: (q_b·θ, mc) DFT planes →
+    ((q_b, mc, l), (q_b, mc, l)). XF_STACK_REIM runs the per-m batched
+    matmul once at M=2·q_b instead of twice at q_b."""
+    t_re = fm_re.reshape(q_b, n_theta, mc).transpose(2, 0, 1)
+    t_im = fm_im.reshape(q_b, n_theta, mc).transpose(2, 0, 1)
+    if _STACK_REIM:
+        t = jnp.concatenate([t_re, t_im], axis=1)    # (mc, 2q_b, θ)
+        o = _bmm(t, pw)                              # (mc, 2q_b, l)
+        return (o[:, :q_b].transpose(1, 0, 2),
+                o[:, q_b:].transpose(1, 0, 2))
+    return (_bmm(t_re, pw).transpose(1, 0, 2),
+            _bmm(t_im, pw).transpose(1, 0, 2))
+
+
+def _m_chunks(m_blk):
+    mc = _MCHUNK if _MCHUNK > 0 and m_blk % _MCHUNK == 0 else m_blk
+    return mc, m_blk // mc
+
+
 def _fwd_kernel(n_theta, n_phi, m_blk,
                 are_ref, aim_ref, ere_ref, eim_ref, pw_ref,
                 cre_ref, cim_ref):
@@ -154,21 +189,24 @@ def _fwd_kernel(n_theta, n_phi, m_blk,
     1. φ-DFT restricted to this m-half's bins: (q_b·θ, φ)×(φ, m_blk) MXU
        matmuls per plane (E columns ordered m = −L..L, host-padded).
     2. Legendre quadrature: per-m batched matmul over θ against the
-       quadrature table PW[m, θ, l]."""
+       quadrature table PW[m, θ, l] (optionally m-chunked / re-im-stacked,
+       see the XF_FUSED_MCHUNK / XF_STACK_REIM notes above)."""
     q_b = are_ref.shape[0]
     a_re = are_ref[:].reshape(q_b * n_theta, n_phi)
     a_im = aim_ref[:].reshape(q_b * n_theta, n_phi)
     # E stored (m, φ): contract over φ (dim 1 of both operands) — m must sit
     # on the second-to-last axis for mosaic's blocked-dim alignment rules
-    e_re = ere_ref[:]
-    e_im = eim_ref[:]
-    fm_re = _mmT(a_re, e_re) - _mmT(a_im, e_im)    # (q_b·θ, m_blk)
-    fm_im = _mmT(a_re, e_im) + _mmT(a_im, e_re)
-    fm_re = fm_re.reshape(q_b, n_theta, m_blk).transpose(2, 0, 1)
-    fm_im = fm_im.reshape(q_b, n_theta, m_blk).transpose(2, 0, 1)
-    pw = pw_ref[:]                                  # (m_blk, θ, l)
-    cre_ref[:] = _bmm(fm_re, pw).transpose(1, 0, 2)  # (q_b, m_blk, l)
-    cim_ref[:] = _bmm(fm_im, pw).transpose(1, 0, 2)
+    mc, n_c = _m_chunks(m_blk)
+    for k in range(n_c):
+        sl = slice(k * mc, (k + 1) * mc)
+        e_re = ere_ref[sl, :]
+        e_im = eim_ref[sl, :]
+        fm_re = _mmT(a_re, e_re) - _mmT(a_im, e_im)    # (q_b·θ, mc)
+        fm_im = _mmT(a_re, e_im) + _mmT(a_im, e_re)
+        o_re, o_im = _legendre_fwd(fm_re, fm_im, pw_ref[sl], q_b,
+                                   n_theta, mc)
+        cre_ref[:, sl, :] = o_re                       # (q_b, mc, l)
+        cim_ref[:, sl, :] = o_im
 
 
 def _inv_kernel(n_theta, n_phi, m_blk,
@@ -182,17 +220,33 @@ def _inv_kernel(n_theta, n_phi, m_blk,
        m-halves sum into the output block (innermost-grid revisiting)."""
     j = pl.program_id(1)
     q_b = cre_ref.shape[0]
-    c_re = cre_ref[:].transpose(1, 0, 2)            # (m_blk, q_b, l)
-    c_im = cim_ref[:].transpose(1, 0, 2)
-    p = p_ref[:]                                    # (m_blk, l, θ)
-    fm_re = _bmm(c_re, p).transpose(1, 2, 0)        # (q_b, θ, m_blk)
-    fm_im = _bmm(c_im, p).transpose(1, 2, 0)
-    fm_re = fm_re.reshape(q_b * n_theta, m_blk)
-    fm_im = fm_im.reshape(q_b * n_theta, m_blk)
-    i_re = ire_ref[:]
-    i_im = iim_ref[:]
-    f_re = (_mm(fm_re, i_re) - _mm(fm_im, i_im)).reshape(q_b, n_theta, n_phi)
-    f_im = (_mm(fm_re, i_im) + _mm(fm_im, i_re)).reshape(q_b, n_theta, n_phi)
+    mc, n_c = _m_chunks(m_blk)
+    f_re = f_im = None
+    for k in range(n_c):
+        sl = slice(k * mc, (k + 1) * mc)
+        p = p_ref[sl]                               # (mc, l, θ)
+        if _STACK_REIM:
+            c = jnp.concatenate(
+                [cre_ref[:, sl, :].transpose(1, 0, 2),
+                 cim_ref[:, sl, :].transpose(1, 0, 2)], axis=1)
+            fm = _bmm(c, p)                         # (mc, 2q_b, θ)
+            fm_re = fm[:, :q_b].transpose(1, 2, 0)  # (q_b, θ, mc)
+            fm_im = fm[:, q_b:].transpose(1, 2, 0)
+        else:
+            c_re = cre_ref[:, sl, :].transpose(1, 0, 2)   # (mc, q_b, l)
+            c_im = cim_ref[:, sl, :].transpose(1, 0, 2)
+            fm_re = _bmm(c_re, p).transpose(1, 2, 0)      # (q_b, θ, mc)
+            fm_im = _bmm(c_im, p).transpose(1, 2, 0)
+        fm_re = fm_re.reshape(q_b * n_theta, mc)
+        fm_im = fm_im.reshape(q_b * n_theta, mc)
+        i_re = ire_ref[sl, :]
+        i_im = iim_ref[sl, :]
+        pf_re = _mm(fm_re, i_re) - _mm(fm_im, i_im)
+        pf_im = _mm(fm_re, i_im) + _mm(fm_im, i_re)
+        f_re = pf_re if f_re is None else f_re + pf_re
+        f_im = pf_im if f_im is None else f_im + pf_im
+    f_re = f_re.reshape(q_b, n_theta, n_phi)
+    f_im = f_im.reshape(q_b, n_theta, n_phi)
 
     @pl.when(j == 0)
     def _():
